@@ -1,0 +1,178 @@
+"""Spark crawl engine vs sequential oracle parity (SURVEY.md §5.2, §8).
+
+The oracle is the pinned deterministic re-specification of the reference
+crawler's core; the engine must match its per-round fetch sets, crawl
+ordering, URL-seen set, analyses content and metrics — including after a
+kill-and-resume.
+"""
+
+import pytest
+
+from vyntr_spark.oracle import run_oracle
+from vyntr_spark.synth import default_seeds, generate_pages
+from vyntr_spark.tables import SnapshotStore
+
+
+def _pages_map(rows):
+    return {r["url"]: r for r in rows}
+
+
+def _pages_df(spark, rows):
+    from vyntr_spark.tables import PAGES
+
+    return spark.createDataFrame(
+        [
+            (
+                r["url"], r["warc_ts"], r["html"], r["text"], r["lang"],
+                r["content_type"], r["status"], r["body_marker"],
+            )
+            for r in rows
+        ],
+        PAGES,
+    )
+
+
+def _run_engine(spark, tmp_path, rows, seeds, max_pages=10_000, max_rounds=100,
+                robots=None, stop_after=None, **kw):
+    from vyntr_spark.crawl import CrawlEngine
+
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    robots_df = None
+    if robots:
+        robots_df = spark.createDataFrame(
+            [(h, ps) for h, ps in robots.items()],
+            "host string, disallow_prefixes array<string>",
+        )
+    eng = CrawlEngine(
+        spark, store, _pages_df(spark, rows), max_pages=max_pages,
+        collect_debug=True, robots=robots_df, **kw,
+    )
+    eng.init_from_seeds(seeds)
+    infos = eng.run(max_rounds=stop_after or max_rounds)
+    if stop_after is not None:
+        # simulate a fresh process resuming from the committed snapshots
+        eng2 = CrawlEngine(
+            spark, SnapshotStore(spark, str(tmp_path / "wh")),
+            _pages_df(spark, rows), max_pages=max_pages,
+            collect_debug=True, robots=robots_df, **kw,
+        )
+        infos += eng2.run(max_rounds=max_rounds)
+    return store, infos
+
+
+def _assert_parity(store, infos, orc, rows):
+    assert len(infos) == len(orc.rounds), (
+        f"round count {len(infos)} vs oracle {len(orc.rounds)}"
+    )
+    for info, oround in zip(infos, orc.rounds):
+        assert info.selected_urls == oround.selected, f"round {info.round} fetch order"
+        assert info.outcomes == oround.outcomes, f"round {info.round} outcomes"
+        assert info.new_url_list == oround.new_urls, f"round {info.round} expansion"
+        assert info.dedup_dropped == oround.dedup_dropped
+
+    # final URL-seen set
+    seen_engine = {r["url"] for r in store.table("seen").read().collect()}
+    assert seen_engine == orc.seen
+
+    # analyses: byte-identical content per url vs oracle (and vs golden text)
+    eng_rows = {
+        r["url"]: r for r in store.table("analyses").read().collect()
+    }
+    orc_rows = {a["url"]: a for a in (a for rr in orc.rounds for a in rr.analyses)}
+    assert set(eng_rows) == set(orc_rows)
+    golden = {r["url"]: r["text"] for r in rows}
+    for url, o in orc_rows.items():
+        e = eng_rows[url]
+        assert e["content_text"] == o["content_text"], url
+        assert e["title"] == o["title"], url
+        assert e["language"] == o["language"], url
+        assert e["canonical_url"] == o["canonical_url"], url
+        assert [(m["name"], m["content"]) for m in e["meta_tags"]] == o["meta_tags"], url
+        assert e["round"] == o["round"], url
+        assert e["src_partition"] == o["src_partition"], url
+        # the byte-identical invariant vs the pages.text golden column
+        assert o["_raw_text"] == golden[url], url
+
+
+@pytest.fixture(scope="module")
+def tiny_web():
+    rows = generate_pages(60, 4, seed=7)
+    seeds = default_seeds(60, 4, k=2)
+    return rows, seeds
+
+
+def test_single_round_parity(spark, tmp_path, tiny_web):
+    rows, seeds = tiny_web
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, max_rounds=1, seed=7)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, max_rounds=1, seed=7)
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_multi_round_full_crawl_parity(spark, tmp_path, tiny_web):
+    rows, seeds = tiny_web
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7)
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_politeness_cap(spark, tmp_path):
+    # 1 hot host with 40 pages + small hosts: ≤5/host/round (crawler.rs:28-48)
+    rows = generate_pages(60, 2, seed=11)  # zipf: host0 hot
+    seeds = default_seeds(60, 2, k=2)
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=11)
+    for rr in orc.rounds:
+        per_host = {}
+        for u in rr.selected:
+            h = u.split("/")[2]
+            per_host[h] = per_host.get(h, 0) + 1
+        assert all(v <= 5 for v in per_host.values())
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=11)
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_budget_truncation(spark, tmp_path, tiny_web):
+    rows, seeds = tiny_web
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=13, seed=7)
+    assert sum(len(r.selected) for r in orc.rounds) == 13
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, max_pages=13, seed=7)
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_resume_mid_frontier(spark, tmp_path, tiny_web):
+    # kill after round 1, resume from snapshots -> same final state
+    rows, seeds = tiny_web
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7, stop_after=1)
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_robots_gating(spark, tmp_path, tiny_web):
+    rows, seeds = tiny_web
+    robots = {"host0.example": ["/p1", "/p3"]}
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7, robots=robots)
+    blocked = [u for rr in orc.rounds for u, o in rr.outcomes.items() if o == "robots_blocked"]
+    assert blocked, "fixture should block something"
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7, robots=robots)
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_seed_quirks_normalize_true(spark, tmp_path, tiny_web):
+    rows, _ = tiny_web
+    seeds = ["  http://host0.example/p0.html  ", "", "HOST0.example/p0.html",
+             "http://host1.example/p0.html"]
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7)
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_seed_quirks_normalize_false(spark, tmp_path, tiny_web):
+    # reference quirk (main.rs:217-224): raw seed in visited; its normalized
+    # alias is NOT marked seen, so a link to it is re-discovered
+    rows, _ = tiny_web
+    seeds = ["HOST0.example/p0.html", "http://host1.example/p0.html"]
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7,
+                     normalize_seeds=False)
+    assert "HOST0.example/p0.html" in orc.seen
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7,
+                               normalize_seeds=False)
+    _assert_parity(store, infos, orc, rows)

@@ -1,0 +1,330 @@
+"""The crawl engine — iterative DataFrame rounds over snapshot tables.
+
+Rebuild of the reference crawl lifecycle (genesis/src/main.rs:64-318,
+traced in SURVEY.md §3.1) as one deterministic Spark job per round:
+
+    round r:
+      frontier ──politeness_select (C6: two-phase salted window)──► batch
+      batch ──budget truncation in (round,url) order (C9)──► selected
+      pages ⋉ broadcast(selected)  (C10 "fetch" = semi-join of the big
+             pages table against the small batch; at 10^10 scale the
+             pages side is partition-pruned by url-bucket)
+      native gate exprs (C11 content-type, C12 error class, robots)
+      extract_udf (C15, Arrow-vectorized)  ──► analyses snapshot (C19)
+      explode(links) (C17) ──► distinct ──► anti-join seen (C4)
+      ──► frontier(r+1) + seen append + metrics + round_state
+
+Every round commits snapshots with summary props; resume = read the last
+round_state snapshot and continue (kill-after-round-k produces the same
+final state as an uninterrupted run — tested against the sequential
+oracle in tests/test_crawl_oracle.py).
+
+Scale notes (10^10-URL frontier design):
+  * frontier/seen are hash-distributed on url; the seen anti-join is a
+    shuffled hash join locally and a bloom-shard prefilter + exact
+    anti-join on survivors in scale mode (operators/bloom.py).
+  * the frontier "replace" snapshot rewrites state per round in the
+    Parquet fallback; with Iceberg the same step is MERGE/positional
+    deletes of the selected rows + an append of the new ones.
+  * no global rank anywhere: ordering is the composite (round, url).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canonicalize import try_domain, try_normalize
+from .gates import ALLOWED_CONTENT_TYPES
+from .operators.extract_udf import extract_udf, sanitize_col
+from .operators.politeness import MAX_PER_DOMAIN, politeness_select
+from .tables import FRONTIER, SnapshotStore
+
+
+@dataclass
+class RoundInfo:
+    round: int
+    selected: int
+    success: int
+    new_urls: int
+    dedup_dropped: int
+    wall_ms: int
+    # populated only when collect_debug=True (test-scale)
+    selected_urls: list[str] = field(default_factory=list)
+    outcomes: dict[str, str] = field(default_factory=dict)
+    new_url_list: list[str] = field(default_factory=list)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        pages: DataFrame,
+        max_pages: int = 50_000,
+        seed: int = 42,
+        cap: int = MAX_PER_DOMAIN,
+        salt_buckets: int = 32,
+        normalize_seeds: bool = True,
+        robots: DataFrame | None = None,
+        collect_debug: bool = False,
+    ):
+        self.spark = spark
+        self.store = store
+        self.pages = pages
+        self.max_pages = max_pages
+        self.seed = seed
+        self.cap = cap
+        self.salt_buckets = salt_buckets
+        self.normalize_seeds = normalize_seeds
+        self.robots = robots
+        self.collect_debug = collect_debug
+
+    # -- state -----------------------------------------------------------
+    def _round_state(self) -> tuple[int, int]:
+        """(next_round, pages_count) from the last committed round_state."""
+        t = self.store.table("round_state")
+        if t.is_empty():
+            return 0, 0
+        row = t.read().collect()[0]
+        return row["round"] + 1, row["pages_count"]
+
+    # -- seed ingestion (C1 + visited-seed semantics main.rs:216-225) -----
+    def init_from_seeds(self, seeds: list[str]) -> None:
+        seen_keys: list[str] = []
+        frontier_rows: list[tuple[str, str, int, int]] = []
+        seen_set: set[str] = set()
+        frontier_urls: set[str] = set()
+        for raw in seeds:
+            s = raw.strip()
+            if not s:
+                continue
+            norm = try_normalize(s)
+            if norm is None:
+                continue
+            visited_key = norm if self.normalize_seeds else s
+            if visited_key in seen_set:
+                continue
+            seen_set.add(visited_key)
+            seen_keys.append(visited_key)
+            host = try_domain(norm)
+            # frontier is keyed by url: a second raw seed normalizing to an
+            # already-enqueued url is dropped (documented deviation — the
+            # reference would enqueue it twice)
+            if host is None or norm in frontier_urls:
+                continue
+            frontier_urls.add(norm)
+            frontier_rows.append((norm, host, 0, 0))
+        seen_df = self.spark.createDataFrame(
+            [(u,) for u in seen_keys], "url string"
+        ).select(F.hash("url").alias("url_hash"), "url")
+        frontier_df = self.spark.createDataFrame(frontier_rows, FRONTIER)
+        self.store.table("seen").commit(seen_df, "append", {"stage": "seeds"})
+        self.store.table("frontier").commit(frontier_df, "replace",
+                                            {"stage": "seeds"})
+
+    # -- one crawl round ----------------------------------------------------
+    def run_round(self) -> RoundInfo | None:
+        t0 = time.monotonic()
+        rnd, pages_count = self._round_state()
+        remaining = self.max_pages - pages_count
+        if remaining <= 0:
+            return None
+        frontier_t = self.store.table("frontier")
+        frontier = frontier_t.read()
+
+        sel = politeness_select(frontier, self.cap, self.salt_buckets)
+        sel = sel.persist()
+        n_sel = sel.count()
+        if n_sel == 0:
+            sel.unpersist()
+            return None
+        if n_sel > remaining:
+            # budget truncation (C9) in pinned (round, url) order
+            sel2 = sel.orderBy("round", "url").limit(remaining).persist()
+            sel.unpersist()
+            sel = sel2
+            n_sel = remaining
+
+        # -- fetch: big pages table semi-probed by the small batch ----------
+        hits = self.pages.join(
+            F.broadcast(sel.select("url")), "url", "left_semi"
+        )
+        fetched = sel.join(hits, "url", "left")
+
+        # robots gating (north rule; permissive default = no-op).
+        # path = '/' + everything after the first '/' of the authority+path
+        # part, query stripped (gates.url_path parity, native exprs).
+        after_scheme = F.element_at(F.split(F.col("url"), "://", 2), 2)
+        no_query = F.split(after_scheme, "\\?", 2)[0]
+        path = F.when(
+            F.instr(no_query, "/") > 0,
+            F.concat(F.lit("/"), F.element_at(F.split(no_query, "/", 2), 2)),
+        ).otherwise(F.lit("/"))
+        fetched = fetched.withColumn("_path", path)
+        if self.robots is not None:
+            fetched = fetched.join(F.broadcast(self.robots), "host", "left")
+            fetched = fetched.withColumn(
+                "_robots",
+                F.coalesce(
+                    F.exists(
+                        "disallow_prefixes",
+                        lambda p: F.col("_path").startswith(p),
+                    ),
+                    F.lit(False),
+                ),
+            ).drop("disallow_prefixes")
+        else:
+            fetched = fetched.withColumn("_robots", F.lit(False))
+
+        # -- gate classification (C11/C12) as native exprs -------------------
+        ct = F.trim(F.split(F.coalesce("content_type", F.lit("text/html")), ";")[0])
+        marker = F.coalesce("body_marker", F.lit(""))
+        outcome = (
+            F.when(F.col("_robots"), F.lit("robots_blocked"))
+            .when(F.col("html").isNull(), F.lit("missing"))
+            .when(~ct.isin(*ALLOWED_CONTENT_TYPES), F.lit("skipped_ct"))
+            .when(
+                (F.col("status") == 403) | marker.contains("403 Forbidden"),
+                F.lit("failed"),
+            )
+            .when(
+                marker.contains("Cloudflare")
+                & marker.contains("Worker threw exception"),
+                F.lit("failed"),
+            )
+            .otherwise(F.lit("success"))
+        )
+        fetched = fetched.withColumn("outcome", outcome).persist()
+
+        # -- extraction (C15) on successes only ------------------------------
+        succ = fetched.filter(F.col("outcome") == "success")
+        extracted = succ.select(
+            "url",
+            F.col("round").alias("_disc_round"),
+            extract_udf(F.col("html"), F.col("url")).alias("ex"),
+        ).persist()
+
+        part = F.substring(F.md5(F.encode(F.col("url"), "utf-8")), 1, 2)
+        analyses = extracted.select(
+            sanitize_col(F.col("url")).alias("url"),
+            sanitize_col(F.col("ex.language")).alias("language"),
+            sanitize_col(F.col("ex.title")).alias("title"),
+            F.transform(
+                "ex.meta_tags",
+                lambda m: F.struct(
+                    sanitize_col(m["name"]).alias("name"),
+                    sanitize_col(m["content"]).alias("content"),
+                ),
+            ).alias("meta_tags"),
+            sanitize_col(F.col("ex.canonical_url")).alias("canonical_url"),
+            sanitize_col(F.col("ex.content_text")).alias("content_text"),
+            F.lit(rnd).alias("round"),
+            part.alias("src_partition"),
+        )
+        self.store.table("analyses").commit(
+            analyses, "append", {"round": rnd}
+        )
+
+        # -- expansion (C17 explode → C4 seen anti-join) ----------------------
+        links = extracted.select(F.explode("ex.links").alias("url"))
+        links = links.withColumn("host", F.lower(F.parse_url("url", F.lit("HOST"))))
+        links = links.filter(F.col("host").isNotNull() & (F.col("host") != ""))
+        cand = links.select("url", "host").distinct().persist()
+        n_cand = cand.count()
+        seen_t = self.store.table("seen")
+        new = cand.join(seen_t.read(), "url", "left_anti").persist()
+        n_new = new.count()
+
+        new_frontier_rows = new.select(
+            "url", "host",
+            F.lit(rnd + 1).alias("depth"),
+            F.lit(rnd + 1).alias("round"),
+        )
+        remaining_frontier = frontier.join(sel.select("url"), "url", "left_anti")
+        next_frontier = remaining_frontier.unionByName(new_frontier_rows)
+        self.store.table("frontier").commit(next_frontier, "replace", {"round": rnd})
+        self.store.table("seen").commit(
+            new.select(F.hash("url").alias("url_hash"), "url"),
+            "append",
+            {"round": rnd},
+        )
+
+        # -- metrics (C20) per md5-partition lineage --------------------------
+        by_outcome = {
+            r["outcome"]: r["count"]
+            for r in fetched.groupBy("outcome").count().collect()
+        }
+        n_succ = by_outcome.get("success", 0)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        per_part = (
+            fetched.groupBy(part.alias("partition"))
+            .agg(
+                F.count("*").alias("total"),
+                F.sum((F.col("outcome") == "success").cast("long")).alias("success"),
+                F.sum((F.col("outcome").isin("failed", "missing")).cast("long")).alias("failed"),
+                F.sum((F.col("outcome") == "skipped_ct").cast("long")).alias("skipped_ct"),
+                F.sum((F.col("outcome") == "robots_blocked").cast("long")).alias("robots_blocked"),
+            )
+            .select(
+                F.lit(rnd).alias("round"), "partition", "total", "success",
+                "failed", "skipped_ct", "robots_blocked",
+                F.lit(0).cast("long").alias("dedup_dropped"),
+                F.lit(0).cast("long").alias("new_urls"),
+                F.lit(0).cast("long").alias("wall_ms"),
+            )
+        )
+        round_row = self.spark.createDataFrame(
+            [(
+                rnd, "__round__", n_sel, n_succ,
+                by_outcome.get("failed", 0) + by_outcome.get("missing", 0),
+                by_outcome.get("skipped_ct", 0),
+                by_outcome.get("robots_blocked", 0),
+                n_cand - n_new, n_new, wall_ms,
+            )],
+            self.store.table("metrics").schema,
+        )
+        self.store.table("metrics").commit(
+            per_part.unionByName(round_row), "append", {"round": rnd}
+        )
+        self.store.table("round_state").commit(
+            self.spark.createDataFrame(
+                [(rnd, pages_count + n_sel, rnd, self.seed)],
+                self.store.table("round_state").schema,
+            ),
+            "replace",
+            {"round": rnd},
+        )
+
+        info = RoundInfo(
+            round=rnd, selected=n_sel, success=n_succ, new_urls=n_new,
+            dedup_dropped=n_cand - n_new, wall_ms=wall_ms,
+        )
+        if self.collect_debug:
+            shuffle_key = F.md5(
+                F.concat(F.lit(f"{self.seed}:{rnd}:"), F.col("url"))
+            )
+            ordered = (
+                fetched.select("url", "outcome", shuffle_key.alias("_k"))
+                .orderBy("_k")
+                .collect()
+            )
+            info.selected_urls = [r["url"] for r in ordered]
+            info.outcomes = {r["url"]: r["outcome"] for r in ordered}
+            info.new_url_list = [r["url"] for r in new.orderBy("url").collect()]
+
+        for df in (sel, fetched, extracted, cand, new):
+            df.unpersist()
+        return info
+
+    def run(self, max_rounds: int = 1_000) -> list[RoundInfo]:
+        out = []
+        for _ in range(max_rounds):
+            info = self.run_round()
+            if info is None:
+                break
+            out.append(info)
+        return out

@@ -1,0 +1,266 @@
+"""Table schemas and the snapshot-commit storage layer.
+
+Schemas mirror the reference data model (SURVEY.md §1, FIXTURES.md §1-2):
+``SeoAnalysis`` (genesis/src/db.rs:11-18) plus the crawl-state tables the
+reference keeps in memory (visited HashSet main.rs:159, DomainQueues
+crawler.rs:4-8) which the rebuild persists.
+
+Storage: Iceberg is the production target (``--packages
+org.apache.iceberg:iceberg-spark-runtime``), but no Iceberg jar ships in
+this sandbox, so ``SnapshotStore`` implements the same *semantics* —
+snapshot-id lineage, per-snapshot summary props (metrics), time travel,
+rollback — as versioned Parquet directories plus a JSON manifest. The
+engine only talks to this small interface, so swapping the backend is a
+config change, not a rewrite.
+
+Layout on disk::
+
+    <root>/<table>/manifest.json
+    <root>/<table>/snap-00000001/part-*.parquet
+
+``append`` mode: a read unions every live snapshot directory (the Iceberg
+append pattern — analyses, seen, metrics). ``replace`` mode: a read sees
+only the newest snapshot (frontier, round_state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Schemas (explicit StructTypes, never inferred — SURVEY.md §1.4)
+# --------------------------------------------------------------------------
+
+META_TAG = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+# input_hint shape: Common-Crawl-style pages + auxiliary gate columns
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        # auxiliary, nullable, not part of the contract (FIXTURES.md §1)
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("body_marker", T.StringType(), True),
+    ]
+)
+
+SEEDS = T.StructType([T.StructField("url", T.StringType(), False)])
+
+# Frontier ordering contract (SURVEY.md §8 N4/N5): the per-domain FIFO /
+# budget-truncation order is the composite (round, url) — discovery round,
+# then lexicographic URL (links are already pinned to sorted order, N2).
+# No materialized global sequence number: a dense global rank would need a
+# single-partition window (a 10^10-row bottleneck); (round, url) gives the
+# same deterministic total order for free.
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("round", T.IntegerType(), False),  # discovered_round
+    ]
+)
+
+SEEN = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),  # murmur3 F.hash
+        T.StructField("url", T.StringType(), False),
+    ]
+)
+
+ROBOTS_RULES = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+ANALYSES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("language", T.StringType(), False),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("meta_tags", T.ArrayType(META_TAG), False),
+        T.StructField("canonical_url", T.StringType(), True),
+        T.StructField("content_text", T.StringType(), False),
+        # lineage columns (north rule: per-partition lineage)
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("src_partition", T.StringType(), False),
+    ]
+)
+
+METRICS = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("partition", T.StringType(), False),
+        T.StructField("total", T.LongType(), False),
+        T.StructField("success", T.LongType(), False),
+        T.StructField("failed", T.LongType(), False),
+        T.StructField("skipped_ct", T.LongType(), False),
+        T.StructField("robots_blocked", T.LongType(), False),
+        T.StructField("dedup_dropped", T.LongType(), False),
+        T.StructField("new_urls", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+# rotation_offset: the reference rotates its domain round-robin vector per
+# batch (crawler.rs:43-45); under the pinned round-barrier semantics a full
+# sweep visits every domain each round, so rotation cannot change the fetch
+# set — the offset is carried for lineage/debug parity only (= round index).
+ROUND_STATE = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("pages_count", T.LongType(), False),
+        T.StructField("rotation_offset", T.IntegerType(), False),
+        T.StructField("rng_seed", T.LongType(), False),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Snapshot store
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    mode: str  # "append" | "replace"
+    timestamp_ms: int
+    summary: dict[str, Any] = field(default_factory=dict)
+    path: str = ""
+
+
+class SnapshotTable:
+    """One versioned table. Semantics-equivalent stand-in for an Iceberg
+    table: commit = new immutable snapshot dir + manifest update."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str, schema: T.StructType):
+        self.spark = spark
+        self.name = name
+        self.schema = schema
+        self.dir = os.path.join(root, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self._manifest_path = os.path.join(self.dir, "manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+    def _load(self) -> list[Snapshot]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as f:
+            raw = json.load(f)
+        return [Snapshot(**s) for s in raw["snapshots"]]
+
+    def _save(self, snaps: list[Snapshot]) -> None:
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": [vars(s) for s in snaps]}, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    # -- public API ----------------------------------------------------------
+    def commit(self, df: DataFrame, mode: str = "append",
+               summary: dict[str, Any] | None = None) -> int:
+        snaps = self._load()
+        sid = (snaps[-1].snapshot_id + 1) if snaps else 1
+        path = os.path.join(self.dir, f"snap-{sid:08d}")
+        df.write.mode("overwrite").parquet(path)
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                parent_id=snaps[-1].snapshot_id if snaps else None,
+                mode=mode,
+                timestamp_ms=int(time.time() * 1000),
+                summary=summary or {},
+                path=path,
+            )
+        )
+        self._save(snaps)
+        return sid
+
+    def snapshots(self) -> list[Snapshot]:
+        return self._load()
+
+    def current_snapshot_id(self) -> int | None:
+        snaps = self._load()
+        return snaps[-1].snapshot_id if snaps else None
+
+    def _live_paths(self, as_of: int | None = None) -> list[str]:
+        snaps = self._load()
+        if as_of is not None:
+            snaps = [s for s in snaps if s.snapshot_id <= as_of]
+        live: list[str] = []
+        for s in snaps:
+            if s.mode == "replace":
+                live = [s.path]
+            else:
+                live.append(s.path)
+        return live
+
+    def read(self, as_of: int | None = None) -> DataFrame:
+        """Current (or time-travel) view of the table."""
+        paths = self._live_paths(as_of)
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Drop every snapshot newer than ``snapshot_id`` (Iceberg
+        rollback_to_snapshot analog). Physical dirs are removed."""
+        snaps = self._load()
+        keep = [s for s in snaps if s.snapshot_id <= snapshot_id]
+        drop = [s for s in snaps if s.snapshot_id > snapshot_id]
+        for s in drop:
+            shutil.rmtree(s.path, ignore_errors=True)
+        self._save(keep)
+
+    def is_empty(self) -> bool:
+        return not self._live_paths()
+
+
+class SnapshotStore:
+    """A warehouse of SnapshotTables rooted at one directory."""
+
+    SCHEMAS = {
+        "pages": PAGES,
+        "seeds": SEEDS,
+        "frontier": FRONTIER,
+        "seen": SEEN,
+        "robots_rules": ROBOTS_RULES,
+        "analyses": ANALYSES,
+        "metrics": METRICS,
+        "round_state": ROUND_STATE,
+    }
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._tables: dict[str, SnapshotTable] = {}
+
+    def table(self, name: str, schema: T.StructType | None = None) -> SnapshotTable:
+        if name not in self._tables:
+            sch = schema or self.SCHEMAS.get(name)
+            if sch is None:
+                raise KeyError(f"no schema registered for table {name!r}")
+            self._tables[name] = SnapshotTable(self.spark, self.root, name, sch)
+        return self._tables[name]
