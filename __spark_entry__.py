@@ -1,38 +1,723 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship downstream query (clean → index →
+BM25 search with nsfw gating and previews) on sf0.001. ``queries()`` /
+``oracle_sql()`` register every SQL-expressible operator from SURVEY.md
+§2 plus the training-data-pipeline operators (dedup family, similarity,
+text analysis); the driver compares each against DuckDB at sf=0.01.
+
+Cross-engine determinism rules used throughout (see SURVEY.md §5.3):
+  * every computed column aliased identically on both sides;
+  * float results rounded to 4dp (2dp for money sums) on both sides;
+  * counts/ranks cast to BIGINT on both sides;
+  * every top-K ordered by (measure, id) so ties are deterministic;
+  * hashes via md5 (identical hex in Spark and DuckDB).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from vyntr_spark.operators import cleaner, pulse, serving, textstats, vectors  # noqa: E402
+from vyntr_spark.operators.vectors import projection_planes  # noqa: E402
+
+NSFW_SET = ["src1", "src13"]
+BM25_QUERY = ["spark", "data", "window"]
+TARGET_DATE = "2026-12-25"
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship vyntr_spark to executors once per session (needed only for
+    UDF-bearing queries; native-expr queries run without it)."""
+    if getattr(spark, "_vyntr_pyfiles", False):
+        return
+    from vyntr_spark.session import _package_zip
+
+    spark.sparkContext.addPyFile(_package_zip())
+    spark._vyntr_pyfiles = True  # type: ignore[attr-defined]
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cleaned-corpus BM25 search with nsfw gate + preview
+    (the pulse search lifecycle, SURVEY.md §3.2) on sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf)
+    cleaned = cleaner.drop_empty(cleaner.clean_documents(docs))
+    safe = pulse.nsfw_flag(cleaned, NSFW_SET).filter(~F.col("nsfw"))
+    top = pulse.bm25_topk(safe, BM25_QUERY, k=10,
+                          text_col="cleaned_text", id_col="doc_id")
+    return (
+        top.join(pulse.preview(pulse.lang_default(safe), "cleaned_text")
+                 .select("doc_id", "language", "preview"), "doc_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- crawl-side primitives over the events table (C-ops) ------------
+    q["c4_dedup_exact"] = lambda s, sf: (
+        _events(s, sf)
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event"))
+    )
+
+    def c6(s, sf):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            _events(s, sf)
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 5)
+            .select("event_id", "user_id", "rn")
+        )
+
+    q["c6_politeness_window"] = c6
+
+    def c16(s, sf):
+        d = _docs(s, sf)
+        path = F.concat(
+            F.lit("/p"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(".pdf"))
+            .when(F.col("doc_id") % 11 == 0, F.lit("/download/x"))
+            .when(F.col("doc_id") % 13 == 0, F.lit("/static/a.js"))
+            .otherwise(F.lit(".html")),
+        )
+        d = d.withColumn("path", F.lower(path))
+        keep = ~(
+            F.col("path").endswith(".pdf")
+            | F.col("path").endswith(".png")
+            | F.col("path").endswith(".zip")
+            | F.col("path").contains("/download/")
+            | F.col("path").contains("/static/")
+            | F.col("path").contains("/feed")
+        )
+        return d.filter(keep).select("doc_id", "path")
+
+    q["c16_link_filter"] = c16
+
+    q["c18_sanitize"] = lambda s, sf: _docs(s, sf).select(
+        "doc_id",
+        F.regexp_replace("text", "[\\x00-\\x1F\\x7F-\\x9F]", "").alias("clean_text"),
+    )
+
+    q["c20_metrics_agg"] = lambda s, sf: (
+        _events(s, sf)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("total"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum((F.col("value") > 100).cast("long")).alias("n_big"),
+        )
+    )
+
+    # ---- dataset cleaning (D-ops) ----------------------------------------
+    q["d1_clean_regex"] = lambda s, sf: cleaner.clean_documents(
+        _docs(s, sf)
+    ).select("doc_id", "cleaned_text")
+
+    q["d2_empty_drop"] = lambda s, sf: cleaner.drop_empty(
+        cleaner.clean_documents(_docs(s, sf))
+    ).select("doc_id", "cleaned_text")
+
+    q["d4_top_n"] = lambda s, sf: cleaner.top_n_largest(_docs(s, sf), n=100)
+
+    q["d5_remove_largest"] = lambda s, sf: cleaner.remove_largest(
+        _docs(s, sf), cleaner.top_n_largest(_docs(s, sf), n=100)
+    ).select("doc_id")
+
+    q["d6_stopword_top"] = lambda s, sf: cleaner.top_frequent_words(
+        _docs(s, sf), n=50
+    )
+
+    # ---- pulse / full-text (P-ops) ----------------------------------------
+    q["p2_preview"] = lambda s, sf: pulse.preview(_docs(s, sf)).select(
+        "doc_id", "preview"
+    )
+
+    q["p3_lang_default"] = lambda s, sf: pulse.lang_default(
+        _docs(s, sf).withColumn(
+            "lang", F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("lang"))
+        )
+    ).select("doc_id", "language")
+
+    q["p4_nsfw_flag"] = lambda s, sf: pulse.nsfw_flag(_docs(s, sf), NSFW_SET).select(
+        "doc_id", "nsfw"
+    )
+
+    q["p5_postings"] = lambda s, sf: pulse.postings(_docs(s, sf))
+
+    q["p5_docstats"] = lambda s, sf: pulse.docstats(_docs(s, sf))
+
+    q["p8_bm25_topk"] = lambda s, sf: pulse.bm25_topk(_docs(s, sf), BM25_QUERY, k=10)
+
+    q["p11_string_agg"] = lambda s, sf: pulse.meta_agg(_events(s, sf))
+
+    # ---- embeddings (E-ops) -------------------------------------------------
+    q["e5_unprocessed"] = lambda s, sf: vectors.unprocessed_scan(
+        _emb(s, sf), _emb(s, sf).filter(F.col("vec_id") % 3 == 0), key="vec_id"
+    )
+
+    q["e6_vector_mean"] = lambda s, sf: vectors.vector_mean(_emb(s, sf)).withColumn(
+        "dim", F.col("dim").cast("long")
+    )
+
+    def e9(s, sf):
+        qvec = (
+            _emb(s, sf).filter(F.col("vec_id") == 0).select("embedding").collect()
+        )[0]["embedding"]
+        return vectors.cosine_topk(_emb(s, sf), [float(x) for x in qvec], k=10)
+
+    q["e9_cosine_topk"] = e9
+
+    q["e7_lsh_buckets"] = lambda s, sf: vectors.lsh_sign_buckets(
+        _emb(s, sf), n_bits=8, dim=64
+    ).withColumn("bucket", F.col("bucket").cast("long"))
+
+    q["e10_token_count"] = lambda s, sf: textstats.token_count(_docs(s, sf)).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+
+    # ---- training-data dedup / analysis (T-ops) ------------------------------
+    q["t_fingerprint"] = lambda s, sf: textstats.fingerprint(_docs(s, sf))
+
+    q["t_exact_dups"] = lambda s, sf: textstats.exact_dups(_docs(s, sf))
+
+    q["t_minhash_sig"] = lambda s, sf: textstats.minhash_signature(
+        _docs(s, sf), n_hashes=8
+    )
+
+    q["t_minhash_lsh_pairs"] = lambda s, sf: textstats.minhash_lsh_pairs(
+        _docs(s, sf), n_hashes=8, bands=4
+    )
+
+    q["t_simhash"] = lambda s, sf: textstats.simhash16(_docs(s, sf))
+
+    q["t_ngram_jaccard"] = lambda s, sf: textstats.ngram_jaccard_pairs(
+        _docs(s, sf), threshold=0.2
+    )
+
+    q["t_embed_neardup"] = lambda s, sf: vectors.cosine_neardup_pairs(
+        _emb(s, sf), threshold=0.6
+    )
+
+    q["t_langid"] = lambda s, sf: textstats.lang_id(_docs(s, sf))
+
+    q["t_quality"] = lambda s, sf: textstats.quality_score(_docs(s, sf)).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+
+    # ---- serving (W-ops) ------------------------------------------------------
+    q["w2_count_rollup"] = lambda s, sf: serving.query_count_rollup(_events(s, sf))
+
+    q["w3_autocomplete"] = lambda s, sf: serving.autocomplete(
+        cleaner.top_frequent_words(_docs(s, sf), n=1000), "sp", k=10
+    )
+
+    q["w4_trigram_fuzzy"] = lambda s, sf: serving.trigram_similarity(
+        cleaner.top_frequent_words(_docs(s, sf), n=1000).select("word"),
+        "spark", threshold=0.2, k=10,
+    )
+
+    q["w6_days_until"] = lambda s, sf: serving.days_until(_events(s, sf), TARGET_DATE)
+
+    q["j1_json_prop"] = lambda s, sf: serving.json_prop(_events(s, sf))
+
+    # ---- multimodal plumbing (rows-only: no SQL oracle; the driver
+    # records the weaker rows-only check for these) -------------------------
+    def mm_decode(s, sf):
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(_docs(s, sf))
+        return multimodal.decode_media(media)
+
+    q["mm_decode_meta"] = mm_decode
+
+    def mm_resize(s, sf):
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(_docs(s, sf))
+        decoded = multimodal.decode_media(media)
+        return multimodal.resize_plan(decoded).select(
+            "media_id", "resize_scale", "out_w", "out_h"
+        )
+
+    q["mm_resize_plan"] = mm_resize
+
+    # ---- generic relational (TPC-H-ish over lineitem/orders) -----------------
+    def h1(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["h1_pricing_summary"] = h1
+
+    def h3(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        c = s.read.parquet(f"{sf}/customer.parquet")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+        )
+
+    q["h3_top_orders"] = h3
+
+    def h5(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        na = s.read.parquet(f"{sf}/nation.parquet")
+        re = s.read.parquet(f"{sf}/region.parquet")
+        return (
+            li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+            .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+            .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q["h5_nation_revenue"] = h5
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered per table)
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_CLEAN = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[ \\t\u3000]+', ' ', 'g'),"
+    " '<[^>]+>', '', 'g'),"
+    " '(?i)&(?:[a-z0-9]+|#[0-9]{1,6}|#x[0-9a-f]{1,6});', '', 'g'),"
+    " '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),"
+    " '\uFFFD', '', 'g'),"
+    " '\\[(.*?)\\]\\((.*?)\\)', '\\1', 'g'),"
+    " '\\?[^\"''\\s<>]+', '', 'g'),"
+    " '\\n{3,}', '\\n\\n', 'g'))"
+)
+
+_SHINGLES = (
+    "list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2]) "
+    "for i in range(1, greatest(len(toks)-2, 0) + 1)])"
+)
+
+
+def _hex4_to_int(expr: str) -> str:
+    """hex(4 chars) -> int via nibble arithmetic (portable DuckDB)."""
+    nib = "(strpos('0123456789abcdef', substr({e}, {i}, 1)) - 1)"
+    parts = [
+        f"{nib.format(e=expr, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _lsh_planes_values() -> str:
+    planes = projection_planes(n_bits=8, dim=64, seed=42)
+    rows = []
+    for b in range(8):
+        for d in range(64):
+            rows.append(f"({b},{d},{planes[b][d]})")
+    return ",".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["c4_dedup_exact"] = (
+        "SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS first_event "
+        "FROM events GROUP BY user_id, event_type"
+    )
+
+    o["c6_politeness_window"] = (
+        "SELECT event_id, user_id, rn FROM ("
+        "SELECT event_id, user_id, CAST(row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn "
+        "FROM events) t WHERE rn <= 5"
+    )
+
+    o["c16_link_filter"] = (
+        "WITH d AS (SELECT doc_id, lower('/p' || CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN doc_id % 7 = 0 THEN '.pdf' "
+        "WHEN doc_id % 11 = 0 THEN '/download/x' "
+        "WHEN doc_id % 13 = 0 THEN '/static/a.js' ELSE '.html' END) AS path "
+        "FROM documents) "
+        "SELECT doc_id, path FROM d WHERE NOT ("
+        "path LIKE '%.pdf' OR path LIKE '%.png' OR path LIKE '%.zip' "
+        "OR path LIKE '%/download/%' OR path LIKE '%/static/%' "
+        "OR path LIKE '%/feed%')"
+    )
+
+    o["c18_sanitize"] = (
+        "SELECT doc_id, regexp_replace(text, '[\\x00-\\x1F\\x7F-\\x9F]', '', 'g') "
+        "AS clean_text FROM documents"
+    )
+
+    o["c20_metrics_agg"] = (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS total, "
+        "round(sum(value), 2) AS sum_value, "
+        "CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big "
+        "FROM events GROUP BY event_type"
+    )
+
+    o["d1_clean_regex"] = f"SELECT doc_id, {_CLEAN} AS cleaned_text FROM documents"
+
+    o["d2_empty_drop"] = (
+        f"SELECT doc_id, cleaned_text FROM (SELECT doc_id, {_CLEAN} AS cleaned_text "
+        "FROM documents) t WHERE coalesce(cleaned_text, '') <> ''"
+    )
+
+    o["d4_top_n"] = (
+        "SELECT doc_id, CAST(length(text) AS INT) AS text_len FROM documents "
+        "ORDER BY text_len DESC, doc_id ASC LIMIT 100"
+    )
+
+    o["d5_remove_largest"] = (
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+        "SELECT doc_id FROM documents ORDER BY length(text) DESC, doc_id ASC LIMIT 100)"
+    )
+
+    o["d6_stopword_top"] = (
+        f"SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        f"SELECT unnest({_TOKS}) AS word FROM documents) t "
+        "GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50"
+    )
+
+    o["p2_preview"] = (
+        "SELECT doc_id, CASE WHEN length(trim(text)) <= 500 THEN trim(text) "
+        "ELSE substr(trim(text), 1, 500) || '...' END AS preview FROM documents"
+    )
+
+    o["p3_lang_default"] = (
+        "SELECT doc_id, coalesce(nullif(CASE WHEN doc_id % 5 = 0 THEN '' "
+        "ELSE lang END, ''), 'en') AS language FROM documents"
+    )
+
+    o["p4_nsfw_flag"] = (
+        "SELECT doc_id, lower(source) IN ('src1', 'src13') AS nsfw FROM documents"
+    )
+
+    o["p5_postings"] = (
+        f"SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM ("
+        f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents) t "
+        "GROUP BY term, doc_id"
+    )
+
+    o["p5_docstats"] = (
+        f"SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ("
+        f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents) t GROUP BY doc_id"
+    )
+
+    terms_sql = ",".join(f"('{t}')" for t in BM25_QUERY)
+    o["p8_bm25_topk"] = f"""
+WITH toklist AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toklist GROUP BY term, doc_id),
+ds AS (SELECT doc_id, count(*) AS dl FROM toklist GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM ds),
+qt(term) AS (VALUES {terms_sql}),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+          WHERE term IN (SELECT term FROM qt) GROUP BY term)
+SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+  SELECT p.doc_id,
+         ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         AS contrib
+  FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
+) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["p11_string_agg"] = (
+        "SELECT user_id, string_agg(printf('%s: %.2f', event_type, value), ' ' "
+        "ORDER BY event_id) AS meta_text FROM events GROUP BY user_id"
+    )
+
+    o["e5_unprocessed"] = (
+        "SELECT DISTINCT vec_id FROM embeddings WHERE vec_id NOT IN ("
+        "SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0)"
+    )
+
+    o["e6_vector_mean"] = (
+        "SELECT label, CAST(i AS BIGINT) AS dim, "
+        "round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) + 0.0 AS mean_val "
+        "FROM embeddings, range(64) t(i) GROUP BY label, i"
+    )
+
+    o["e9_cosine_topk"] = """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(
+  sum(CAST(emb.embedding[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE))
+  / (sqrt(sum(CAST(emb.embedding[i + 1] AS DOUBLE) * CAST(emb.embedding[i + 1] AS DOUBLE)))
+     * sqrt(sum(CAST(q.e[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
+FROM embeddings emb, q, range(64) t(i)
+GROUP BY vec_id ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    o["e7_lsh_buckets"] = f"""
+WITH planes(b, d, w) AS (SELECT * FROM (VALUES {_lsh_planes_values()})),
+dots AS (
+  SELECT e.vec_id, p.b,
+         sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.w) AS dot
+  FROM embeddings e, planes p GROUP BY e.vec_id, p.b
+)
+SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+FROM dots GROUP BY vec_id
+"""
+
+    o["e10_token_count"] = (
+        f"SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents"
+    )
+
+    o["t_fingerprint"] = (
+        "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) "
+        "AS fp FROM documents"
+    )
+
+    o["t_exact_dups"] = """
+WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+            FROM documents),
+canon AS (SELECT f, min(doc_id) AS canonical_id, count(*) AS n FROM fp GROUP BY f)
+SELECT fp.doc_id AS dup_id, canon.canonical_id
+FROM fp JOIN canon USING (f) WHERE canon.n > 1 AND fp.doc_id <> canon.canonical_id
+"""
+
+    minhash_aggs = ",".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+    )
+    _sh_cte = (
+        f"WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+        f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk "
+        "WHERE len(toks) >= 3)"
+    )
+    o["t_minhash_sig"] = (
+        f"{_sh_cte} SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id"
+    )
+
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS key FROM sig"
+        for b in range(4)
+    )
+    o["t_minhash_lsh_pairs"] = (
+        f"{_sh_cte}, sig AS (SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id), "
+        f"buckets AS ({band_union}) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM buckets a JOIN buckets b USING (band, key) WHERE a.doc_id < b.doc_id"
+    )
+
+    hv = _hex4_to_int("substr(md5(t), 1, 4)")
+    bit_sums = ",".join(
+        f"sum(CASE WHEN (hv // {2 ** b}) % 2 = 1 THEN w ELSE -w END) AS s{b}"
+        for b in range(16)
+    )
+    sim_expr = " + ".join(f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(16))
+    o["t_simhash"] = f"""
+WITH tok AS (SELECT doc_id, t, count(*) AS w, {hv} AS hv FROM (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents) x GROUP BY doc_id, t),
+bits AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
+"""
+
+    o["t_ngram_jaccard"] = f"""
+WITH tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, source, unnest({_SHINGLES}) AS shingle FROM tk WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+          FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+          WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+) t WHERE jaccard >= 0.2
+"""
+
+    o["t_embed_neardup"] = f"""
+WITH planes(b, d, w) AS (SELECT * FROM (VALUES {_lsh_planes_values()})),
+dots AS (SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.w) AS dot
+         FROM embeddings e, planes p GROUP BY e.vec_id, p.b),
+bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       FROM dots GROUP BY vec_id),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b USING (bucket)
+          WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT p.id_a, p.id_b, round(
+    sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
+    / (sqrt(sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(ea.embedding[i + 1] AS DOUBLE)))
+       * sqrt(sum(CAST(eb.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
+  FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+       JOIN embeddings eb ON eb.vec_id = p.id_b, range(64) t(i)
+  GROUP BY p.id_a, p.id_b
+) s WHERE cos_sim >= 0.6
+"""
+
+    langs = {
+        "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+        "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+        "es": ["el", "la", "de", "y", "es", "un", "una", "que", "por", "con"],
+        "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"],
+    }
+    ratio = {
+        lang: (
+            "CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> "
+            f"list_contains({words!r}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END"
+        ).replace("'", "'")
+        for lang, words in langs.items()
+    }
+    # struct-max semantics of the Spark side: max score, ties -> max lang code
+    o["t_langid"] = f"""
+WITH s AS (SELECT doc_id, {ratio['de']} AS s_de, {ratio['en']} AS s_en,
+                  {ratio['es']} AS s_es, {ratio['fr']} AS s_fr
+           FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es THEN 'fr'
+       WHEN s_es >= s_de AND s_es >= s_en THEN 'es'
+       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS pred_lang,
+  round(greatest(s_de, s_en, s_es, s_fr), 4) AS lang_score
+FROM s
+"""
+
+    en_words = str(langs["en"])
+    o["t_quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(toks) > 0 THEN CAST(length(text) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_word_len,
+  round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({en_words}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+  round(
+    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+    + least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({en_words}, x))) AS DOUBLE) / len(toks) ELSE 0.0 END) * 5.0, 1.0) * 0.4
+    + (1.0 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) * 10.0, 1.0)) * 0.2
+  , 4) AS quality
+FROM t
+"""
+
+    o["w2_count_rollup"] = (
+        "SELECT lower(trim(event_type)) AS query, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM events GROUP BY lower(trim(event_type))"
+    )
+
+    o["w3_autocomplete"] = (
+        f"WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        f"SELECT unnest({_TOKS}) AS word FROM documents) t GROUP BY word "
+        "ORDER BY cnt DESC, word ASC LIMIT 1000) "
+        "SELECT word, cnt FROM wc WHERE word LIKE 'sp%' "
+        "ORDER BY cnt DESC, word ASC LIMIT 10"
+    )
+
+    o["w4_trigram_fuzzy"] = f"""
+WITH wc AS (SELECT word FROM (SELECT word, count(*) AS cnt FROM (
+  SELECT unnest({_TOKS}) AS word FROM documents) t GROUP BY word
+  ORDER BY cnt DESC, word ASC LIMIT 1000)),
+g AS (SELECT word,
+  list_distinct([substr(lower(word), i, 2) for i in range(1, greatest(length(word) - 1, 1) + 1)]) AS gw,
+  list_distinct([substr('spark', i, 2) for i in range(1, 5)]) AS gq
+  FROM wc),
+sim AS (SELECT word, CAST(lower(word) = 'spark' AS INT) AS exact,
+  round(CASE WHEN len(gw) + len(gq) > 0 THEN
+    CAST(len(list_filter(gw, x -> list_contains(gq, x))) AS DOUBLE)
+    / (len(gw) + len(gq) - len(list_filter(gw, x -> list_contains(gq, x))))
+  ELSE 0.0 END, 4) AS sim FROM g)
+SELECT word, exact, sim FROM sim WHERE sim >= 0.2
+ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
+"""
+
+    o["w6_days_until"] = (
+        f"SELECT event_id, CAST(datediff('day', CAST(ts AS DATE), "
+        f"DATE '{TARGET_DATE}') AS INT) AS days_left FROM events"
+    )
+
+    o["j1_json_prop"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) "
+        "AS prop_k FROM events"
+    )
+
+    o["h1_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 4) AS avg_qty, "
+        "CAST(count(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+    o["h3_top_orders"] = (
+        "SELECT o_orderkey, o_orderdate, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY o_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+    )
+
+    o["h5_nation_revenue"] = (
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY n_name"
+    )
+
+    return o

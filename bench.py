@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract: prints ONE JSON line).
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+  * crawl_rounds     — the north-rule workload: politeness-scheduled crawl
+                       rounds over a synthetic web scaled to the SF
+                       (generated once, cached under .bench_data/)
+  * extract_all      — Arrow extraction UDF over every page (pages/s)
+  * seen_antijoin    — frontier-vs-seen dedup at full width
+  * plus the heavy downstream operators (clean, postings, BM25, minhash
+    LSH, cosine top-K, vector mean, politeness window, TPC-H Q1)
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local[N] (default 32)
+  BENCH_QUERIES        comma list to restrict (debug)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from vyntr_spark.crawl import CrawlEngine  # noqa: E402
+from vyntr_spark.operators.extract_udf import extract_udf  # noqa: E402
+from vyntr_spark.session import get_spark  # noqa: E402
+from vyntr_spark.synth import cached_pages_path, default_seeds  # noqa: E402
+from vyntr_spark.tables import PAGES, SnapshotStore  # noqa: E402
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_data")
+
+
+def sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def pages_scale(sf: float) -> tuple[int, int]:
+    n_pages = max(200, int(200_000 * sf))
+    n_hosts = max(8, n_pages // 50)
+    return n_pages, n_hosts
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_pages, n_hosts = pages_scale(sf)
+
+    pages_path = cached_pages_path(CACHE, n_pages, n_hosts, seed=42)
+
+    spark = get_spark("vyntr-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    only = os.environ.get("BENCH_QUERIES")
+    only_set = set(only.split(",")) if only else None
+
+    def want(name):
+        return only_set is None or name in only_set
+
+    pages = spark.read.schema(PAGES).parquet(pages_path)
+
+    # -- crawl rounds (north-rule workload) ---------------------------------
+    if want("crawl_rounds"):
+        import shutil
+        import tempfile
+
+        whdir = tempfile.mkdtemp(prefix="bench_wh_")
+        store = SnapshotStore(spark, whdir)
+        eng = CrawlEngine(spark, store, pages, max_pages=n_pages, seed=42,
+                          salt_buckets=max(8, cpus))
+        eng.init_from_seeds(default_seeds(n_pages, n_hosts, k=max(5, n_hosts // 4)))
+        t0 = time.monotonic()
+        infos = eng.run(max_rounds=3)
+        dt = time.monotonic() - t0
+        timings["crawl_rounds"] = round(dt, 3)
+        fetched = sum(i.selected for i in infos)
+        new_urls = sum(i.new_urls for i in infos)
+        extras["crawl_pages_fetched"] = fetched
+        extras["crawl_pages_per_sec"] = round(fetched / dt, 2)
+        extras["crawl_frontier_urls_per_sec"] = round((fetched + new_urls) / dt, 2)
+        shutil.rmtree(whdir, ignore_errors=True)
+
+    # -- raw extraction throughput ------------------------------------------
+    if want("extract_all"):
+        t0 = time.monotonic()
+        n = (
+            pages.select(extract_udf(F.col("html"), F.col("url")).alias("ex"))
+            .select(F.sum(F.size("ex.links"))).collect()[0][0]
+        )
+        dt = time.monotonic() - t0
+        timings["extract_all"] = round(dt, 3)
+        extras["extract_pages_per_sec"] = round(n_pages / dt, 2)
+        extras["extract_links_total"] = int(n or 0)
+
+    # -- seen anti-join at full width ----------------------------------------
+    if want("seen_antijoin"):
+        def run():
+            seen = pages.select("url", F.hash("url").alias("url_hash"))
+            cand = pages.select(
+                F.concat(F.col("url"), F.lit("?v=2")).alias("url")
+            ).union(pages.select("url").limit(n_pages // 2))
+            return cand.join(seen.select("url"), "url", "left_anti").count()
+        timed("seen_antijoin", run)
+
+    # -- downstream operator suite (same code paths as queries()) ------------
+    qmap = entry_mod.queries()
+    heavy = [
+        "d1_clean_regex", "p5_postings", "p8_bm25_topk", "t_minhash_lsh_pairs",
+        "t_simhash", "e9_cosine_topk", "e6_vector_mean",
+        "c6_politeness_window", "h1_pricing_summary", "t_langid",
+    ]
+    for name in heavy:
+        if want(name):
+            timed(name, lambda n=name: qmap[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "shuffle_partitions": cpus,
+        "extras": extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

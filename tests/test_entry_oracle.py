@@ -1,0 +1,81 @@
+"""Self-check replica of the driver's correctness gate: run every
+queries()[name] on Spark and oracle_sql()[name] on DuckDB at sf0.001 and
+compare row count + column names + order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(df):
+    """pandas frame -> sorted list of row tuples of canonical strings."""
+    cols = sorted(df.columns)
+    out = []
+    for _, row in df[cols].iterrows():
+        vals = []
+        for c in cols:
+            v = row[c]
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append("<null>")
+            elif isinstance(v, float):
+                vals.append(f"{v:.4f}")
+            elif isinstance(v, bool):
+                vals.append(str(bool(v)))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return cols, out
+
+
+QUERIES = sorted(entry_mod.queries().keys())
+
+# declared rows-only (non-SQL-expressible: UDF-stubbed multimodal decode)
+ROWS_ONLY = {"mm_decode_meta", "mm_resize_plan"}
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in ROWS_ONLY])
+def test_query_vs_oracle(spark, ddb, name):
+    qfn = entry_mod.queries()[name]
+    sqls = entry_mod.oracle_sql()
+    assert name in sqls, f"{name} missing oracle_sql (rows-only queries excluded here)"
+    spark_pdf = qfn(spark, SF).toPandas()
+    duck_pdf = ddb.sql(sqls[name]).df()
+    scols, srows = _canon(spark_pdf)
+    dcols, drows = _canon(duck_pdf)
+    assert scols == dcols, f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+    mismatches = [
+        (a, b) for a, b in zip(srows, drows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "score" in df.columns and "preview" in df.columns

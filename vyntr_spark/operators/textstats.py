@@ -1,0 +1,225 @@
+"""Training-data-pipeline text operators: language ID, quality scoring,
+token counting, fingerprinting, and fuzzy deduplication (exact, MinHash
++LSH, SimHash, n-gram Jaccard). All native expressions; hash primitives
+use md5 (identical hex output in Spark and DuckDB, so every operator has
+an exact SQL oracle).
+
+MinHash formulation: the i-th permutation is "order shingles by
+md5(i || shingle)"; the signature component is the lexicographic MIN of
+those hex digests — a standard hash-min sketch that needs no custom UDF
+on either engine. Band buckets concatenate signature components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "de", "y", "es", "un", "una", "que", "por", "con"],
+}
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _token_array(col):
+    return F.array_remove(F.split(F.lower(col), TOKEN_SPLIT), "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """E10-style token counting (price.py analog; whitespace+punct
+    tokenizer documented in place of tiktoken — no model downloads)."""
+    return df.select(
+        F.col("doc_id"), F.size(_token_array(F.col(text_col))).alias("n_tokens")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, mean word length, stopword ratio,
+    punctuation ratio. Score = weighted sum, rounded 4dp."""
+    toks = _token_array(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    mean_wlen = F.when(n_tok > 0, (n_chars.cast("double") / n_tok)).otherwise(F.lit(0.0))
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    # count occurrences (array_intersect would dedup) for a true ratio
+    n_stop_occ = F.size(F.filter(toks, lambda t: F.array_contains(stop_en, t)))
+    stop_ratio = F.when(n_tok > 0, n_stop_occ.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID via stopword-hit ratio per language; argmax with
+    deterministic tiebreak on language code; 'und' when nothing hits."""
+    toks = _token_array(F.col(text_col))
+    n_tok = F.size(toks)
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        ratio = F.when(n_tok > 0, hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+        scores.append(F.struct(ratio.alias("score"), F.lit(lang).alias("lang")))
+    # array_max on struct: max by score then lang — invert lang for ties?
+    # pin: highest score wins; ties -> lexicographically LAST lang via
+    # struct ordering (score asc, lang asc) -> array_max
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        F.round(best["score"], 4).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text
+    (exact-dup key that survives formatting changes)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def exact_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via fingerprint groupBy: keep min doc_id as canonical,
+    emit (dup_id, canonical_id) for the rest."""
+    fp = fingerprint(df, text_col)
+    canon = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n")
+    )
+    return (
+        fp.join(canon.filter(F.col("n") > 1), "fp")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("doc_id").alias("dup_id"), "canonical_id")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Word k-gram shingles per doc (distinct)."""
+    toks = _token_array(F.col(text_col))
+    n = F.size(toks)
+    # sequence(0, n-k) would DESCEND for n<k; guard with an empty array
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signature(df: DataFrame, n_hashes: int = 8,
+                      text_col: str = "text", k: int = 3) -> DataFrame:
+    """MinHash: component i = min over shingles of md5('i:' || shingle).
+    One groupBy; signature as (doc_id, h0..h{n-1}) columns."""
+    sh = shingles(df, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
+                      text_col: str = "text", k: int = 3) -> DataFrame:
+    """MinHash+LSH near-dup candidates: split the signature into bands,
+    bucket-join on (band, concatenated band hash) — candidates meet in
+    buckets; no cross join anywhere."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, n_hashes, text_col, k)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("key"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = buckets.select(F.col("doc_id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over tokens: token hash = first 4 hex chars of md5
+    (16 bits); each bit contributes +1/-1 weighted by term frequency;
+    simhash bit b = 1 iff the sum is > 0. conv() gives the hex→int both
+    engines agree on."""
+    tok = (
+        df.select("doc_id", F.explode(_token_array(F.col(text_col))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("w"))
+        .withColumn("hv", F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("long"))
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, F.col("w"))
+                .otherwise(-F.col("w"))
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(16):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", k: int = 3,
+                        group_col: str | None = "source") -> DataFrame:
+    """n-gram Jaccard similarity pairs. The pairwise compare is restricted
+    to same-group blocks (blocking key) so the join is an equi-join, not a
+    cross product; Jaccard = |∩|/|∪| via shingle-count join."""
+    sh = shingles(df, text_col, k)
+    if group_col is not None:
+        sh = sh.join(df.select("doc_id", group_col), "doc_id")
+        join_keys = [group_col, "shingle"]
+    else:
+        join_keys = ["shingle"]
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(*([group_col] if group_col else []), F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(*([group_col] if group_col else []), F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_int").cast("double")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_int")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

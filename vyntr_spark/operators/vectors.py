@@ -1,0 +1,120 @@
+"""Embedding/vector operators (SURVEY.md §2.3, reference
+genesis/tools/embedding). ANN indexes (pgvector HNSW,
+merge_embeddings.py:69-74) have no Spark analog; the exact top-K is the
+test-scale path and LSH sign-bucketing is the scale path (E7 note).
+
+All arithmetic in double precision, scores rounded to 4dp so the DuckDB
+oracle hashes identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def vector_mean(emb: DataFrame, group_col: str = "label",
+                vec_col: str = "embedding") -> DataFrame:
+    """E6 (merge_embeddings.py:92-105): element-wise mean per group.
+    Exploded output (group, dim, mean_val) — scalable (one shuffle on
+    (group, dim), no collect_list of whole vectors) and cleanly
+    cross-engine comparable."""
+    return (
+        emb.select(group_col, F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy(group_col, "dim")
+        # + 0.0 normalizes IEEE -0.0 after rounding (cross-engine hashing)
+        .agg((F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias("mean_val"))
+    )
+
+
+def unprocessed_scan(chunks: DataFrame, merged: DataFrame,
+                     key: str = "url") -> DataFrame:
+    """E5 (merge_embeddings.py:79-89): distinct keys lacking a merged row
+    (LEFT JOIN ... IS NULL → left_anti)."""
+    return chunks.select(key).distinct().join(merged.select(key), key, "left_anti")
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """E9 (search_repl.py:125-144): exact cosine top-K, K=10. The scan is
+    embarrassingly parallel; top-K is TakeOrderedAndProject (partial
+    per-partition heaps + driver merge) — no full sort."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        emb.select(F.col(id_col), (F.round(score, 4) + F.lit(0.0)).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_sign_buckets(emb: DataFrame, n_bits: int = 8, dim: int = 64,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     seed: int = 42) -> DataFrame:
+    """Scale-path ANN (E7 analog of BucketedRandomProjectionLSH): sign-bit
+    bucketing under deterministic pseudo-random hyperplanes derived from
+    md5(seed, bit, dim) — reproducible in plain SQL for the oracle.
+    Candidate generation = equi-join on bucket (co-partitioned, no cross
+    join)."""
+    planes = projection_planes(n_bits, dim, seed)
+    bits = []
+    for b in range(n_bits):
+        p = F.array(*[F.lit(w) for w in planes[b]])
+        bits.append(F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    bucket = F.lit(0)
+    for b, bit in enumerate(bits):
+        bucket = bucket + bit * F.lit(2 ** b)
+    return emb.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def projection_planes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes: w[b][d] = (md5int(seed:b:d) % 2001 - 1000)/1000."""
+    planes = []
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()[:8], "big"
+            )
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+    Scale path: LSH-bucket first (equi-join) so the pairwise compare runs
+    within buckets only, never the full cross product."""
+    b = lsh_sign_buckets(emb, n_bits=8, dim=64)
+    e = emb.join(b, id_col).select(id_col, vec_col, "bucket")
+    left = e.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    right = e.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("id_a", "id_b", (F.round(score, 4) + F.lit(0.0)).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
