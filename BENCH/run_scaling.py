@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule, sandbox
+form): the same crawl job on the same input at local[N] and local[4N],
+reporting throughput at both and efficiency = (thr_4N / thr_N) / 4.
+Each parallelism level runs in its own process (one JVM per master).
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python BENCH/run_scaling.py [n_pages n_hosts rounds [N]]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def run_one(cpus: int, n_pages: int, n_hosts: int, rounds: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "scaling_worker.py"),
+         str(cpus), str(n_pages), str(n_hosts), str(rounds)],
+        capture_output=True, text=True, cwd=REPO, timeout=1800,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not line:
+        raise RuntimeError(f"worker cpus={cpus} failed:\n{out.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    n_hosts = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    n = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+    r_n = run_one(n, n_pages, n_hosts, rounds)
+    r_4n = run_one(4 * n, n_pages, n_hosts, rounds)
+
+    eff_pages = (r_4n["pages_per_sec"] / r_n["pages_per_sec"]) / 4
+    eff_frontier = (r_4n["frontier_urls_per_sec"] / r_n["frontier_urls_per_sec"]) / 4
+    det = r_n["analyses_hash"] == r_4n["analyses_hash"]
+
+    result = {
+        "n_cores": n,
+        "4n_cores": 4 * n,
+        "n": r_n,
+        "4n": r_4n,
+        "scaling_efficiency_pages": round(eff_pages, 3),
+        "scaling_efficiency_frontier": round(eff_frontier, 3),
+        "deterministic_across_parallelism": det,
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH baseline — measured numbers (this rebuild)
+
+Workload: north-rule crawl (politeness cap 5/host, seeded shuffle,
+seen-dedup, extraction, snapshot commits) over the deterministic
+synthetic web (seed=42), n_pages={n_pages}, n_hosts={n_hosts} (Zipf
+skew), {rounds} rounds, budget=n_pages. Same job + same input at two
+parallelism levels (the sandbox form of the N vs 4N executor criterion;
+no real cluster available — see BASELINE.md).
+
+| parallelism | wall (s) | pages fetched | pages/s | frontier URLs/s | analyses hash |
+|---|---|---|---|---|---|
+| local[{n}] | {r_n["wall_sec"]} | {r_n["fetched"]} | {r_n["pages_per_sec"]} | {r_n["frontier_urls_per_sec"]} | `{r_n["analyses_hash"][:12]}…` |
+| local[{4 * n}] | {r_4n["wall_sec"]} | {r_4n["fetched"]} | {r_4n["pages_per_sec"]} | {r_4n["frontier_urls_per_sec"]} | `{r_4n["analyses_hash"][:12]}…` |
+
+**Scaling efficiency (pages/s): {round(eff_pages, 3)}**
+**Scaling efficiency (frontier URLs/s): {round(eff_frontier, 3)}**
+(target ≥ 0.8 — BASELINE.json `north_rule`; efficiency =
+(throughput_4N / throughput_N) / 4)
+
+**Determinism across parallelism: {"IDENTICAL" if det else "MISMATCH"}**
+(order-insensitive md5 over analyses (url, content_text, title) —
+SURVEY.md §5.5: logical results must not depend on the executor count)
+
+Byte-identical extraction pass rate: 100% (pytest golden fixtures +
+oracle parity suite — `python -m pytest -x -q`).
+
+Config: spark.sql.shuffle.partitions = cores, AQE on, Arrow batches 2048,
+ICU case mappings off (see vyntr_spark/session.py).
+"""
+    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,7 +93,7 @@ def main() -> None:
                           salt_buckets=max(8, cpus))
         eng.init_from_seeds(default_seeds(n_pages, n_hosts, k=max(5, n_hosts // 4)))
         t0 = time.monotonic()
-        infos = eng.run(max_rounds=3)
+        infos = eng.run(max_rounds=6)
         dt = time.monotonic() - t0
         timings["crawl_rounds"] = round(dt, 3)
         fetched = sum(i.selected for i in infos)

@@ -1,0 +1,62 @@
+"""Physical-plan pins: the plans we shipped are the plans we want
+(broadcasts, pushdown, pruning, TakeOrdered, no stray Python)."""
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from vyntr_spark.plans import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dim_joins_broadcast(spark):
+    df = entry_mod.queries()["h5_nation_revenue"](spark, SF)
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_shuffled_join(df), "dimension join must not shuffle"
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = entry_mod.queries()["e10_token_count"](spark, SF)
+    cols = audit.read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}, f"over-read: {cols}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.filter(F.col("lang") == "en").select("doc_id")
+    pf = audit.pushed_filters(df)
+    assert "lang" in pf, f"filter not pushed: {pf!r}"
+
+
+def test_topk_is_take_ordered(spark):
+    df = entry_mod.queries()["d4_top_n"](spark, SF)
+    assert audit.has_take_ordered(df), "top-N must compile to TakeOrderedAndProject"
+
+
+def test_native_operators_have_no_python(spark):
+    for name in ["d1_clean_regex", "p5_postings", "c6_politeness_window",
+                 "t_minhash_lsh_pairs", "e6_vector_mean", "h1_pricing_summary"]:
+        df = entry_mod.queries()[name](spark, SF)
+        assert audit.python_eval_count(df) == 0, f"{name} leaked into Python"
+
+
+def test_extraction_is_single_arrow_stage(spark):
+    from vyntr_spark.operators.extract_udf import extract_udf
+    from vyntr_spark.tables import PAGES
+
+    pages = spark.createDataFrame([], PAGES)
+    df = pages.select(extract_udf(F.col("html"), F.col("url")).alias("ex"))
+    assert audit.python_eval_count(df) == 1
+
+
+def test_politeness_no_single_partition_exchange(spark):
+    from vyntr_spark.operators.politeness import politeness_select
+    from vyntr_spark.tables import FRONTIER
+
+    frontier = spark.createDataFrame(
+        [(f"http://h{i % 5}.example/p{i}", f"h{i % 5}.example", 0, 0)
+         for i in range(100)],
+        FRONTIER,
+    )
+    plan = audit.executed_plan(politeness_select(frontier))
+    assert "SinglePartition" not in plan, "politeness must not globally sort"

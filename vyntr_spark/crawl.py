@@ -71,6 +71,9 @@ class CrawlEngine:
         normalize_seeds: bool = True,
         robots: DataFrame | None = None,
         collect_debug: bool = False,
+        use_bloom: bool = False,
+        bloom_expected_n: int = 1_000_000,
+        io_coalesce: int | None = 4,
     ):
         self.spark = spark
         self.store = store
@@ -82,18 +85,32 @@ class CrawlEngine:
         self.normalize_seeds = normalize_seeds
         self.robots = robots
         self.collect_debug = collect_debug
+        self.use_bloom = use_bloom
+        self.bloom_expected_n = bloom_expected_n
+        # output-file sizing for snapshot commits (None = shuffle-partition
+        # count; Iceberg proper would size files via its own write targets)
+        self.io_coalesce = io_coalesce
+        self._bloom = None  # built lazily from the seen table, then extended
+        self._state_cache: tuple[int, int] | None = None
 
     # -- state -----------------------------------------------------------
     def _round_state(self) -> tuple[int, int]:
-        """(next_round, pages_count) from the last committed round_state."""
+        """(next_round, pages_count): cached in-engine after each round; the
+        round_state table is only read on start/resume (one fewer Spark job
+        per round; the table stays the durable source of truth)."""
+        if getattr(self, "_state_cache", None) is not None:
+            return self._state_cache
         t = self.store.table("round_state")
         if t.is_empty():
-            return 0, 0
-        row = t.read().collect()[0]
-        return row["round"] + 1, row["pages_count"]
+            self._state_cache = (0, 0)
+        else:
+            row = t.read().collect()[0]
+            self._state_cache = (row["round"] + 1, row["pages_count"])
+        return self._state_cache
 
     # -- seed ingestion (C1 + visited-seed semantics main.rs:216-225) -----
     def init_from_seeds(self, seeds: list[str]) -> None:
+        self._state_cache = None
         seen_keys: list[str] = []
         frontier_rows: list[tuple[str, str, int, int]] = []
         seen_set: set[str] = set()
@@ -122,9 +139,11 @@ class CrawlEngine:
             [(u,) for u in seen_keys], "url string"
         ).select(F.hash("url").alias("url_hash"), "url")
         frontier_df = self.spark.createDataFrame(frontier_rows, FRONTIER)
-        self.store.table("seen").commit(seen_df, "append", {"stage": "seeds"})
+        self.store.table("seen").commit(seen_df, "append", {"stage": "seeds"},
+                                        coalesce=self.io_coalesce)
         self.store.table("frontier").commit(frontier_df, "replace",
-                                            {"stage": "seeds"})
+                                            {"stage": "seeds"},
+                                            coalesce=self.io_coalesce)
 
     # -- one crawl round ----------------------------------------------------
     def run_round(self) -> RoundInfo | None:
@@ -226,7 +245,7 @@ class CrawlEngine:
             part.alias("src_partition"),
         )
         self.store.table("analyses").commit(
-            analyses, "append", {"round": rnd}
+            analyses, "append", {"round": rnd}, coalesce=self.io_coalesce
         )
 
         # -- expansion (C17 explode → C4 seen anti-join) ----------------------
@@ -236,8 +255,21 @@ class CrawlEngine:
         cand = links.select("url", "host").distinct().persist()
         n_cand = cand.count()
         seen_t = self.store.table("seen")
-        new = cand.join(seen_t.read(), "url", "left_anti").persist()
+        if self.use_bloom:
+            # scale path (C4): bloom prefilter shrinks the shuffled side of
+            # the anti-join; exact confirm keeps it false-negative-free
+            from .operators.bloom import BloomShards, bloom_anti_join
+
+            if self._bloom is None:
+                self._bloom = BloomShards.sized_for(
+                    self.bloom_expected_n, fpp=0.01, n_shards=8
+                ).add_df(seen_t.read())
+            new = bloom_anti_join(cand, seen_t.read(), self._bloom).persist()
+        else:
+            new = cand.join(seen_t.read(), "url", "left_anti").persist()
         n_new = new.count()
+        if self.use_bloom and n_new:
+            self._bloom = self._bloom.add_df(new.select("url"))
 
         new_frontier_rows = new.select(
             "url", "host",
@@ -246,21 +278,20 @@ class CrawlEngine:
         )
         remaining_frontier = frontier.join(sel.select("url"), "url", "left_anti")
         next_frontier = remaining_frontier.unionByName(new_frontier_rows)
-        self.store.table("frontier").commit(next_frontier, "replace", {"round": rnd})
+        self.store.table("frontier").commit(next_frontier, "replace",
+                                            {"round": rnd},
+                                            coalesce=self.io_coalesce)
         self.store.table("seen").commit(
             new.select(F.hash("url").alias("url_hash"), "url"),
             "append",
             {"round": rnd},
+            coalesce=self.io_coalesce,
         )
 
         # -- metrics (C20) per md5-partition lineage --------------------------
-        by_outcome = {
-            r["outcome"]: r["count"]
-            for r in fetched.groupBy("outcome").count().collect()
-        }
-        n_succ = by_outcome.get("success", 0)
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        per_part = (
+        # one aggregation job: per-partition outcome counts collected to the
+        # driver (≤256 rows at any scale); round totals derived by summation
+        part_rows = (
             fetched.groupBy(part.alias("partition"))
             .agg(
                 F.count("*").alias("total"),
@@ -269,26 +300,28 @@ class CrawlEngine:
                 F.sum((F.col("outcome") == "skipped_ct").cast("long")).alias("skipped_ct"),
                 F.sum((F.col("outcome") == "robots_blocked").cast("long")).alias("robots_blocked"),
             )
-            .select(
-                F.lit(rnd).alias("round"), "partition", "total", "success",
-                "failed", "skipped_ct", "robots_blocked",
-                F.lit(0).cast("long").alias("dedup_dropped"),
-                F.lit(0).cast("long").alias("new_urls"),
-                F.lit(0).cast("long").alias("wall_ms"),
-            )
+            .collect()
         )
-        round_row = self.spark.createDataFrame(
-            [(
-                rnd, "__round__", n_sel, n_succ,
-                by_outcome.get("failed", 0) + by_outcome.get("missing", 0),
-                by_outcome.get("skipped_ct", 0),
-                by_outcome.get("robots_blocked", 0),
-                n_cand - n_new, n_new, wall_ms,
-            )],
-            self.store.table("metrics").schema,
-        )
+        n_succ = sum(r["success"] for r in part_rows)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        metric_tuples = [
+            (rnd, r["partition"], r["total"], r["success"], r["failed"],
+             r["skipped_ct"], r["robots_blocked"], 0, 0, 0)
+            for r in part_rows
+        ]
+        metric_tuples.append((
+            rnd, "__round__", n_sel, n_succ,
+            sum(r["failed"] for r in part_rows),
+            sum(r["skipped_ct"] for r in part_rows),
+            sum(r["robots_blocked"] for r in part_rows),
+            n_cand - n_new, n_new, wall_ms,
+        ))
         self.store.table("metrics").commit(
-            per_part.unionByName(round_row), "append", {"round": rnd}
+            self.spark.createDataFrame(
+                metric_tuples, self.store.table("metrics").schema
+            ),
+            "append", {"round": rnd},
+            coalesce=1 if self.io_coalesce else None,
         )
         self.store.table("round_state").commit(
             self.spark.createDataFrame(
@@ -297,7 +330,9 @@ class CrawlEngine:
             ),
             "replace",
             {"round": rnd},
+            coalesce=1 if self.io_coalesce else None,
         )
+        self._state_cache = (rnd + 1, pages_count + n_sel)
 
         info = RoundInfo(
             round=rnd, selected=n_sel, success=n_succ, new_urls=n_new,

@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 ICU-backed lower()/upper() pays a ~45 s one-time class
+        # init (CollationAwareUTF8String) that stalls every executor thread
+        # mid-job; JVM case mapping is semantically identical for ASCII and
+        # matches DuckDB's simple UTF-8 mapping (oracle parity).
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

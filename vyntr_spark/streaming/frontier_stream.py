@@ -1,0 +1,98 @@
+"""Structured-Streaming production mode (SURVEY.md §2 coverage notes).
+
+The reference has no event-time/watermark semantics — its "streaming" is
+an mpsc channel + 1 s-tick micro-batching (genesis/src/main.rs:169-214),
+which the batch engine models as deterministic rounds. These operators
+are the optional production-mode equivalents:
+
+* ``stream_index_build`` — pulse's incremental index build (P5: "commit
+  every 1000 docs", pulse/src/main.rs:13) as a file-source stream over
+  the analyses table with foreachBatch postings maintenance and a
+  checkpoint; ``Trigger.AvailableNow`` drains whatever is committed and
+  stops (resumable — the checkpoint carries the file-source log).
+* ``stream_metrics`` — the 5 s metrics tick (C20, main.rs:80-111) as a
+  windowed event-time aggregation with a watermark for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.pulse import TOKEN_SPLIT
+
+ANALYSES_MIN = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("content_text", T.StringType(), True),
+    ]
+)
+
+
+def stream_index_build(spark: SparkSession, analyses_dir: str,
+                       postings_dir: str, checkpoint_dir: str):
+    """Incrementally maintain the postings table from analyses file
+    appends. Returns the finished StreamingQuery (AvailableNow)."""
+    src = (
+        spark.readStream.schema(ANALYSES_MIN)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(analyses_dir)
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        post = (
+            batch.select(
+                "url",
+                F.explode(
+                    F.split(F.lower(F.col("content_text")), TOKEN_SPLIT)
+                ).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("term", "url")
+            .agg(F.count("*").alias("tf"))
+        )
+        post.write.mode("append").parquet(postings_dir)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_metrics(spark: SparkSession, events_dir: str, out_dir: str,
+                   checkpoint_dir: str, window: str = "1 hour",
+                   watermark: str = "2 hours"):
+    """Windowed fetch-metrics rollup with late-data watermark — the
+    streaming analog of the per-round metrics table."""
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("total"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "total", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

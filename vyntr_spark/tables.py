@@ -179,10 +179,17 @@ class SnapshotTable:
 
     # -- public API ----------------------------------------------------------
     def commit(self, df: DataFrame, mode: str = "append",
-               summary: dict[str, Any] | None = None) -> int:
+               summary: dict[str, Any] | None = None,
+               coalesce: int | None = None) -> int:
         snaps = self._load()
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
         path = os.path.join(self.dir, f"snap-{sid:08d}")
+        if coalesce is not None:
+            # avoid the small-file storm of shuffle-partition-count writes
+            # (Iceberg would handle file sizing via its write targets).
+            # repartition, not coalesce: coalesce would collapse the
+            # parallelism of the upstream stage (e.g. the extraction UDF).
+            df = df.repartition(coalesce)
         df.write.mode("overwrite").parquet(path)
         snaps.append(
             Snapshot(
