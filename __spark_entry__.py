@@ -256,6 +256,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["j1_json_prop"] = lambda s, sf: serving.json_prop(_events(s, sf))
 
+    # ---- embedding prep (E1/E2/E3) + search composition (P6/P7) ---------
+    q["e1_relevant_text"] = lambda s, sf: vectors.relevant_text(
+        _docs(s, sf), "source", "lang", "text"
+    ).select("doc_id", "relevant_text")
+
+    q["e2_token_chunks"] = lambda s, sf: vectors.token_chunks(
+        _docs(s, sf), max_tokens=16, overlap=4
+    ).withColumn("chunk_id", F.col("chunk_id").cast("long"))
+
+    q["e3_stub_embed"] = lambda s, sf: vectors.stub_embed(
+        vectors.token_chunks(_docs(s, sf), max_tokens=16, overlap=4), dim=8
+    ).select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("dim").cast("long").alias("dim"),
+        (F.col("val") + F.lit(0.0)).alias("val"),
+    )
+
+    def e4(s, sf):
+        old = _emb(s, sf).filter(F.col("vec_id") % 3 == 0).select("vec_id", "label")
+        incoming = (
+            _emb(s, sf).filter(F.col("vec_id") % 2 == 0)
+            .select("vec_id", (F.col("label") + 100).alias("label"))
+        )
+        kept = old.join(incoming.select("vec_id"), "vec_id", "left_anti")
+        return kept.unionByName(incoming)
+
+    q["e4_merge_upsert"] = e4
+
+    def p6(s, sf):
+        return pulse.search(_docs(s, sf), "spark window -batch lang:en", k=10)
+
+    q["p6_search_query"] = p6
+
+    # ---- serving extras (W5/W7) ------------------------------------------
+    def w5(s, sf):
+        cache = s.createDataFrame(
+            [("signup", "Creating an account", False),
+             ("error", "Something went wrong", False),
+             ("purchase", "Buying things", True)],
+            "query string, summary string, is_null boolean",
+        )
+        return serving.summary_cache_lookup(
+            _events(s, sf).select(F.col("event_type").alias("query")), cache
+        ).distinct()
+
+    q["w5_summary_cache"] = w5
+
+    def w7(s, sf):
+        qdf = _events(s, sf).select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.format_string("convert %.1f m to ft", F.round(F.col("value"), 1)),
+            ).otherwise(
+                F.format_string("%.1f kg in lb", F.round(F.col("value"), 1))
+            ).alias("q"),
+        )
+        return serving.unit_convert_df(qdf).select(
+            "q", "from_unit", "to_unit", "converted"
+        )
+
+    q["w7_unit_convert"] = w7
+
+    def d6b(s, sf):
+        top = [
+            r["word"]
+            for r in cleaner.top_frequent_words(_docs(s, sf), n=20).collect()
+        ]
+        toks = F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+        stop = F.array(*[F.lit(w) for w in top])
+        return _docs(s, sf).select(
+            "doc_id",
+            F.array_join(
+                F.filter(toks, lambda t: ~F.array_contains(stop, t)), " "
+            ).alias("stripped_text"),
+        )
+
+    q["d6b_stopword_strip"] = d6b
+
     # ---- multimodal plumbing (rows-only: no SQL oracle; the driver
     # records the weaker rows-only check for these) -------------------------
     def mm_decode(s, sf):
@@ -651,6 +730,107 @@ SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
   , 4) AS quality
 FROM t
 """
+
+    o["e1_relevant_text"] = (
+        "SELECT doc_id, trim('Title: ' || coalesce(source, '') || chr(10) || "
+        "'Description: ' || coalesce(lang, '') || chr(10) || "
+        "'Content: ' || coalesce(text, '')) AS relevant_text FROM documents"
+    )
+
+    chunks_cte = (
+        f"WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+        "nc AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 0 THEN 0 ELSE "
+        "1 + CAST(ceil(greatest(len(toks) - 16, 0) / 12.0) AS INT) END "
+        "AS n_chunks FROM tk), "
+        "ch AS (SELECT doc_id, i AS chunk_id, "
+        "array_to_string(list_slice(toks, i * 12 + 1, i * 12 + 16), ' ') "
+        "AS chunk_text FROM nc, range(10000) t(i) WHERE i < n_chunks)"
+    )
+
+    o["e2_token_chunks"] = (
+        chunks_cte + " SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+        "chunk_text FROM ch"
+    )
+
+    dims = []
+    for i in range(8):
+        expr = _hex4_to_int(f"substr(md5('{i}:' || chunk_text), 1, 4)")
+        dims.append(
+            f"SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            f"CAST({i} AS BIGINT) AS dim, "
+            f"round({expr} / 65535.0 * 2.0 - 1.0, 4) + 0.0 AS val FROM ch"
+        )
+    o["e3_stub_embed"] = chunks_cte + " " + " UNION ALL ".join(dims)
+
+    o["e4_merge_upsert"] = (
+        "SELECT vec_id, label FROM embeddings WHERE vec_id % 3 = 0 "
+        "AND vec_id % 2 <> 0 "
+        "UNION ALL SELECT vec_id, label + 100 AS label FROM embeddings "
+        "WHERE vec_id % 2 = 0"
+    )
+
+    o["p6_search_query"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM (SELECT doc_id, text, lang, {_TOKS} AS toks
+                            FROM documents) x
+  WHERE lang = 'en' AND NOT list_contains(toks, 'batch')
+),
+toklist AS (SELECT doc_id, unnest(
+  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')
+) AS term FROM base),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toklist GROUP BY term, doc_id),
+ds AS (SELECT doc_id, count(*) AS dl FROM toklist GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM base) AS n, avg(dl) AS avgdl FROM ds),
+qt(term) AS (VALUES ('spark'), ('window')),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+          WHERE term IN (SELECT term FROM qt) GROUP BY term)
+SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+  SELECT p.doc_id,
+         ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         AS contrib
+  FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
+) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["w5_summary_cache"] = (
+        "SELECT DISTINCT lower(trim(event_type)) AS query, summary FROM events "
+        "JOIN (VALUES ('signup', 'Creating an account', false), "
+        "('error', 'Something went wrong', false), "
+        "('purchase', 'Buying things', true)) c(query, summary, is_null) "
+        "ON lower(trim(event_type)) = c.query WHERE NOT c.is_null"
+    )
+
+    unit_re = (
+        "(?:convert\\s+)?([0-9]+(?:\\.[0-9]+)?)\\s*([a-z]+)"
+        "\\s+(?:to|in)\\s+([a-z]+)"
+    )
+    o["w7_unit_convert"] = f"""
+WITH qs AS (SELECT event_id, CASE WHEN event_id % 2 = 0
+    THEN printf('convert %.1f m to ft', round(value, 1))
+    ELSE printf('%.1f kg in lb', round(value, 1)) END AS q FROM events),
+parsed AS (SELECT q,
+  CAST(regexp_extract(lower(q), '{unit_re}', 1) AS DOUBLE) AS qty,
+  regexp_extract(lower(q), '{unit_re}', 2) AS from_unit,
+  regexp_extract(lower(q), '{unit_re}', 3) AS to_unit
+  FROM qs),
+factors(from_unit, to_unit, factor) AS (VALUES
+  ('m', 'ft', 3.28084), ('ft', 'm', 0.3048), ('km', 'mi', 0.621371),
+  ('mi', 'km', 1.609344), ('kg', 'lb', 2.204623), ('lb', 'kg', 0.453592),
+  ('l', 'gal', 0.264172), ('gal', 'l', 3.785412))
+SELECT q, from_unit, to_unit, round(qty * factor, 4) AS converted
+FROM parsed JOIN factors USING (from_unit, to_unit) WHERE from_unit <> ''
+"""
+
+    o["d6b_stopword_strip"] = (
+        "WITH top AS (SELECT word FROM (SELECT word, count(*) AS cnt FROM ("
+        f"SELECT unnest({_TOKS}) AS word FROM documents) t GROUP BY word "
+        "ORDER BY cnt DESC, word ASC LIMIT 20)), "
+        "toparr AS (SELECT list(word) AS ws FROM top) "
+        f"SELECT doc_id, coalesce(array_to_string(list_filter({_TOKS}, "
+        "x -> NOT list_contains(ws, x)), ' '), '') "
+        "AS stripped_text FROM documents, toparr"
+    )
 
     o["w2_count_rollup"] = (
         "SELECT lower(trim(event_type)) AS query, CAST(count(*) AS BIGINT) AS cnt "

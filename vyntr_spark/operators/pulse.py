@@ -139,3 +139,89 @@ def meta_agg(events: DataFrame) -> DataFrame:
             ).alias("meta_text")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Query parsing + search composition (P6/P7/P9)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass, field as _field  # noqa: E402
+
+
+@dataclass
+class ParsedQuery:
+    """Mini query AST: Tantivy QueryParser subset (P6,
+    pulse/src/bin/server.rs:165-173): bare terms (OR semantics like the
+    default parser), field:value filters, +term (AND/must), -term /
+    NOT term (must-not)."""
+
+    terms: list[str] = _field(default_factory=list)       # should (OR)
+    must: list[str] = _field(default_factory=list)        # +term / AND
+    must_not: list[str] = _field(default_factory=list)    # -term / NOT
+    fields: dict[str, str] = _field(default_factory=dict)  # field:value
+
+
+def parse_query(q: str) -> ParsedQuery:
+    out = ParsedQuery()
+    toks = q.split()
+    negate_next = False
+    must_next = False
+    for t in toks:
+        up = t.upper()
+        if up == "NOT":
+            negate_next = True
+            continue
+        if up == "AND":
+            must_next = True
+            continue
+        if up == "OR":
+            continue
+        neg = negate_next or t.startswith("-")
+        must = must_next or t.startswith("+")
+        word = t.lstrip("+-")
+        negate_next = must_next = False
+        if not word:
+            continue
+        if ":" in word:
+            f, v = word.split(":", 1)
+            if neg and v.lower() in ("true", "false"):
+                # "NOT nsfw:true" — flip the boolean filter
+                out.fields[f] = "false" if v.lower() == "true" else "true"
+            else:
+                out.fields[f] = v
+            continue
+        w = word.lower()
+        if neg:
+            out.must_not.append(w)
+        elif must:
+            out.must.append(w)
+        else:
+            out.terms.append(w)
+    return out
+
+
+def search(df: DataFrame, query: str, k: int = 10,
+           text_col: str = "text", id_col: str = "doc_id",
+           lang: str | None = None) -> DataFrame:
+    """P6-P9 composed: parse → field/language filters (P7: server appends
+    'AND language:{lang}', pulse/src/bin/server.rs:66-68) → BM25 over the
+    scoring terms → top-K projection."""
+    pq = parse_query(query)
+    if lang is not None:
+        pq.fields["language"] = lang
+    base = df
+    for f_name, v in pq.fields.items():
+        if f_name in base.columns:
+            if v.lower() in ("true", "false"):
+                base = base.filter(F.col(f_name) == (v.lower() == "true"))
+            else:
+                base = base.filter(F.col(f_name) == v)
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), "")
+    for w in pq.must_not:
+        base = base.filter(~F.array_contains(toks, w))
+    for w in pq.must:
+        base = base.filter(F.array_contains(toks, w))
+    score_terms = pq.terms + pq.must
+    if not score_terms:
+        return base.select(id_col).limit(k).withColumn("score", F.lit(0.0))
+    return bm25_topk(base, score_terms, k=k, text_col=text_col, id_col=id_col)

@@ -82,3 +82,166 @@ def json_prop(events: DataFrame, field: str = "k") -> DataFrame:
         "event_id",
         F.get_json_object(F.col("props"), f"$.{field}").cast("int").alias("prop_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Instant answers: math eval (W9), date computus (W6), unit conversion (W7)
+# ---------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+import re as _re  # noqa: E402
+from datetime import date as _date  # noqa: E402
+
+_FUNCS = {
+    "sin": _math.sin, "cos": _math.cos, "tan": _math.tan,
+    "sqrt": _math.sqrt, "abs": abs, "log": _math.log10, "ln": _math.log,
+    "round": round, "floor": _math.floor, "ceil": _math.ceil,
+}
+_CONSTS = {"pi": _math.pi, "e": _math.e}
+_OPS = {"+": (1, lambda a, b: a + b), "-": (1, lambda a, b: a - b),
+        "*": (2, lambda a, b: a * b), "/": (2, lambda a, b: a / b),
+        "^": (3, lambda a, b: a ** b)}
+
+
+def math_eval(expr: str) -> float | None:
+    """W9 (website/src/lib/utils/math.ts:1-146 semantics): shunting-yard
+    evaluator — + - * / ^, functions sin cos tan sqrt abs log ln round
+    floor ceil, constants pi/e. Returns None on any parse/eval error
+    (driver-side pure function, not a table operator)."""
+    # tokenize in place (collapsing spaces first would merge "1 2" -> 12)
+    toks = _re.findall(r"\d+\.?\d*|[a-z]+|[()+\-*/^,]", expr.lower())
+    if not toks:
+        return None
+    out: list[float] = []
+    ops: list[str] = []
+
+    def apply(op: str) -> bool:
+        if op in _FUNCS:
+            if not out:
+                return False
+            out.append(float(_FUNCS[op](out.pop())))
+            return True
+        if len(out) < 2:
+            return False
+        b, a = out.pop(), out.pop()
+        out.append(_OPS[op][1](a, b))
+        return True
+
+    prev = None
+    try:
+        for t in toks:
+            if _re.fullmatch(r"\d+\.?\d*", t):
+                out.append(float(t))
+            elif t in _CONSTS:
+                out.append(_CONSTS[t])
+            elif t in _FUNCS:
+                ops.append(t)
+            elif t == "(":
+                ops.append(t)
+            elif t == ",":
+                while ops and ops[-1] != "(":
+                    if not apply(ops.pop()):
+                        return None
+            elif t == ")":
+                while ops and ops[-1] != "(":
+                    if not apply(ops.pop()):
+                        return None
+                if not ops:
+                    return None
+                ops.pop()
+                if ops and ops[-1] in _FUNCS:
+                    if not apply(ops.pop()):
+                        return None
+            elif t in _OPS:
+                if t == "-" and (prev is None or prev in _OPS or prev == "("):
+                    # unary minus: 0-x applied immediately, no precedence pop
+                    out.append(0.0)
+                    ops.append("-")
+                    prev = t
+                    continue
+                while (
+                    ops and ops[-1] in _OPS
+                    and (_OPS[ops[-1]][0] > _OPS[t][0]
+                         or (_OPS[ops[-1]][0] == _OPS[t][0] and t != "^"))
+                ):
+                    if not apply(ops.pop()):
+                        return None
+                ops.append(t)
+            else:
+                return None
+            prev = t
+        while ops:
+            op = ops.pop()
+            if op == "(" or not apply(op):
+                return None
+        return out[0] if len(out) == 1 else None
+    except (ValueError, ZeroDivisionError, OverflowError):
+        return None
+
+
+def easter_date(year: int) -> _date:
+    """W6: Gregorian Easter (Meeus/Jones/Butcher computus — the algorithm
+    the reference's holiday table uses, website/src/lib/utils/date.ts)."""
+    a = year % 19
+    b, c = divmod(year, 100)
+    d, e = divmod(b, 4)
+    f = (b + 8) // 25
+    g = (b - f + 1) // 3
+    h = (19 * a + b - d - g + 15) % 30
+    i, k = divmod(c, 4)
+    l = (32 + 2 * e + 2 * i - h - k) % 7  # noqa: E741
+    m = (a + 11 * h + 22 * l) // 451
+    month = (h + l - 7 * m + 114) // 31
+    day = ((h + l - 7 * m + 114) % 31) + 1
+    return _date(year, month, day)
+
+
+def nth_weekday(year: int, month: int, weekday: int, n: int) -> _date:
+    """W6: Nth-weekday holiday rule (e.g. 4th Thursday of November)."""
+    d = _date(year, month, 1)
+    offset = (weekday - d.weekday()) % 7
+    return _date(year, month, 1 + offset + 7 * (n - 1))
+
+
+# W7 (unitParser.ts/units.ts subset): category-scoped factor table
+UNIT_FACTORS = {
+    ("m", "ft"): 3.28084, ("ft", "m"): 0.3048,
+    ("km", "mi"): 0.621371, ("mi", "km"): 1.609344,
+    ("kg", "lb"): 2.204623, ("lb", "kg"): 0.453592,
+    ("l", "gal"): 0.264172, ("gal", "l"): 3.785412,
+}
+
+_UNIT_RE = (
+    r"(?:convert\s+)?([0-9]+(?:\.[0-9]+)?)\s*([a-z]+)\s+(?:to|in)\s+([a-z]+)"
+)
+
+
+def unit_convert_df(df: DataFrame, query_col: str = "q") -> DataFrame:
+    """W7: regex parse 'convert X a to b' / 'X a in b' + broadcast factor
+    join — all native expressions."""
+    spark = df.sparkSession
+    factors = spark.createDataFrame(
+        [(a, b, f) for (a, b), f in UNIT_FACTORS.items()],
+        "from_unit string, to_unit string, factor double",
+    )
+    parsed = df.select(
+        query_col,
+        F.regexp_extract(F.lower(F.col(query_col)), _UNIT_RE, 1).cast("double").alias("qty"),
+        F.regexp_extract(F.lower(F.col(query_col)), _UNIT_RE, 2).alias("from_unit"),
+        F.regexp_extract(F.lower(F.col(query_col)), _UNIT_RE, 3).alias("to_unit"),
+    ).filter(F.col("from_unit") != "")
+    return parsed.join(F.broadcast(factors), ["from_unit", "to_unit"]).select(
+        query_col, "from_unit", "to_unit",
+        F.round(F.col("qty") * F.col("factor"), 4).alias("converted"),
+    )
+
+
+def summary_cache_lookup(queries_df: DataFrame, cache_df: DataFrame,
+                         query_col: str = "query") -> DataFrame:
+    """W5 (search.ts:49-59): exact-match broadcast lookup of the
+    normalized query in the AI-summary cache (isNull==false rows only)."""
+    return queries_df.select(
+        F.lower(F.trim(F.col(query_col))).alias("query")
+    ).join(
+        F.broadcast(cache_df.filter(~F.col("is_null"))), "query", "inner"
+    ).select("query", "summary")

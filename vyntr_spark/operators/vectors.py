@@ -118,3 +118,83 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
         pairs.select("id_a", "id_b", (F.round(score, 4) + F.lit(0.0)).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding preparation: E1 relevant text, E2 token chunking, E3 stub embed
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def relevant_text(df: DataFrame, title_col: str, desc_col: str,
+                  content_col: str) -> DataFrame:
+    """E1 (generate_embeddings.py:90-105): 'Title: {t}\\nDescription: {d}\\n
+    Content: {c}' then strip — native format_string + trim."""
+    return df.withColumn(
+        "relevant_text",
+        F.trim(
+            F.format_string(
+                "Title: %s\nDescription: %s\nContent: %s",
+                F.coalesce(F.col(title_col), F.lit("")),
+                F.coalesce(F.col(desc_col), F.lit("")),
+                F.coalesce(F.col(content_col), F.lit("")),
+            )
+        ),
+    )
+
+
+def token_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 max_tokens: int = 16, overlap: int = 4) -> DataFrame:
+    """E2 (generate_embeddings.py:107-165): sliding token windows of
+    effective size ``max_tokens`` with stride ``max_tokens - overlap``;
+    windows until the text is exhausted; per-doc chunk_id counter.
+    Native exprs only (the HF tokenizer is replaced by the documented
+    whitespace/punct tokenizer — no model downloads)."""
+    stride = max_tokens - overlap
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), "")
+    n = F.size(toks)
+    # count = 1 + ceil(max(0, n - max_tokens) / stride); 0 chunks for empty
+    extra = F.greatest(n - max_tokens, F.lit(0))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(extra.cast("double") / stride).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, max_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(
+            F.when(n_chunks > 0, chunks).otherwise(F.array().cast(
+                "array<struct<chunk_id:int,chunk_text:string>>"
+            ))
+        ).alias("c"))
+        .select(id_col, F.col("c.chunk_id").alias("chunk_id"),
+                F.col("c.chunk_text").alias("chunk_text"))
+    )
+
+
+def stub_embed(chunks: DataFrame, dim: int = 8,
+               text_col: str = "chunk_text") -> DataFrame:
+    """E3/E8 deterministic stub embedder (FIXTURES.md §6): component i =
+    md5-derived float in [-1, 1] — no model download, byte-stable across
+    engines (exploded output (…, dim, val) for oracle comparison). The
+    production path swaps this for an Arrow pandas UDF batching a real
+    encoder; the dataflow (chunk → vector → merge/search) is identical."""
+    comps = []
+    for i in range(dim):
+        hx = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(text_col))), 1, 4),
+            16, 10,
+        ).cast("double")
+        comps.append((hx / 65535.0 * 2.0 - 1.0).alias(f"v{i}"))
+    wide = chunks.select("*", *comps)
+    arr = F.array(*[F.round(F.col(f"v{i}"), 4) for i in range(dim)])
+    return wide.select(
+        *chunks.columns, F.posexplode(arr).alias("dim", "val")
+    )

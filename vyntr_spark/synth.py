@@ -39,19 +39,24 @@ def _stable_int(s: str) -> int:
 
 def plan_hosts(n_pages: int, n_hosts: int, zipf_s: float = 1.2) -> list[int]:
     """Zipf page counts per host (index 0 is the hot host)."""
+    n_hosts = min(n_hosts, n_pages)  # every host carries ≥1 page
     w = [1.0 / (i + 1) ** zipf_s for i in range(n_hosts)]
     tot = sum(w)
     counts = [max(1, int(round(n_pages * x / tot))) for x in w]
-    # trim/pad to exactly n_pages
+    # trim/pad to exactly n_pages (track the running total — recomputing
+    # sum() per step is O(excess * n_hosts) and hangs at 10^5 hosts)
+    total = sum(counts)
     i = 0
-    while sum(counts) > n_pages:
+    while total > n_pages:
         j = len(counts) - 1 - (i % len(counts))
         if counts[j] > 1:
             counts[j] -= 1
+            total -= 1
         i += 1
     i = 0
-    while sum(counts) < n_pages:
+    while total < n_pages:
         counts[i % len(counts)] += 1
+        total += 1
         i += 1
     return counts
 

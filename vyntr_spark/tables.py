@@ -230,6 +230,19 @@ class SnapshotTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*paths)
 
+    def upsert(self, df: DataFrame, keys: list[str],
+               summary: dict[str, Any] | None = None,
+               coalesce: int | None = None) -> int:
+        """MERGE INTO analog (E4/E7/W2 upserts: ``INSERT ... ON CONFLICT
+        (keys) DO UPDATE``, generate_embeddings.py:347-361): new state =
+        current rows anti-joined on keys ∪ incoming rows, committed as a
+        replace snapshot. With Iceberg proper this is a real MERGE with
+        positional deletes; semantics are identical."""
+        current = self.read()
+        kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(df.select(*current.columns))
+        return self.commit(merged, "replace", summary, coalesce=coalesce)
+
     def rollback(self, snapshot_id: int) -> None:
         """Drop every snapshot newer than ``snapshot_id`` (Iceberg
         rollback_to_snapshot analog). Physical dirs are removed."""
