@@ -319,6 +319,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w7_unit_convert"] = w7
 
+    def w8(s, sf):
+        qdf = _events(s, sf).select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.format_string("%.1f usd to eur", F.round(F.col("value"), 1)),
+            ).otherwise(
+                F.format_string("convert %.1f gbp in jpy", F.round(F.col("value"), 1))
+            ).alias("q"),
+        )
+        return serving.currency_convert_df(qdf).select(
+            "q", "from_cur", "to_cur", "converted"
+        )
+
+    q["w8_currency"] = w8
+
+    def w10(s, sf):
+        qdf = _events(s, sf).select(
+            "event_id",
+            F.when(F.col("event_id") % 3 == 0,
+                   F.format_string("!g %s spark", F.col("event_type")))
+            .when(F.col("event_id") % 3 == 1,
+                  F.format_string("!w %s", F.col("event_type")))
+            .otherwise(F.format_string("plain %s", F.col("event_type")))
+            .alias("q"),
+        )
+        return serving.bang_redirect(qdf).distinct()
+
+    q["w10_bang_redirect"] = w10
+
+    def t_ann(s, sf):
+        qvec = (
+            _emb(s, sf).filter(F.col("vec_id") == 0).select("embedding").collect()
+        )[0]["embedding"]
+        return vectors.ann_ivf_topk(
+            _emb(s, sf), [float(x) for x in qvec], k=10, n_bits=4, dim=64
+        )
+
+    q["t_ann_ivf_topk"] = t_ann
+
     def d6b(s, sf):
         top = [
             r["word"]
@@ -357,6 +397,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["mm_resize_plan"] = mm_resize
+
+    def mm_frames(s, sf):
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(_docs(s, sf))
+        decoded = multimodal.decode_media(media)
+        return (
+            multimodal.frame_sample_plan(decoded, every_ms=60_000)
+            .select("media_id", F.size("sample_ts_ms").alias("n_frames"))
+        )
+
+    q["mm_frame_sample"] = mm_frames
+
+    def c2(s, sf):
+        # C2 canonicalizer through the Arrow UDF path (rows-only check:
+        # the WHATWG/RFC-3986 normalization isn't expressible in SQL)
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators.extract_udf import normalize_udf
+
+        canon = lambda c: F.coalesce(normalize_udf(c), F.lit(""))  # noqa: E731
+        raw = _docs(s, sf).select(
+            "doc_id",
+            F.format_string(
+                "HTTP://Host%d.Example:80/a/../p%d.html?x=1#frag",
+                F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("raw_url"),
+        )
+        return raw.select("doc_id", canon(F.col("raw_url")).alias("canon_url"))
+
+    q["c2_canonicalize"] = c2
 
     # ---- generic relational (TPC-H-ish over lineitem/orders) -----------------
     def h1(s, sf):
@@ -453,10 +524,10 @@ def _hex4_to_int(expr: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _lsh_planes_values() -> str:
-    planes = projection_planes(n_bits=8, dim=64, seed=42)
+def _lsh_planes_values(n_bits: int = 8) -> str:
+    planes = projection_planes(n_bits=n_bits, dim=64, seed=42)
     rows = []
-    for b in range(8):
+    for b in range(n_bits):
         for d in range(64):
             rows.append(f"({b},{d},{planes[b][d]})")
     return ",".join(rows)
@@ -820,6 +891,63 @@ factors(from_unit, to_unit, factor) AS (VALUES
   ('l', 'gal', 0.264172), ('gal', 'l', 3.785412))
 SELECT q, from_unit, to_unit, round(qty * factor, 4) AS converted
 FROM parsed JOIN factors USING (from_unit, to_unit) WHERE from_unit <> ''
+"""
+
+    cur_re = (
+        "(?:convert\\s+)?([0-9]+(?:\\.[0-9]+)?)\\s*([a-z]{3})"
+        "\\s+(?:to|in)\\s+([a-z]{3})"
+    )
+    o["w8_currency"] = f"""
+WITH qs AS (SELECT event_id, CASE WHEN event_id % 2 = 0
+    THEN printf('%.1f usd to eur', round(value, 1))
+    ELSE printf('convert %.1f gbp in jpy', round(value, 1)) END AS q FROM events),
+parsed AS (SELECT q,
+  CAST(regexp_extract(lower(q), '{cur_re}', 1) AS DOUBLE) AS qty,
+  regexp_extract(lower(q), '{cur_re}', 2) AS from_cur,
+  regexp_extract(lower(q), '{cur_re}', 3) AS to_cur
+  FROM qs),
+rates(cur, usd_rate) AS (VALUES
+  ('usd', 1.0), ('eur', 1.08), ('gbp', 1.27), ('jpy', 0.0067), ('btc', 65000.0))
+SELECT q, from_cur, to_cur,
+  round(qty * rf.usd_rate / rt.usd_rate, 4) AS converted
+FROM parsed JOIN rates rf ON from_cur = rf.cur JOIN rates rt ON to_cur = rt.cur
+WHERE from_cur <> ''
+"""
+
+    o["w10_bang_redirect"] = """
+WITH qs AS (SELECT CASE WHEN event_id % 3 = 0 THEN printf('!g %s spark', event_type)
+    WHEN event_id % 3 = 1 THEN printf('!w %s', event_type)
+    ELSE printf('plain %s', event_type) END AS q FROM events),
+parsed AS (SELECT q,
+  regexp_extract(q, '^!([a-z]+)\\s+(.+)$', 1) AS bang,
+  regexp_extract(q, '^!([a-z]+)\\s+(.+)$', 2) AS term FROM qs),
+bangs(bang, template) AS (VALUES
+  ('g', 'https://www.google.com/search?q={}'),
+  ('w', 'https://en.wikipedia.org/wiki/{}'),
+  ('gh', 'https://github.com/search?q={}'),
+  ('yt', 'https://www.youtube.com/results?search_query={}'),
+  ('ddg', 'https://duckduckgo.com/?q={}'))
+SELECT DISTINCT q, bang,
+  replace(template, '{}', replace(term, ' ', '+')) AS redirect_url
+FROM parsed JOIN bangs USING (bang) WHERE bang <> ''
+"""
+
+    o["t_ann_ivf_topk"] = f"""
+WITH planes(b, d, w) AS (SELECT * FROM (VALUES {_lsh_planes_values(4)})),
+dots AS (SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.w) AS dot
+         FROM embeddings e, planes p GROUP BY e.vec_id, p.b),
+bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       FROM dots GROUP BY vec_id),
+qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN bk USING (vec_id) JOIN qb ON bk.bucket = qb.bucket),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(
+  sum(CAST(c.embedding[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE))
+  / (sqrt(sum(CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))
+     * sqrt(sum(CAST(q.e[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
+FROM cand c, q, range(64) t(i)
+GROUP BY vec_id ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
     o["d6b_stopword_strip"] = (

@@ -75,9 +75,15 @@ def _assert_parity(store, infos, orc, rows):
     assert seen_engine == orc.seen
 
     # analyses: byte-identical content per url vs oracle (and vs golden text)
-    eng_rows = {
-        r["url"]: r for r in store.table("analyses").read().collect()
-    }
+    # duplicate urls (seed-quirk re-crawls) collapse to the LATEST round on
+    # both sides explicitly — parquet union collect order is not contractual
+    all_eng = store.table("analyses").read().collect()
+    assert len(all_eng) == sum(len(rr.analyses) for rr in orc.rounds)
+    eng_rows = {}
+    for r in all_eng:
+        prev = eng_rows.get(r["url"])
+        if prev is None or r["round"] > prev["round"]:
+            eng_rows[r["url"]] = r
     orc_rows = {a["url"]: a for a in (a for rr in orc.rounds for a in rr.analyses)}
     assert set(eng_rows) == set(orc_rows)
     golden = {r["url"]: r["text"] for r in rows}

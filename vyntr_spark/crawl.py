@@ -147,6 +147,17 @@ class CrawlEngine:
 
     # -- one crawl round ----------------------------------------------------
     def run_round(self) -> RoundInfo | None:
+        import os as _os
+
+        _prof = _os.environ.get("VYNTR_CRAWL_PROFILE") == "1"
+        _pt = [time.monotonic()]
+
+        def _mark(label: str) -> None:
+            if _prof:
+                now = time.monotonic()
+                print(f"    [prof] {label}: {now - _pt[0]:.3f}s", flush=True)
+                _pt[0] = now
+
         t0 = time.monotonic()
         rnd, pages_count = self._round_state()
         remaining = self.max_pages - pages_count
@@ -158,6 +169,7 @@ class CrawlEngine:
         sel = politeness_select(frontier, self.cap, self.salt_buckets)
         sel = sel.persist()
         n_sel = sel.count()
+        _mark('politeness_select+count')
         if n_sel == 0:
             sel.unpersist()
             return None
@@ -168,11 +180,20 @@ class CrawlEngine:
             sel = sel2
             n_sel = remaining
 
-        # -- fetch: big pages table semi-probed by the small batch ----------
-        hits = self.pages.join(
-            F.broadcast(sel.select("url")), "url", "left_semi"
+        # -- fetch: stream the big pages table through ONE BroadcastHashJoin
+        # (BuildRight on the small batch). The 100-TB side is never
+        # shuffled or sorted, and extraction parallelism = scan splits.
+        # (A sel-preserving outer join here would force a SortMergeJoin
+        # that shuffles the fetched rows WITH their html payloads — the
+        # "missing" rows are instead reconstructed below by a broadcast
+        # anti-join of the tiny batch against the tiny hit-url set.)
+        # Project to the fetch-relevant columns BEFORE the persist so the
+        # parquet scan prunes the heavy unused ones (text/warc_ts/lang)
+        # and the cache holds only what the round consumes.
+        fetch_cols = self.pages.select(
+            "url", "html", "content_type", "status", "body_marker"
         )
-        fetched = sel.join(hits, "url", "left")
+        fetched = fetch_cols.join(F.broadcast(sel), "url", "inner")
 
         # robots gating (north rule; permissive default = no-op).
         # path = '/' + everything after the first '/' of the authority+path
@@ -183,10 +204,11 @@ class CrawlEngine:
             F.instr(no_query, "/") > 0,
             F.concat(F.lit("/"), F.element_at(F.split(no_query, "/", 2), 2)),
         ).otherwise(F.lit("/"))
-        fetched = fetched.withColumn("_path", path)
-        if self.robots is not None:
-            fetched = fetched.join(F.broadcast(self.robots), "host", "left")
-            fetched = fetched.withColumn(
+        def add_robots(df: DataFrame) -> DataFrame:
+            df = df.withColumn("_path", path)
+            if self.robots is None:
+                return df.withColumn("_robots", F.lit(False))
+            return df.join(F.broadcast(self.robots), "host", "left").withColumn(
                 "_robots",
                 F.coalesce(
                     F.exists(
@@ -196,15 +218,17 @@ class CrawlEngine:
                     F.lit(False),
                 ),
             ).drop("disallow_prefixes")
-        else:
-            fetched = fetched.withColumn("_robots", F.lit(False))
+
+        fetched = add_robots(fetched)
 
         # -- gate classification (C11/C12) as native exprs -------------------
         ct = F.trim(F.split(F.coalesce("content_type", F.lit("text/html")), ";")[0])
         marker = F.coalesce("body_marker", F.lit(""))
+        # NOTE: no html.isNull() branch — the inner fetch join guarantees a
+        # page row (pages.html is non-nullable), and referencing html here
+        # would drag the whole html column into the pruned metrics re-scan
         outcome = (
             F.when(F.col("_robots"), F.lit("robots_blocked"))
-            .when(F.col("html").isNull(), F.lit("missing"))
             .when(~ct.isin(*ALLOWED_CONTENT_TYPES), F.lit("skipped_ct"))
             .when(
                 (F.col("status") == 403) | marker.contains("403 Forbidden"),
@@ -217,7 +241,26 @@ class CrawlEngine:
             )
             .otherwise(F.lit("success"))
         )
-        fetched = fetched.withColumn("outcome", outcome).persist()
+        fetched = fetched.withColumn("outcome", outcome)
+        # persist only the SLIM columns (outcome lineage): caching the html
+        # payloads would force a multi-GB in-memory materialization per
+        # round (GC churn); the metrics pass below re-runs the scan+join
+        # instead, which parquet column-pruning makes nearly free (it never
+        # reads the html column)
+        fetched_slim = fetched.select("url", "host", "round", "outcome").persist()
+
+        # batch urls absent from pages ("missing" fetches): reconstructed
+        # via broadcast anti-join of two batch-sized inputs (robots still
+        # precedes the fetch attempt, matching the gate order above)
+        missing = sel.join(F.broadcast(fetched_slim.select("url")), "url", "left_anti")
+        missing = add_robots(missing).withColumn(
+            "outcome",
+            F.when(F.col("_robots"), F.lit("robots_blocked"))
+            .otherwise(F.lit("missing")),
+        )
+        outcome_rows = fetched_slim.select("url", "outcome").unionByName(
+            missing.select("url", "outcome")
+        )
 
         # -- extraction (C15) on successes only ------------------------------
         succ = fetched.filter(F.col("outcome") == "success")
@@ -247,13 +290,23 @@ class CrawlEngine:
         self.store.table("analyses").commit(
             analyses, "append", {"round": rnd}, coalesce=self.io_coalesce
         )
+        _mark('fetch+extract+analyses_commit')
 
         # -- expansion (C17 explode → C4 seen anti-join) ----------------------
+        # candidate/new counts ride the frontier-commit job as Observations
+        # (zero extra Spark jobs; the metrics are exact because the commit
+        # materializes both plans exactly once through the persisted DFs)
+        from pyspark.sql import Observation
+
         links = extracted.select(F.explode("ex.links").alias("url"))
         links = links.withColumn("host", F.lower(F.parse_url("url", F.lit("HOST"))))
         links = links.filter(F.col("host").isNotNull() & (F.col("host") != ""))
-        cand = links.select("url", "host").distinct().persist()
-        n_cand = cand.count()
+        obs_cand = Observation()
+        cand = (
+            links.select("url", "host").distinct()
+            .observe(obs_cand, F.count(F.lit(1)).alias("n"))
+            .persist()
+        )
         seen_t = self.store.table("seen")
         if self.use_bloom:
             # scale path (C4): bloom prefilter shrinks the shuffled side of
@@ -264,12 +317,11 @@ class CrawlEngine:
                 self._bloom = BloomShards.sized_for(
                     self.bloom_expected_n, fpp=0.01, n_shards=8
                 ).add_df(seen_t.read())
-            new = bloom_anti_join(cand, seen_t.read(), self._bloom).persist()
+            new = bloom_anti_join(cand, seen_t.read(), self._bloom)
         else:
-            new = cand.join(seen_t.read(), "url", "left_anti").persist()
-        n_new = new.count()
-        if self.use_bloom and n_new:
-            self._bloom = self._bloom.add_df(new.select("url"))
+            new = cand.join(seen_t.read(), "url", "left_anti")
+        obs_new = Observation()
+        new = new.observe(obs_new, F.count(F.lit(1)).alias("n")).persist()
 
         new_frontier_rows = new.select(
             "url", "host",
@@ -281,18 +333,24 @@ class CrawlEngine:
         self.store.table("frontier").commit(next_frontier, "replace",
                                             {"round": rnd},
                                             coalesce=self.io_coalesce)
+        n_cand = int(obs_cand.get["n"])
+        n_new = int(obs_new.get["n"])
+        _mark('frontier_commit+expansion')
+        if self.use_bloom and n_new:
+            self._bloom = self._bloom.add_df(new.select("url"))
         self.store.table("seen").commit(
             new.select(F.hash("url").alias("url_hash"), "url"),
             "append",
             {"round": rnd},
             coalesce=self.io_coalesce,
         )
+        _mark('seen_commit')
 
         # -- metrics (C20) per md5-partition lineage --------------------------
         # one aggregation job: per-partition outcome counts collected to the
         # driver (≤256 rows at any scale); round totals derived by summation
         part_rows = (
-            fetched.groupBy(part.alias("partition"))
+            outcome_rows.groupBy(part.alias("partition"))
             .agg(
                 F.count("*").alias("total"),
                 F.sum((F.col("outcome") == "success").cast("long")).alias("success"),
@@ -302,6 +360,7 @@ class CrawlEngine:
             )
             .collect()
         )
+        _mark('metrics_agg_collect')
         n_succ = sum(r["success"] for r in part_rows)
         wall_ms = int((time.monotonic() - t0) * 1000)
         metric_tuples = [
@@ -316,23 +375,16 @@ class CrawlEngine:
             sum(r["robots_blocked"] for r in part_rows),
             n_cand - n_new, n_new, wall_ms,
         ))
-        self.store.table("metrics").commit(
-            self.spark.createDataFrame(
-                metric_tuples, self.store.table("metrics").schema
-            ),
-            "append", {"round": rnd},
-            coalesce=1 if self.io_coalesce else None,
+        # tiny control tables: driver-side pyarrow commits (no Spark jobs)
+        self.store.table("metrics").commit_rows(
+            metric_tuples, "append", {"round": rnd}
         )
-        self.store.table("round_state").commit(
-            self.spark.createDataFrame(
-                [(rnd, pages_count + n_sel, rnd, self.seed)],
-                self.store.table("round_state").schema,
-            ),
-            "replace",
-            {"round": rnd},
-            coalesce=1 if self.io_coalesce else None,
+        self.store.table("round_state").commit_rows(
+            [(rnd, pages_count + n_sel, rnd, self.seed)],
+            "replace", {"round": rnd},
         )
         self._state_cache = (rnd + 1, pages_count + n_sel)
+        _mark('metrics+state_commit')
 
         info = RoundInfo(
             round=rnd, selected=n_sel, success=n_succ, new_urls=n_new,
@@ -343,7 +395,7 @@ class CrawlEngine:
                 F.concat(F.lit(f"{self.seed}:{rnd}:"), F.col("url"))
             )
             ordered = (
-                fetched.select("url", "outcome", shuffle_key.alias("_k"))
+                outcome_rows.select("url", "outcome", shuffle_key.alias("_k"))
                 .orderBy("_k")
                 .collect()
             )
@@ -351,7 +403,7 @@ class CrawlEngine:
             info.outcomes = {r["url"]: r["outcome"] for r in ordered}
             info.new_url_list = [r["url"] for r in new.orderBy("url").collect()]
 
-        for df in (sel, fetched, extracted, cand, new):
+        for df in (sel, fetched_slim, extracted, cand, new):
             df.unpersist()
         return info
 

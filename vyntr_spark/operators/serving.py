@@ -236,6 +236,76 @@ def unit_convert_df(df: DataFrame, query_col: str = "q") -> DataFrame:
     )
 
 
+# W8 (currency.ts:4-50): symbol/code table; rates are a static fixture
+# (the reference hits a live-rate API; no network here — SURVEY.md §2.5)
+CURRENCY_RATES_USD = {
+    "usd": 1.0, "eur": 1.08, "gbp": 1.27, "jpy": 0.0067, "btc": 65000.0,
+}
+
+_CUR_RE = (
+    r"(?:convert\s+)?([0-9]+(?:\.[0-9]+)?)\s*([a-z]{3})\s+(?:to|in)\s+([a-z]{3})"
+)
+
+
+def currency_convert_df(df: DataFrame, query_col: str = "q") -> DataFrame:
+    """W8: regex parse '100 usd to eur' + double broadcast rate join
+    (from- and to-currency), converted = qty * rate_from / rate_to."""
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        list(CURRENCY_RATES_USD.items()), "cur string, usd_rate double"
+    )
+    parsed = df.select(
+        query_col,
+        F.regexp_extract(F.lower(F.col(query_col)), _CUR_RE, 1).cast("double").alias("qty"),
+        F.regexp_extract(F.lower(F.col(query_col)), _CUR_RE, 2).alias("from_cur"),
+        F.regexp_extract(F.lower(F.col(query_col)), _CUR_RE, 3).alias("to_cur"),
+    ).filter(F.col("from_cur") != "")
+    fr = F.broadcast(rates.select(F.col("cur").alias("from_cur"),
+                                  F.col("usd_rate").alias("rate_from")))
+    to = F.broadcast(rates.select(F.col("cur").alias("to_cur"),
+                                  F.col("usd_rate").alias("rate_to")))
+    return parsed.join(fr, "from_cur").join(to, "to_cur").select(
+        query_col, "from_cur", "to_cur",
+        F.round(F.col("qty") * F.col("rate_from") / F.col("rate_to"), 4)
+        .alias("converted"),
+    )
+
+
+# W10 (bangs.ts:1-30): static !bang → url-template lookup (108k entries in
+# the reference; representative subset here — the operator is the same
+# broadcast join at any table size)
+BANGS = {
+    "g": "https://www.google.com/search?q={}",
+    "w": "https://en.wikipedia.org/wiki/{}",
+    "gh": "https://github.com/search?q={}",
+    "yt": "https://www.youtube.com/results?search_query={}",
+    "ddg": "https://duckduckgo.com/?q={}",
+}
+
+_BANG_RE = r"^!([a-z]+)\s+(.+)$"
+
+
+def bang_redirect(df: DataFrame, query_col: str = "q") -> DataFrame:
+    """W10: parse '!bang term', broadcast-join the bang table, substitute
+    the ('+'-joined) term into the url template."""
+    spark = df.sparkSession
+    bangs = spark.createDataFrame(
+        list(BANGS.items()), "bang string, template string"
+    )
+    parsed = df.select(
+        query_col,
+        F.regexp_extract(F.col(query_col), _BANG_RE, 1).alias("bang"),
+        F.regexp_extract(F.col(query_col), _BANG_RE, 2).alias("term"),
+    ).filter(F.col("bang") != "")
+    return parsed.join(F.broadcast(bangs), "bang").select(
+        query_col, "bang",
+        F.replace(
+            F.col("template"), F.lit("{}"),
+            F.replace(F.col("term"), F.lit(" "), F.lit("+")),
+        ).alias("redirect_url"),
+    )
+
+
 def summary_cache_lookup(queries_df: DataFrame, cache_df: DataFrame,
                          query_col: str = "query") -> DataFrame:
     """W5 (search.ts:49-59): exact-match broadcast lookup of the

@@ -98,6 +98,30 @@ def projection_planes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]
     return planes
 
 
+def ann_ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_bits: int = 4, dim: int = 64, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN (the HNSW stand-in of E7, merge_embeddings.py:69-74,
+    as a Spark-scalable plan): coarse-quantize vectors into LSH sign
+    buckets, probe ONLY the query's bucket, exact cosine top-K within it.
+    At 100 TB the bucket is the partition key, so a probe reads
+    ~1/2^n_bits of the data (partition pruning), vs the full scan of
+    ``cosine_topk``. Approximate by construction: recall trades off
+    against n_bits like an IVF nprobe=1 search."""
+    planes = projection_planes(n_bits, dim, seed)
+    qbucket = sum(
+        1 << b
+        for b in range(n_bits)
+        if sum(planes[b][d] * float(query_vec[d]) for d in range(dim)) >= 0
+    )
+    buckets = lsh_sign_buckets(emb, n_bits=n_bits, dim=dim,
+                               id_col=id_col, vec_col=vec_col, seed=seed)
+    cand = emb.join(
+        buckets.filter(F.col("bucket") == qbucket).select(id_col), id_col
+    )
+    return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

@@ -46,7 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for all pandas UDF exchange (vectorized hot path)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # sized for fat rows (tens-of-KB html): 512 × ~35 KB ≈ 18 MB per
+        # in-flight Arrow batch per worker — bounded JVM+worker memory at
+        # 32 concurrent workers (2048 caused GC churn on the crawl path)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark 4 ICU-backed lower()/upper() pays a ~45 s one-time class
         # init (CollationAwareUTF8String) that stalls every executor thread
@@ -56,6 +59,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("VYNTR_EVENTLOG"):
+        # perf-debugging knob: write task-metric event logs
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", os.environ["VYNTR_EVENTLOG"])
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

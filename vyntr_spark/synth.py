@@ -223,6 +223,195 @@ def write_pages_parquet(path: str, n_pages: int, n_hosts: int, seed: int = 42) -
     return path
 
 
+# ---------------------------------------------------------------------------
+# "web" profile: realistically-sized pages (~25-50 KB) + distributed
+# generation. Common-Crawl HTML averages tens of KB; the tiny profile above
+# (~1 KB) is right for unit tests but makes any crawl benchmark
+# scheduler-bound. The web profile is generated THROUGH Spark (mapInPandas
+# over a page-index range) — the same shape the generator needs at 100 TB:
+# no driver-side materialization, deterministic per index, link targets
+# computed arithmetically from the Zipf host layout instead of a broadcast
+# url list.
+# ---------------------------------------------------------------------------
+
+WEB_WORDS = WORDS + (
+    "engine cluster shard replica commit snapshot frontier parse token "
+    "page link host domain fetch robots sitemap anchor cache header body "
+    "title section article footer nav media image video codec"
+).split()
+
+
+def host_prefix(counts: list[int]) -> list[int]:
+    pre = [0]
+    for c in counts:
+        pre.append(pre[-1] + c)
+    return pre
+
+
+def url_at(pre: list[int], idx: int) -> tuple[str, str]:
+    """(host, url) of page index ``idx`` under the Zipf layout — O(log H),
+    no materialized url list (10^10-frontier friendly)."""
+    import bisect
+
+    h = bisect.bisect_right(pre, idx) - 1
+    return f"host{h}.example", f"http://host{h}.example/p{idx - pre[h]}.html"
+
+
+def _page_html_web(idx: int, n_pages: int, pre: list[int], seed: int
+                   ) -> tuple[str, str, str, str, int, str | None, str]:
+    """Return (host, url, html, lang_col, status, body_marker, content_type)."""
+    rng = random.Random(f"{seed}:web:{idx}")
+    host, url = url_at(pre, idx)
+    import bisect
+
+    h = bisect.bisect_right(pre, idx) - 1
+    lo, hi = pre[h], pre[h + 1]
+
+    def target(local_bias: float = 0.7) -> str:
+        if rng.random() < local_bias and hi - lo > 1:
+            return url_at(pre, rng.randrange(lo, hi))[1]
+        return url_at(pre, rng.randrange(n_pages))[1]
+
+    lang = rng.choice(LANGS)
+    lang_attr = "" if lang is None else f' lang="{lang}"'
+    title = _sentence(rng, rng.randint(3, 7))
+    parts = ["<!DOCTYPE html>", f"<html{lang_attr}><head>",
+             f"<title>{title}</title>",
+             f'<meta name="description" content="{_sentence(rng, 12)}">']
+    for _ in range(rng.randint(3, 9)):
+        parts.append(
+            f'<meta name="m{rng.randrange(24)}" content="{_sentence(rng, 8)}">'
+        )
+    if rng.random() < 0.4:
+        parts.append('<meta property="og:type" content="article">')
+    if rng.random() < 0.3:
+        parts.append(f'<link rel="canonical" href="{url}">')
+    parts.append("</head><body><nav><ul>")
+    for _ in range(rng.randint(8, 18)):
+        t = target()
+        href = t.rsplit("/", 1)[1] if t.startswith(f"http://{host}/") else t
+        parts.append(f'<li><a href="{href}">{rng.choice(WEB_WORDS)}</a></li>')
+    parts.append("</ul></nav>")
+    parts.append(f"<h1>{_sentence(rng, 3).title()}</h1>")
+    for p in range(rng.randint(40, 90)):
+        if p % 7 == 0:
+            parts.append(f"<h2>{_sentence(rng, 3)}</h2>")
+        words = _sentence(rng, rng.randint(20, 45))
+        frag = f"<p>{words}"
+        if rng.random() < 0.3:
+            frag += f" <b>{rng.choice(WEB_WORDS)}</b> {rng.choice(WEB_WORDS)}"
+        if rng.random() < 0.1:
+            frag += " &amp; entities &#65; here"
+        if rng.random() < 0.4:
+            frag += f' see <a href="{target()}">{rng.choice(WEB_WORDS)}</a>'
+        frag += "</p>"
+        parts.append(frag)
+        if rng.random() < 0.1:
+            items = "".join(
+                f"<li>{_sentence(rng, rng.randint(2, 6))}</li>"
+                for _ in range(rng.randint(2, 6))
+            )
+            parts.append(f"<ul>{items}</ul>")
+    if rng.random() < 0.1:
+        parts.append("<p>   </p>")
+    if rng.random() < 0.25:
+        parts.append('<a href="/static/app.js">asset</a><a href="doc.pdf">pdf</a>')
+    if rng.random() < 0.2:
+        parts.append(f'<a href="{url}#top">self</a><a href="mailto:a@b.c">mail</a>')
+    if rng.random() < 0.1:
+        parts.append('<a href="/feed">feed</a>')
+    parts.append("</body></html>")
+    html = "\n".join(parts)
+
+    r = rng.random()
+    if r < 0.02:
+        status, marker, ctype = 403, None, "text/html"
+    elif r < 0.03:
+        status, marker, ctype = 200, "403 Forbidden", "text/html"
+    elif r < 0.04:
+        status, marker, ctype = 200, "Cloudflare ... Worker threw exception", "text/html"
+    elif r < 0.06:
+        status, marker, ctype = 200, None, rng.choice(["application/pdf", "image/png"])
+    else:
+        status, marker, ctype = 200, None, "text/html"
+    return host, url, html, lang or "", status, marker, ctype
+
+
+def write_pages_parquet_spark(spark, path: str, n_pages: int, n_hosts: int,
+                              seed: int = 42, partitions: int | None = None,
+                              zipf_s: float = 1.2) -> str:
+    """Distributed deterministic generation of the web-profile pages table.
+
+    mapInPandas over ``spark.range(n_pages)``: each task generates its page
+    indices independently (Random(f"{seed}:web:{i}")), computes the golden
+    ``text`` via the shared extraction spec, and writes parquet directly —
+    content is partitioning-independent, so any parallelism yields the
+    same table.
+    """
+    import pandas as pd
+
+    from .tables import PAGES
+
+    counts = plan_hosts(n_pages, n_hosts, zipf_s)
+    pre = host_prefix(counts)
+
+    def gen(batches):
+        from .extract import extract_html
+
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "html", "text", "lang",
+                                    "content_type", "status", "body_marker")}
+            for idx in pdf["id"]:
+                idx = int(idx)
+                _host, url, html, lang, status, marker, ctype = _page_html_web(
+                    idx, n_pages, pre, seed
+                )
+                rows["url"].append(url)
+                rows["warc_ts"].append(pd.Timestamp(
+                    _EPOCH + (_stable_int(url) % 31_536_000), unit="s", tz="UTC"
+                ))
+                rows["html"].append(html.encode("utf-8"))
+                rows["text"].append(extract_html(html, url).content_text)
+                rows["lang"].append(lang)
+                rows["content_type"].append(ctype)
+                rows["status"].append(status)
+                rows["body_marker"].append(marker)
+            yield pd.DataFrame(rows)
+
+    n_part = partitions or spark.sparkContext.defaultParallelism * 2
+    df = spark.range(0, n_pages, numPartitions=n_part).mapInPandas(gen, PAGES)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def cached_pages_path_spark(cache_dir: str, spark, n_pages: int, n_hosts: int,
+                            seed: int = 42, zipf_s: float = 1.2) -> str:
+    """Generate-once cache for the web profile (directory of parquet parts)."""
+    ztag = "" if zipf_s == 1.2 else f"_z{zipf_s}"
+    path = os.path.join(
+        cache_dir, f"pages_web_n{n_pages}_h{n_hosts}_s{seed}{ztag}.parquet"
+    )
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        write_pages_parquet_spark(spark, path, n_pages, n_hosts, seed,
+                                  zipf_s=zipf_s)
+    return path
+
+
+def default_seeds_web(n_pages: int, n_hosts: int, k: int,
+                      per_host: int = 1, zipf_s: float = 1.2) -> list[str]:
+    """First ``per_host`` pages of the k hottest hosts under the Zipf
+    layout (no url list materialization). per_host=cap makes round 1 a
+    full-width politeness round."""
+    counts = plan_hosts(n_pages, n_hosts, zipf_s)
+    pre = host_prefix(counts)
+    seeds = []
+    for h in range(min(k, len(counts))):
+        for p in range(min(per_host, counts[h])):
+            seeds.append(url_at(pre, pre[h] + p)[1])
+    return seeds
+
+
 def default_seeds(n_pages: int, n_hosts: int, k: int = 5) -> list[str]:
     """Seed list: first page of the k hottest hosts (mirrors data/sites.txt
     ingestion, genesis/src/main.rs:142-147)."""

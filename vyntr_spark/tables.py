@@ -204,6 +204,51 @@ class SnapshotTable:
         self._save(snaps)
         return sid
 
+    def commit_rows(self, rows: list[tuple], mode: str = "append",
+                    summary: dict[str, Any] | None = None) -> int:
+        """Driver-side commit of a small local row list via pyarrow — no
+        Spark job. Same snapshot/manifest semantics as ``commit``; meant
+        for tiny control tables (metrics, round_state) where a distributed
+        write is pure scheduler overhead (the Iceberg analog is a
+        data-file append written by the committing process). Rows are
+        tuples in schema field order."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            T.StringType(): pa.string(),
+            T.IntegerType(): pa.int32(),
+            T.LongType(): pa.int64(),
+            T.DoubleType(): pa.float64(),
+            T.BooleanType(): pa.bool_(),
+        }
+        arrow_schema = pa.schema(
+            [(f.name, _PA[f.dataType]) for f in self.schema.fields]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in self.schema.fields]
+        table = pa.table(
+            {f.name: pa.array(list(c), f_pa.type)
+             for (f, f_pa, c) in zip(self.schema.fields, arrow_schema, cols)},
+            schema=arrow_schema,
+        )
+        snaps = self._load()
+        sid = (snaps[-1].snapshot_id + 1) if snaps else 1
+        path = os.path.join(self.dir, f"snap-{sid:08d}")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        snaps.append(
+            Snapshot(
+                snapshot_id=sid,
+                parent_id=snaps[-1].snapshot_id if snaps else None,
+                mode=mode,
+                timestamp_ms=int(time.time() * 1000),
+                summary=summary or {},
+                path=path,
+            )
+        )
+        self._save(snaps)
+        return sid
+
     def snapshots(self) -> list[Snapshot]:
         return self._load()
 
