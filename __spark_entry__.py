@@ -1028,4 +1028,55 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
         "GROUP BY n_name"
     )
 
+    # ---- UDF-path queries with deterministic synthetic inputs ------------
+    # The Spark side runs real Python kernels (canonicalizer UDF, stubbed
+    # mapInPandas decode); their outputs on the synthetic inputs are pure
+    # deterministic functions DuckDB can recompute, giving these UDF paths
+    # full value-level oracles instead of rows-only checks.
+
+    o["c2_canonicalize"] = (
+        # WHATWG canonicalization of HTTP://Host{k}.Example:80/a/../p{i}.html
+        # ?x=1#frag: lowercase scheme+host, drop default port, resolve dot
+        # segments, keep query+fragment (vyntr_spark/canonicalize.py)
+        "SELECT doc_id, 'http://host' || CAST(doc_id % 50 AS VARCHAR) || "
+        "'.example/p' || CAST(doc_id AS VARCHAR) || '.html?x=1#frag' "
+        "AS canon_url FROM documents"
+    )
+
+    # md5 byte i (0-based) of a VARCHAR's UTF-8 bytes, from the hex digest
+    def _md5b(i: int) -> str:
+        p = 2 * i + 1
+        return (
+            f"((strpos('0123456789abcdef', substr(h,{p},1))-1)*16 + "
+            f"(strpos('0123456789abcdef', substr(h,{p + 1},1))-1))"
+        )
+
+    # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);
+    # n_frames = floor(duration/60000) + 1 (frame_sample_plan every_ms=60s)
+    o["mm_frame_sample"] = (
+        "WITH m AS (SELECT doc_id AS media_id, md5(text) AS h "
+        "FROM documents WHERE doc_id % 3 = 2) "
+        f"SELECT media_id, CAST((1000 + ({_md5b(2)}*65536 + {_md5b(3)}*256 + "
+        f"{_md5b(4)}) % 600000) // 60000 + 1 AS INT) AS n_frames FROM m"
+    )
+
+    # width/height from md5 bytes 0/1 per kind (image: 64+b%1024; video:
+    # 320+b0%1600 / 240+b1%840; audio: NULL); scale = 256/greatest when
+    # greatest > 256 else 1.0 (multimodal.resize_plan max_side=256)
+    o["mm_resize_plan"] = (
+        "WITH d AS (SELECT doc_id AS media_id, doc_id % 3 AS k, "
+        f"md5(text) AS h FROM documents), wh AS (SELECT media_id, "
+        f"CASE WHEN k = 0 THEN 64 + {_md5b(0)} % 1024 "
+        f"WHEN k = 2 THEN 320 + {_md5b(0)} % 1600 END AS width, "
+        f"CASE WHEN k = 0 THEN 64 + {_md5b(1)} % 1024 "
+        f"WHEN k = 2 THEN 240 + {_md5b(1)} % 840 END AS height FROM d), "
+        "s AS (SELECT media_id, width, height, "
+        "CASE WHEN greatest(width, height) > 256 THEN "
+        "round(256 / CAST(greatest(width, height) AS DOUBLE), 4) "
+        "ELSE 1.0 END AS resize_scale FROM wh) "
+        "SELECT media_id, resize_scale, "
+        "CAST(ceil(width * resize_scale) AS INT) AS out_w, "
+        "CAST(ceil(height * resize_scale) AS INT) AS out_h FROM s"
+    )
+
     return o

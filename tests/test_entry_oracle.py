@@ -47,8 +47,9 @@ def _canon(df):
 
 QUERIES = sorted(entry_mod.queries().keys())
 
-# declared rows-only (non-SQL-expressible: UDF-stubbed multimodal decode)
-ROWS_ONLY = {"mm_decode_meta", "mm_resize_plan"}
+# declared rows-only (non-SQL-expressible: the stubbed decode emits an
+# array<float> feature column DuckDB can't hash-compare)
+ROWS_ONLY = {"mm_decode_meta"}
 
 
 @pytest.mark.parametrize("name", sorted(ROWS_ONLY))
