@@ -47,10 +47,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data"
     )
 
-    # memory scales with cores: local[4N] stands in for a 4x-executor
-    # cluster, which has 4x aggregate memory (2 GiB/core, a typical
-    # executor sizing)
-    os.environ.setdefault("SPARK_DRIVER_MEM", f"{max(8, 2 * cpus)}g")
+    # FIXED heap at both parallelism levels. Per-executor heap is constant
+    # on a real cluster (more executors = more JVMs, not a bigger one), and
+    # a one-JVM local[4N] with a 4x heap measurably anti-scales: a fresh
+    # JVM growing a tens-of-GB G1 heap page-faults new memory mid-job and
+    # serializes on kernel page-zeroing (observed: sum(length(html)) over
+    # the corpus 1.2s at Xmx16g vs 6.2s at Xmx64g on 32 threads).
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus,
                       extra={

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 import sys
+
+import pandas as pd
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -334,6 +336,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["w8_currency"] = w8
+
+    def w9(s, sf):
+        # W9 instant-answer math over deterministic expressions: the Spark
+        # side runs the shunting-yard evaluator (serving.math_eval) in a
+        # pandas UDF; the oracle recomputes the same arithmetic in SQL
+        _ensure_pyfiles(s)
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        from vyntr_spark.operators.serving import math_eval
+
+        @pandas_udf("double")
+        def eval_udf(e: pd.Series) -> pd.Series:
+            return e.map(math_eval)
+
+        exprs = _docs(s, sf).select(
+            "doc_id",
+            F.format_string(
+                "(%d + 3) * 2 - sqrt(%d) + 2 ^ %d",
+                F.col("doc_id"),
+                (F.col("doc_id") % 10) * (F.col("doc_id") % 10),
+                F.col("doc_id") % 5,
+            ).alias("expr"),
+        )
+        return exprs.select(
+            "doc_id", F.round(eval_udf("expr"), 4).alias("result")
+        )
+
+    q["w9_math_eval"] = w9
+
+    def w6b(s, sf):
+        # W6 holiday computus (Meeus/Jones/Butcher Easter) per year; the
+        # oracle replays the same integer algorithm in SQL
+        _ensure_pyfiles(s)
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        from vyntr_spark.operators.serving import easter_date
+
+        @pandas_udf("string")
+        def easter_udf(y: pd.Series) -> pd.Series:
+            return y.map(lambda v: easter_date(int(v)).isoformat())
+
+        years = (
+            _docs(s, sf)
+            .select((F.lit(2000) + F.col("doc_id") % 100).cast("int").alias("year"))
+            .distinct()
+        )
+        return years.select("year", easter_udf("year").alias("easter"))
+
+    q["w6b_easter"] = w6b
 
     def w10(s, sf):
         qdf = _events(s, sf).select(
@@ -1026,6 +1077,31 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
         "JOIN nation ON s_nationkey = n_nationkey "
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY n_name"
+    )
+
+    o["w9_math_eval"] = (
+        # same arithmetic the shunting-yard evaluator performs on
+        # "(d + 3) * 2 - sqrt((d%10)^2) + 2 ^ (d%5)"
+        "SELECT doc_id, round((doc_id + 3) * 2.0 - (doc_id % 10) + "
+        "power(2, doc_id % 5), 4) AS result FROM documents"
+    )
+
+    o["w6b_easter"] = (
+        # Meeus/Jones/Butcher computus replayed as SQL integer arithmetic
+        "WITH y AS (SELECT DISTINCT CAST(2000 + doc_id % 100 AS INT) AS year "
+        "FROM documents), "
+        "c1 AS (SELECT year, year % 19 AS a, year // 100 AS b, "
+        "year % 100 AS c FROM y), "
+        "c2 AS (SELECT *, b // 4 AS d, b % 4 AS e, (b + 8) // 25 AS f FROM c1), "
+        "c3 AS (SELECT *, (b - f + 1) // 3 AS g FROM c2), "
+        "c4 AS (SELECT *, (19*a + b - d - g + 15) % 30 AS h, c // 4 AS i, "
+        "c % 4 AS k FROM c3), "
+        "c5 AS (SELECT *, (32 + 2*e + 2*i - h - k) % 7 AS l FROM c4), "
+        "c6 AS (SELECT *, (a + 11*h + 22*l) // 451 AS m FROM c5) "
+        "SELECT year, year || '-' || "
+        "lpad(CAST((h + l - 7*m + 114) // 31 AS VARCHAR), 2, '0') || '-' || "
+        "lpad(CAST((h + l - 7*m + 114) % 31 + 1 AS VARCHAR), 2, '0') "
+        "AS easter FROM c6"
     )
 
     # ---- UDF-path queries with deterministic synthetic inputs ------------

@@ -92,6 +92,11 @@ class CrawlEngine:
         self.io_coalesce = io_coalesce
         self._bloom = None  # built lazily from the seen table, then extended
         self._state_cache: tuple[int, int] | None = None
+        # tracked frontier row count: lets a round skip the up-front
+        # politeness-count job whenever the budget cannot bind (n_sel ≤
+        # frontier_size ≤ remaining); None = unknown (fresh resume), one
+        # count job re-establishes it
+        self._frontier_size: int | None = None
 
     # -- state -----------------------------------------------------------
     def _round_state(self) -> tuple[int, int]:
@@ -139,6 +144,7 @@ class CrawlEngine:
             [(u,) for u in seen_keys], "url string"
         ).select(F.hash("url").alias("url_hash"), "url")
         frontier_df = self.spark.createDataFrame(frontier_rows, FRONTIER)
+        self._frontier_size = len(frontier_rows)
         self.store.table("seen").commit(seen_df, "append", {"stage": "seeds"},
                                         coalesce=self.io_coalesce)
         self.store.table("frontier").commit(frontier_df, "replace",
@@ -158,6 +164,8 @@ class CrawlEngine:
                 print(f"    [prof] {label}: {now - _pt[0]:.3f}s", flush=True)
                 _pt[0] = now
 
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         rnd, pages_count = self._round_state()
         remaining = self.max_pages - pages_count
@@ -166,19 +174,34 @@ class CrawlEngine:
         frontier_t = self.store.table("frontier")
         frontier = frontier_t.read()
 
-        sel = politeness_select(frontier, self.cap, self.salt_buckets)
-        sel = sel.persist()
-        n_sel = sel.count()
-        _mark('politeness_select+count')
-        if n_sel == 0:
-            sel.unpersist()
+        if self._frontier_size is None:
+            # fresh resume: one count re-establishes the tracked size
+            self._frontier_size = frontier.count()
+        if self._frontier_size == 0:
             return None
-        if n_sel > remaining:
-            # budget truncation (C9) in pinned (round, url) order
-            sel2 = sel.orderBy("round", "url").limit(remaining).persist()
-            sel.unpersist()
-            sel = sel2
-            n_sel = remaining
+        fsize = self._frontier_size
+
+        sel = politeness_select(frontier, self.cap, self.salt_buckets)
+        obs_sel: Observation | None = None
+        if fsize > remaining:
+            # budget MIGHT bind (C9): pay the count job; truncate in
+            # pinned (round, url) order when it does
+            sel = sel.persist()
+            n_sel = sel.count()
+            _mark('politeness_select+count')
+            if n_sel > remaining:
+                sel2 = sel.orderBy("round", "url").limit(remaining).persist()
+                sel.unpersist()
+                sel = sel2
+                n_sel = remaining
+        else:
+            # budget cannot bind (n_sel ≤ frontier_size ≤ remaining): skip
+            # the up-front count job — n_sel rides the analyses-commit job
+            # as an Observation (politeness guarantees ≥1 row per host, so
+            # fsize > 0 implies a non-empty selection)
+            obs_sel = Observation()
+            sel = sel.observe(obs_sel, F.count(F.lit(1)).alias("n")).persist()
+            n_sel = -1  # resolved after the commit job fires the observation
 
         # -- fetch: stream the big pages table through ONE BroadcastHashJoin
         # (BuildRight on the small batch). The 100-TB side is never
@@ -290,14 +313,16 @@ class CrawlEngine:
         self.store.table("analyses").commit(
             analyses, "append", {"round": rnd}, coalesce=self.io_coalesce
         )
+        if obs_sel is not None:
+            # the commit job materialized sel (broadcast build), firing the
+            # observation exactly once before the cache takes over
+            n_sel = int(obs_sel.get["n"])
         _mark('fetch+extract+analyses_commit')
 
         # -- expansion (C17 explode → C4 seen anti-join) ----------------------
         # candidate/new counts ride the frontier-commit job as Observations
         # (zero extra Spark jobs; the metrics are exact because the commit
         # materializes both plans exactly once through the persisted DFs)
-        from pyspark.sql import Observation
-
         links = extracted.select(F.explode("ex.links").alias("url"))
         links = links.withColumn("host", F.lower(F.parse_url("url", F.lit("HOST"))))
         links = links.filter(F.col("host").isNotNull() & (F.col("host") != ""))
@@ -384,6 +409,7 @@ class CrawlEngine:
             "replace", {"round": rnd},
         )
         self._state_cache = (rnd + 1, pages_count + n_sel)
+        self._frontier_size = fsize - n_sel + n_new
         _mark('metrics+state_commit')
 
         info = RoundInfo(
