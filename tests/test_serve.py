@@ -1,0 +1,105 @@
+"""W1 orchestration (vyntr_spark/serve.py): instant answers + web merge,
+mirroring performSearch (website/src/lib/server/search.ts:14-100)."""
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from vyntr_spark.serve import (
+    parse_bang,
+    parse_currency_query,
+    parse_date_query,
+    parse_unit_query,
+    perform_search,
+)
+
+SF = "/root/testdata/sf0.001"
+TODAY = date(2026, 8, 17)
+
+
+def test_parse_date_fixed_and_rules():
+    assert parse_date_query("days until christmas", TODAY) == {
+        "target": "christmas", "date": "2026-12-25", "days": 130,
+    }
+    # easter 2026 (Apr 5) already passed on TODAY -> next year's (Mar 28)
+    e = parse_date_query("how many days until easter?", TODAY)
+    assert e["date"] == "2027-03-28" and e["days"] == (date(2027, 3, 28) - TODAY).days
+    t = parse_date_query("days until thanksgiving", TODAY)
+    assert t["date"] == "2026-11-26"  # 4th Thursday of November 2026
+    assert parse_date_query("days until 2026-09-01", TODAY)["days"] == 15
+    assert parse_date_query("weather tomorrow", TODAY) is None
+
+
+def test_parse_unit_currency_bang():
+    u = parse_unit_query("convert 3 m to ft")
+    assert u["converted"] == round(3 * 3.28084, 4)
+    c = parse_currency_query("100 usd in eur")
+    assert c["from"] == "usd" and c["to"] == "eur" and c["converted"] > 0
+    b = parse_bang("!w spark shuffle")
+    assert b["redirect"] == "https://en.wikipedia.org/wiki/spark+shuffle"
+    assert parse_bang("!nosuchbang x") is None
+    assert parse_bang("plain query") is None
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_perform_search_merge(spark, docs):
+    cache = spark.createDataFrame(
+        [("spark shuffle", "cached summary", False)],
+        "query string, summary string, is_null boolean",
+    )
+    wordnet = spark.createDataFrame(
+        [("spark",), ("spork",), ("shark",)], "word string"
+    )
+    out = perform_search(
+        docs, "Spark shuffle", k=5, today=TODAY,
+        summaries=cache, wordnet=wordnet,
+    )
+    assert out["query"] == "spark shuffle"
+    assert out["ai_summary"] == "cached summary"
+    assert out["date"] is None and out["currency"] is None
+    assert out["web_total"] == len(out["web"]) <= 5
+    assert all("score" in r for r in out["web"])
+    assert out["word"][0]["word"] == "spark"  # exact match ranks first
+
+
+def test_perform_search_bang_short_circuits(spark, docs):
+    out = perform_search(docs, "!g spark", today=TODAY)
+    assert out["bang"]["redirect"].startswith("https://www.google.com/")
+    assert "web" not in out
+
+
+def test_perform_search_nsfw_gate(spark, docs):
+    # 'NOT nsfw:true' appended by default: flagged sources never surface
+    from vyntr_spark.operators import pulse
+
+    flagged = pulse.nsfw_flag(docs, ["src1", "src13"])
+    nsfw_ids = {
+        r["doc_id"] for r in flagged.filter(F.col("nsfw")).select("doc_id").collect()
+    }
+    out = perform_search(flagged, "spark data window", k=10, today=TODAY)
+    assert nsfw_ids and all(r["doc_id"] not in nsfw_ids for r in out["web"])
+
+
+def test_perform_search_query_log_upsert(spark, docs, tmp_path):
+    from pyspark.sql import types as T
+
+    from vyntr_spark.tables import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("query", T.StringType(), False),
+            T.StructField("count", T.LongType(), False),
+        ]
+    )
+    log = store.table("search_queries", schema)
+    perform_search(docs, "Spark  ", k=1, today=TODAY, query_log=log)
+    out = perform_search(docs, "spark", k=1, today=TODAY, query_log=log)
+    assert out["query_count"] == 2
+    rows = {r["query"]: r["count"] for r in log.read().collect()}
+    assert rows == {"spark": 2}

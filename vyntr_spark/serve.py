@@ -1,0 +1,201 @@
+"""W1 — search orchestration: the driver-side composition that merges web
+results with instant answers into one response.
+
+Rebuild of ``performSearch`` (website/src/lib/server/search.ts:14-100):
+fan out to the sub-answerers — query-log upsert (W2), date math (W6),
+unit conversion (W7), AI-summary cache (W5), web search with the
+``NOT nsfw:true`` gate (3.2 lifecycle), wordnet fuzzy lookup (W4),
+currency (W8), math eval (W9), bang redirect (W10) — and merge into one
+dict. The sub-answerers are the tested operators in operators/serving.py
+and operators/pulse.py; this module only composes them, mirroring the
+reference's orchestration order and short-circuits (a bang redirect
+returns immediately, search.ts behavior of bangs.ts).
+
+Everything driver-side here is pure Python on a single query string; the
+only Spark work is the web search (and optional cache/wordnet lookups),
+exactly like the reference where instant answers are computed in the web
+server and only the web search hits the index.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import pulse
+from .operators.serving import (
+    BANGS,
+    CURRENCY_RATES_USD,
+    UNIT_FACTORS,
+    _BANG_RE,
+    _CUR_RE,
+    _UNIT_RE,
+    easter_date,
+    math_eval,
+    nth_weekday,
+    trigram_similarity,
+)
+
+# W6 (date.ts): holiday table — fixed-date entries plus rule-based ones
+# (Easter via Meeus/Jones/Butcher computus, Nth-weekday rules).
+_FIXED_HOLIDAYS = {
+    "christmas": (12, 25),
+    "halloween": (10, 31),
+    "valentine's day": (2, 14),
+    "valentines day": (2, 14),
+}
+
+_DAYS_UNTIL_RE = re.compile(r"(?:how\s+many\s+)?days\s+until\s+(.+?)\s*\??$")
+
+
+def _next_occurrence(today: date, month: int, day: int) -> date:
+    d = date(today.year, month, day)
+    return d if d >= today else date(today.year + 1, month, day)
+
+
+def parse_date_query(q: str, today: date) -> dict | None:
+    """W6: 'days until <holiday|YYYY-MM-DD>' → {target, date, days}."""
+    m = _DAYS_UNTIL_RE.search(q)
+    if not m:
+        return None
+    target = m.group(1).strip().lower()
+    if target in _FIXED_HOLIDAYS:
+        mo, da = _FIXED_HOLIDAYS[target]
+        d = _next_occurrence(today, mo, da)
+    elif target in ("new year", "new year's", "new years", "new year's day"):
+        d = date(today.year + 1, 1, 1)
+    elif target == "easter":
+        d = easter_date(today.year)
+        if d < today:
+            d = easter_date(today.year + 1)
+    elif target == "thanksgiving":
+        d = nth_weekday(today.year, 11, 3, 4)  # 4th Thursday of November
+        if d < today:
+            d = nth_weekday(today.year + 1, 11, 3, 4)
+    else:
+        try:
+            d = date.fromisoformat(target)
+        except ValueError:
+            return None
+    return {"target": target, "date": d.isoformat(), "days": (d - today).days}
+
+
+def parse_unit_query(q: str) -> dict | None:
+    """W7: 'convert 3 m to ft' → {qty, from, to, converted}."""
+    m = re.search(_UNIT_RE, q.lower())
+    if not m:
+        return None
+    qty, frm, to = float(m.group(1)), m.group(2), m.group(3)
+    factor = UNIT_FACTORS.get((frm, to))
+    if factor is None:
+        return None
+    return {"qty": qty, "from": frm, "to": to,
+            "converted": round(qty * factor, 4)}
+
+
+def parse_currency_query(q: str) -> dict | None:
+    """W8: '100 usd to eur' against the static rate fixture."""
+    m = re.search(_CUR_RE, q.lower())
+    if not m:
+        return None
+    qty, frm, to = float(m.group(1)), m.group(2), m.group(3)
+    rf, rt = CURRENCY_RATES_USD.get(frm), CURRENCY_RATES_USD.get(to)
+    if rf is None or rt is None:
+        return None
+    return {"qty": qty, "from": frm, "to": to,
+            "converted": round(qty * rf / rt, 4)}
+
+
+def parse_bang(q: str) -> dict | None:
+    """W10: '!g spark shuffle' → redirect URL."""
+    m = re.match(_BANG_RE, q.strip())
+    if not m:
+        return None
+    template = BANGS.get(m.group(1))
+    if template is None:
+        return None
+    return {"bang": m.group(1),
+            "redirect": template.format(m.group(2).replace(" ", "+"))}
+
+
+def perform_search(
+    docs: DataFrame,
+    q: str,
+    *,
+    k: int = 10,
+    lang: str | None = None,
+    safe: bool = True,
+    today: date | None = None,
+    summaries: DataFrame | None = None,
+    wordnet: DataFrame | None = None,
+    query_log=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """The W1 merge (search.ts:91-99 response shape). ``today`` is
+    injectable for determinism; ``query_log`` is an optional
+    SnapshotTable receiving the W2 count upsert."""
+    norm = q.strip().lower()
+    out: dict = {"query": norm}
+
+    bang = parse_bang(q)
+    if bang is not None:
+        # bangs short-circuit: the reference redirects without searching
+        out["bang"] = bang
+        return out
+
+    if query_log is not None:
+        # W2 (search.ts:126-144): count = count + 1 upsert on the
+        # normalized query
+        spark = docs.sparkSession
+        incoming = spark.createDataFrame([(norm, 1)], "query string, count long")
+        current = query_log.read().filter(F.col("query") == norm)
+        rows = current.collect()
+        n = (rows[0]["count"] + 1) if rows else 1
+        query_log.upsert(
+            spark.createDataFrame([(norm, n)], "query string, count long"),
+            keys=["query"],
+        )
+        out["query_count"] = n
+
+    today = today or date.today()
+    out["date"] = parse_date_query(norm, today)
+    out["unitConversion"] = parse_unit_query(norm)
+    out["currency"] = parse_currency_query(norm)
+    out["math"] = math_eval(norm) if any(c in norm for c in "+-*/^") else None
+
+    if summaries is not None:
+        # W5: exact-match cache hit on the normalized query
+        hit = (
+            summaries.filter(~F.col("is_null"))
+            .filter(F.col("query") == norm)
+            .select("summary")
+            .collect()
+        )
+        out["ai_summary"] = hit[0]["summary"] if hit else None
+
+    if wordnet is not None:
+        # W4: trigram fuzzy word lookup (single-word queries only, like
+        # the reference's meaning-word stripping)
+        word = norm.split()[0] if norm.split() else ""
+        out["word"] = [
+            r.asDict()
+            for r in trigram_similarity(
+                wordnet, word, threshold=0.3, k=5, text_col="word"
+            ).collect()
+        ]
+
+    # web search (3.2): server-side NOT nsfw:true unless opted out
+    web_q = q if not safe else f"{q} NOT nsfw:true"
+    base = pulse.nsfw_flag(docs, []) if "nsfw" not in docs.columns else docs
+    out["web"] = [
+        r.asDict()
+        for r in pulse.search(
+            base, web_q, k=k, text_col=text_col, id_col=id_col, lang=lang
+        ).collect()
+    ]
+    out["web_total"] = len(out["web"])
+    return out
