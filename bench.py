@@ -32,7 +32,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from vyntr_spark.crawl import CrawlEngine  # noqa: E402
 from vyntr_spark.operators.extract_udf import extract_udf  # noqa: E402
 from vyntr_spark.session import get_spark  # noqa: E402
-from vyntr_spark.synth import cached_pages_path, default_seeds  # noqa: E402
+from vyntr_spark.synth import cached_pages_path_spark, default_seeds_web  # noqa: E402
 from vyntr_spark.tables import PAGES, SnapshotStore  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -48,8 +48,11 @@ def sf_of(sf_dir: str) -> float:
 
 
 def pages_scale(sf: float) -> tuple[int, int]:
-    n_pages = max(200, int(200_000 * sf))
-    n_hosts = max(8, n_pages // 50)
+    # web-profile shape (~10 pages/host, Common-Crawl-sized ~30 KB pages)
+    # — the same corpus family as the BENCH/BASELINE.md scaling evidence,
+    # so the two sets of pages/s numbers are directly comparable
+    n_pages = max(500, int(200_000 * sf))
+    n_hosts = max(50, n_pages // 10)
     return n_pages, n_hosts
 
 
@@ -59,11 +62,18 @@ def main() -> None:
     sf = sf_of(sf_dir)
     n_pages, n_hosts = pages_scale(sf)
 
-    pages_path = cached_pages_path(CACHE, n_pages, n_hosts, seed=42)
-
     spark = get_spark("vyntr-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus,
+                      extra={
+                          # binary-heavy scan: default 128 MB splits pack the
+                          # corpus into fewer tasks than cores at small SFs
+                          "spark.sql.files.maxPartitionBytes": "16m",
+                          "spark.sql.files.openCostInBytes": "1m",
+                      })
     spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = cached_pages_path_spark(CACHE, spark, n_pages, n_hosts,
+                                         seed=42, zipf_s=0.25)
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -91,9 +101,13 @@ def main() -> None:
         store = SnapshotStore(spark, whdir)
         eng = CrawlEngine(spark, store, pages, max_pages=n_pages, seed=42,
                           salt_buckets=max(8, cpus))
-        eng.init_from_seeds(default_seeds(n_pages, n_hosts, k=max(5, n_hosts // 4)))
+        # full-width seeding (cap per host): every round sweeps
+        # ~cap*n_hosts pages — the wide-crawl steady state the north
+        # rule's throughput criterion measures (BENCH/BASELINE.md)
+        eng.init_from_seeds(default_seeds_web(n_pages, n_hosts, k=n_hosts,
+                                              per_host=5, zipf_s=0.25))
         t0 = time.monotonic()
-        infos = eng.run(max_rounds=6)
+        infos = eng.run(max_rounds=3)
         dt = time.monotonic() - t0
         timings["crawl_rounds"] = round(dt, 3)
         fetched = sum(i.selected for i in infos)
