@@ -216,7 +216,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- training-data dedup / analysis (T-ops) ------------------------------
     q["t_fingerprint"] = lambda s, sf: textstats.fingerprint(_docs(s, sf))
 
-    q["t_exact_dups"] = lambda s, sf: textstats.exact_dups(_docs(s, sf))
+    def t_dups(s, sf):
+        # the synthetic corpus has no duplicate texts, so feed the exact-
+        # dedup operator a corpus with injected re-crawls: every 10th doc
+        # reappears under a new doc_id (dup group of 2, canonical = min id)
+        d = _docs(s, sf)
+        recrawl = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        return textstats.exact_dups(d.unionByName(recrawl))
+
+    q["t_exact_dups"] = t_dups
 
     q["t_minhash_sig"] = lambda s, sf: textstats.minhash_signature(
         _docs(s, sf), n_hashes=8
@@ -232,8 +242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, sf), threshold=0.2
     )
 
+    # threshold 0.4: the synthetic embeddings are near-orthogonal, so 0.6
+    # finds nothing at test SFs — 0.4 yields a small non-trivial pair set
+    # at both sf0.001 and sf0.01 (the operator is threshold-parametric)
     q["t_embed_neardup"] = lambda s, sf: vectors.cosine_neardup_pairs(
-        _emb(s, sf), threshold=0.6
+        _emb(s, sf), threshold=0.4
     )
 
     q["t_langid"] = lambda s, sf: textstats.lang_id(_docs(s, sf))
@@ -736,8 +749,12 @@ FROM dots GROUP BY vec_id
     )
 
     o["t_exact_dups"] = """
-WITH fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
-            FROM documents),
+WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id % 10 = 0),
+fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+            FROM corpus),
 canon AS (SELECT f, min(doc_id) AS canonical_id, count(*) AS n FROM fp GROUP BY f)
 SELECT fp.doc_id AS dup_id, canon.canonical_id
 FROM fp JOIN canon USING (f) WHERE canon.n > 1 AND fp.doc_id <> canon.canonical_id
@@ -809,7 +826,7 @@ SELECT id_a, id_b, cos_sim FROM (
   FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
        JOIN embeddings eb ON eb.vec_id = p.id_b, range(64) t(i)
   GROUP BY p.id_a, p.id_b
-) s WHERE cos_sim >= 0.6
+) s WHERE cos_sim >= 0.4
 """
 
     langs = {
