@@ -266,6 +266,12 @@ class SnapshotTable:
                 live = [s.path]
             else:
                 live.append(s.path)
+        if any(not p for p in live):
+            raise ValueError(
+                f"table {self.name!r}: snapshot data expired for as_of={as_of} "
+                "(expire_snapshots removed it; widen keep_last to retain "
+                "time travel)"
+            )
         return live
 
     def read(self, as_of: int | None = None) -> DataFrame:
@@ -297,6 +303,41 @@ class SnapshotTable:
         for s in drop:
             shutil.rmtree(s.path, ignore_errors=True)
         self._save(keep)
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Iceberg ``expire_snapshots`` analog: delete the data files of
+        snapshots that no current-or-recent read can reference, keeping
+        time travel for the ``keep_last`` most recent snapshots. A long
+        crawl rewrites the frontier every round (replace mode), so without
+        expiration disk grows O(rounds × frontier); run this per-N-rounds
+        like an Iceberg maintenance job. Returns the number of snapshot
+        dirs removed. Expired snapshots stay in the manifest (marked by a
+        cleared path) so lineage/ids remain auditable."""
+        snaps = self._load()
+        if not snaps:
+            return 0
+        # live = snapshots any read(as_of >= cutoff) can touch: everything
+        # at/after the newest `replace` within the protected window, plus
+        # all appends after it; for pure-append tables every snapshot is
+        # data-live and only the manifest window applies.
+        cutoff_idx = max(0, len(snaps) - keep_last)
+        live_paths: set[str] = set()
+        for as_of_idx in range(cutoff_idx, len(snaps)):
+            live: list[str] = []
+            for s in snaps[: as_of_idx + 1]:
+                if s.mode == "replace":
+                    live = [s.path]
+                else:
+                    live.append(s.path)
+            live_paths.update(live)
+        removed = 0
+        for s in snaps:
+            if s.path and s.path not in live_paths:
+                shutil.rmtree(s.path, ignore_errors=True)
+                s.path = ""
+                removed += 1
+        self._save(snaps)
+        return removed
 
     def is_empty(self) -> bool:
         return not self._live_paths()
