@@ -475,6 +475,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_frame_sample"] = mm_frames
 
+    def c15(s, sf):
+        # C15 full extraction through the Arrow UDF on deterministically
+        # built pages: title/lang/meta/canonical/link/content semantics all
+        # exercised, including the reference's whitespace-only-chunk quirk
+        # (a bare text node between two <a>s adds a separator space AND an
+        # empty trimmed chunk -> double space; SURVEY.md §2.1.1)
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators.extract_udf import extract_udf
+
+        d = _docs(s, sf)
+        html = F.format_string(
+            '<html lang="%s"><head><title>doc %d</title>'
+            '<meta name="description" content="d%d">'
+            '<link rel="canonical" href="https://canon.example/%d"></head>'
+            "<body><h1>doc %d</h1><p>%s</p>"
+            '<p><a href="https://host%d.example/p%d.html">x</a> '
+            '<a href="/rel/%d">y</a></p></body></html>',
+            F.col("lang"), F.col("doc_id"), F.col("doc_id"), F.col("doc_id"),
+            F.col("doc_id"), F.col("text"),
+            F.col("doc_id") % 50, F.col("doc_id"), F.col("doc_id"),
+        )
+        base = F.format_string("https://src.example/docs/%d", F.col("doc_id"))
+        ex = d.select(
+            "doc_id",
+            extract_udf(F.encode(html, "utf-8"), base).alias("ex"),
+        )
+        return ex.select(
+            "doc_id",
+            F.col("ex.title").alias("title"),
+            F.col("ex.language").alias("language"),
+            F.col("ex.canonical_url").alias("canonical_url"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    "ex.meta_tags",
+                    lambda m: F.concat(m["name"], F.lit(": "), m["content"]),
+                ),
+            ).alias("metas"),
+            F.concat_ws("|", "ex.links").alias("links"),
+            F.col("ex.content_text").alias("content_text"),
+        )
+
+    q["c15_extract"] = c15
+
     def c2(s, sf):
         # C2 canonicalizer through the Arrow UDF path (rows-only check:
         # the WHATWG/RFC-3986 normalization isn't expressible in SQL)
@@ -1126,6 +1170,23 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
     # mapInPandas decode); their outputs on the synthetic inputs are pure
     # deterministic functions DuckDB can recompute, giving these UDF paths
     # full value-level oracles instead of rows-only checks.
+
+    o["c15_extract"] = (
+        # mirrors the §2.1.1 spec on the deterministic page: links sorted
+        # lexicographically ('h' < 's' so the absolute host link precedes
+        # the base-resolved /rel one), content chunks 'doc N', text, 'x',
+        # the whitespace-only node (separator + empty trim = double
+        # space), then 'y'
+        "SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title, "
+        "lang AS language, "
+        "'https://canon.example/' || CAST(doc_id AS VARCHAR) AS canonical_url, "
+        "'description: d' || CAST(doc_id AS VARCHAR) AS metas, "
+        "'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/p' || "
+        "CAST(doc_id AS VARCHAR) || '.html|https://src.example/rel/' || "
+        "CAST(doc_id AS VARCHAR) AS links, "
+        "'doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' x  y' "
+        "AS content_text FROM documents"
+    )
 
     o["c2_canonicalize"] = (
         # WHATWG canonicalization of HTTP://Host{k}.Example:80/a/../p{i}.html
