@@ -475,6 +475,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_frame_sample"] = mm_frames
 
+    def c3(s, sf):
+        # C3 domain extract (crawler.rs:51-55) through the NATIVE
+        # parse_url path the crawl engine uses for link expansion
+        raw = _docs(s, sf).select(
+            "doc_id",
+            F.format_string(
+                "http://Sub%d.Host%d.Example:8080/p%d?q=1",
+                F.col("doc_id") % 7, F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("url"),
+        )
+        return raw.select(
+            "doc_id",
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+        )
+
+    q["c3_domain"] = c3
+
     def c15(s, sf):
         # C15 full extraction through the Arrow UDF on deterministically
         # built pages: title/lang/meta/canonical/link/content semantics all
@@ -1170,6 +1187,12 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
     # mapInPandas decode); their outputs on the synthetic inputs are pure
     # deterministic functions DuckDB can recompute, giving these UDF paths
     # full value-level oracles instead of rows-only checks.
+
+    o["c3_domain"] = (
+        "SELECT doc_id, lower('Sub' || CAST(doc_id % 7 AS VARCHAR) || "
+        "'.Host' || CAST(doc_id % 50 AS VARCHAR) || '.Example') AS host "
+        "FROM documents"
+    )
 
     o["c15_extract"] = (
         # mirrors the §2.1.1 spec on the deterministic page: links sorted
