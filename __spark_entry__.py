@@ -186,6 +186,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p8_bm25_topk"] = lambda s, sf: pulse.bm25_topk(_docs(s, sf), BM25_QUERY, k=10)
 
+    def p8b(s, sf):
+        # P8 served from the materialized index tables (no corpus scan in
+        # the query path) — byte-identical scores to p8 by construction
+        idx = pulse.build_index(_docs(s, sf))
+        return pulse.bm25_topk_from_index(
+            idx.postings, idx.docstats, idx.stats, BM25_QUERY, k=10
+        )
+
+    q["p8b_bm25_from_index"] = p8b
+
     q["p11_string_agg"] = lambda s, sf: pulse.meta_agg(_events(s, sf))
 
     # ---- embeddings (E-ops) -------------------------------------------------
@@ -439,42 +449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d6b_stopword_strip"] = d6b
 
-    # ---- multimodal plumbing (rows-only: no SQL oracle; the driver
-    # records the weaker rows-only check for these) -------------------------
-    def mm_decode(s, sf):
-        _ensure_pyfiles(s)
-        from vyntr_spark.operators import multimodal
-
-        media = multimodal.media_from_documents(_docs(s, sf))
-        return multimodal.decode_media(media)
-
-    q["mm_decode_meta"] = mm_decode
-
-    def mm_resize(s, sf):
-        _ensure_pyfiles(s)
-        from vyntr_spark.operators import multimodal
-
-        media = multimodal.media_from_documents(_docs(s, sf))
-        decoded = multimodal.decode_media(media)
-        return multimodal.resize_plan(decoded).select(
-            "media_id", "resize_scale", "out_w", "out_h"
-        )
-
-    q["mm_resize_plan"] = mm_resize
-
-    def mm_frames(s, sf):
-        _ensure_pyfiles(s)
-        from vyntr_spark.operators import multimodal
-
-        media = multimodal.media_from_documents(_docs(s, sf))
-        decoded = multimodal.decode_media(media)
-        return (
-            multimodal.frame_sample_plan(decoded, every_ms=60_000)
-            .select("media_id", F.size("sample_ts_ms").alias("n_frames"))
-        )
-
-    q["mm_frame_sample"] = mm_frames
-
     def c3(s, sf):
         # C3 domain extract (crawler.rs:51-55) through the NATIVE
         # parse_url path the crawl engine uses for link expansion
@@ -611,6 +585,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["h5_nation_revenue"] = h5
+
+    # ---- multimodal plumbing (registered LAST so an exotic failure can
+    # never shadow the bread-and-butter queries; the decode surface
+    # projects SCALAR columns only — the `feature` array stays an
+    # internal column because the driver's pandas canonicalizer can't
+    # hash list cells) ------------------------------------------------------
+    def mm_decode(s, sf):
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(_docs(s, sf))
+        return multimodal.decode_media(media).select(
+            "media_id", "kind", "n_bytes", "width", "height", "duration_ms"
+        )
+
+    q["mm_decode_meta"] = mm_decode
+
+    def mm_resize(s, sf):
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(_docs(s, sf))
+        decoded = multimodal.decode_media(media)
+        return multimodal.resize_plan(decoded).select(
+            "media_id", "resize_scale", "out_w", "out_h"
+        )
+
+    q["mm_resize_plan"] = mm_resize
+
+    def mm_frames(s, sf):
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators import multimodal
+
+        media = multimodal.media_from_documents(_docs(s, sf))
+        decoded = multimodal.decode_media(media)
+        return (
+            multimodal.frame_sample_plan(decoded, every_ms=60_000)
+            .select("media_id", F.size("sample_ts_ms").alias("n_frames"))
+        )
+
+    q["mm_frame_sample"] = mm_frames
 
     return q
 
@@ -762,6 +777,9 @@ SELECT doc_id, round(sum(contrib), 4) AS score FROM (
   FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
 ) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+    # index-served P8 must be byte-identical to the ad-hoc form
+    o["p8b_bm25_from_index"] = o["p8_bm25_topk"]
 
     o["p11_string_agg"] = (
         "SELECT user_id, string_agg(printf('%s: %.2f', event_type, value), ' ' "
@@ -1227,6 +1245,25 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
             f"((strpos('0123456789abcdef', substr(h,{p},1))-1)*16 + "
             f"(strpos('0123456789abcdef', substr(h,{p + 1},1))-1))"
         )
+
+    # Full decode-metadata oracle (multimodal._fake_decode is pure md5
+    # math, so every scalar column is SQL-expressible): n_bytes =
+    # utf-8 byte length of the payload; width/height from md5 bytes 0/1
+    # per kind; duration from md5 bytes 2..4 for audio/video.
+    o["mm_decode_meta"] = (
+        "WITH d AS (SELECT doc_id AS media_id, doc_id % 3 AS k, "
+        "md5(text) AS h, CAST(octet_length(encode(text)) AS BIGINT) "
+        "AS n_bytes FROM documents) "
+        "SELECT media_id, CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, n_bytes, "
+        f"CAST(CASE WHEN k = 0 THEN 64 + {_md5b(0)} % 1024 "
+        f"WHEN k = 2 THEN 320 + {_md5b(0)} % 1600 END AS INT) AS width, "
+        f"CAST(CASE WHEN k = 0 THEN 64 + {_md5b(1)} % 1024 "
+        f"WHEN k = 2 THEN 240 + {_md5b(1)} % 840 END AS INT) AS height, "
+        f"CAST(CASE WHEN k IN (1, 2) THEN 1000 + ({_md5b(2)}*65536 + "
+        f"{_md5b(3)}*256 + {_md5b(4)}) % 600000 END AS BIGINT) "
+        "AS duration_ms FROM d"
+    )
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);
     # n_frames = floor(duration/60000) + 1 (frame_sample_plan every_ms=60s)

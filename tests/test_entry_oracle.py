@@ -47,18 +47,8 @@ def _canon(df):
 
 QUERIES = sorted(entry_mod.queries().keys())
 
-# declared rows-only (non-SQL-expressible: the stubbed decode emits an
-# array<float> feature column DuckDB can't hash-compare)
-ROWS_ONLY = {"mm_decode_meta"}
 
-
-@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
-def test_rows_only_queries_run(spark, name):
-    df = entry_mod.queries()[name](spark, SF)
-    assert df.count() > 0
-
-
-@pytest.mark.parametrize("name", [n for n in QUERIES if n not in ROWS_ONLY])
+@pytest.mark.parametrize("name", QUERIES)
 def test_query_vs_oracle(spark, ddb, name):
     qfn = entry_mod.queries()[name]
     sqls = entry_mod.oracle_sql()

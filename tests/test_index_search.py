@@ -1,0 +1,97 @@
+"""Index-served BM25 (P8 from materialized postings/docstats/stats):
+parity with the ad-hoc path, filter semantics, and the parquet
+materialize/load roundtrip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vyntr_spark.operators import pulse
+
+DOCS = [
+    (0, "spark shuffle join spark", "en", False),
+    (1, "spark window agg", "en", False),
+    (2, "merge sort spill", "de", False),
+    (3, "spark spark spark shuffle", "en", True),
+    (4, "join probe build hash", "de", False),
+    (5, "", "en", False),  # empty doc: counts in n_docs, absent from avgdl
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, language string, nsfw boolean"
+    )
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return pulse.build_index(docs, meta_cols=("language", "nsfw"))
+
+
+def test_index_topk_matches_adhoc(docs, index):
+    adhoc = pulse.bm25_topk(docs, ["spark", "join"], k=10).collect()
+    served = pulse.bm25_topk_from_index(
+        index.postings, index.docstats, index.stats, ["spark", "join"], k=10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in adhoc] == [
+        (r["doc_id"], r["score"]) for r in served
+    ]
+
+
+def test_corpus_stats_counts_empty_doc_in_n_only(docs):
+    row = pulse.corpus_stats(docs).collect()[0]
+    assert row["n_docs"] == 6
+    # avgdl over the 5 non-empty docs: (4+3+3+4+4)/5
+    assert abs(row["avgdl"] - 18 / 5) < 1e-9
+
+
+def test_search_index_field_filter(index):
+    hits = pulse.search_index(index, "spark", k=10, lang="en").collect()
+    ids = {r["doc_id"] for r in hits}
+    assert ids == {0, 1, 3}
+
+
+def test_search_index_must_not(index):
+    hits = pulse.search_index(index, "spark NOT nsfw:true", k=10).collect()
+    assert {r["doc_id"] for r in hits} == {0, 1}
+    # scores keep corpus-level idf: equal to unfiltered scores for the
+    # same docs (Tantivy boolean-filter semantics)
+    full = {
+        r["doc_id"]: r["score"]
+        for r in pulse.search_index(index, "spark", k=10).collect()
+    }
+    for r in hits:
+        assert r["score"] == full[r["doc_id"]]
+
+
+def test_search_index_must_term(index):
+    # +join restricts to docs containing join (0 and 4); both score on
+    # spark+join, doc 0 higher (it matches both terms)
+    hits = pulse.search_index(index, "spark +join", k=10).collect()
+    assert {r["doc_id"] for r in hits} == {0, 4}
+    assert hits[0]["doc_id"] == 0
+
+
+def test_materialize_load_roundtrip(spark, docs, index, tmp_path):
+    out = str(tmp_path / "idx")
+    pulse.materialize_index(
+        docs, out, meta_cols=("language", "nsfw"), bucket_partitions=4
+    )
+    loaded = pulse.load_index(spark, out, with_meta=True)
+    a = pulse.search_index(index, "spark join", k=10).collect()
+    b = pulse.search_index(loaded, "spark join", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_perform_search_uses_index(spark, docs, index):
+    from vyntr_spark.serve import perform_search
+    from datetime import date
+
+    out = perform_search(
+        docs, "spark shuffle", k=5, today=date(2025, 1, 1), index=index
+    )
+    assert out["web"], "index-served search returned no hits"
+    assert {r["doc_id"] for r in out["web"]} <= {0, 1, 3}

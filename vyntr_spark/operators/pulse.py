@@ -45,31 +45,49 @@ def docstats(df: DataFrame, text_col: str = "text",
     )
 
 
-def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """P8: BM25 top-K for a parsed term list (TopDocs::with_limit(10),
-    pulse/src/bin/server.rs:14). Score rounded to 4dp for cross-engine
-    comparison; ties broken by id.
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """P5: 1-row (n_docs, avgdl) table, materialized at index-build time
+    (pulse's per-commit segment metadata) so the query path never scans
+    the corpus. avgdl averages over docs with >=1 token, matching
+    ``docstats`` (which has no row for an empty doc)."""
+    tok = F.array_remove(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), "")
+    return df.select(F.size(tok).alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
+    )
 
-    Plan shape: postings filtered to the query terms FIRST (predicate
-    pushdown into the postings agg), then joined to docstats and the
-    broadcast per-term df counts — no full-corpus scoring.
+
+def bm25_topk_from_index(post: DataFrame, ds: DataFrame, stats: DataFrame,
+                         query_terms: list[str], k: int = 10,
+                         id_col: str = "doc_id",
+                         restrict: DataFrame | None = None) -> DataFrame:
+    """P8 serving path: BM25 top-K straight from the materialized index
+    tables (postings/docstats/corpus-stats) — the query never touches the
+    raw corpus, so per-query cost is O(df(term)) not O(corpus). This is
+    pulse's server shape (pulse/src/bin/server.rs:75-77: Tantivy searches
+    committed segments, not raw documents).
+
+    ``restrict`` (optional, ids to keep) is applied to the scored
+    candidates only; idf stays corpus-level like Tantivy's boolean
+    filter clauses. Score rounded to 4dp; ties broken by id.
     """
-    spark = df.sparkSession
-    post = postings(df, text_col, id_col)
-    ds = docstats(df, text_col, id_col)
-    n_docs = df.count()
-    avgdl_row = ds.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"] or 0.0)
+    spark = post.sparkSession
+    row = stats.collect()[0]  # 1-row stats table — the only driver fetch
+    n_docs = float(row["n_docs"])
+    avgdl = float(row["avgdl"] or 0.0)
 
     qterms = spark.createDataFrame([(t,) for t in query_terms], "term string")
     qpost = post.join(F.broadcast(qterms), "term")
     dfreq = qpost.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    cand = qpost if restrict is None else qpost.join(
+        restrict.select(id_col), id_col, "semi"
     )
-    scored = (
-        qpost.join(F.broadcast(dfreq), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    return (
+        cand.join(F.broadcast(dfreq), "term")
         .join(ds, id_col)
         .withColumn(
             "contrib",
@@ -82,7 +100,24 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
-    return scored
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """P8 ad-hoc form: derive the index tables inline and delegate to
+    ``bm25_topk_from_index`` — ONE scoring implementation, so the ad-hoc
+    and index-served paths are byte-identical by construction.
+
+    Plan shape: postings filtered to the query terms FIRST (predicate
+    pushdown into the postings agg), then joined to docstats and the
+    broadcast per-term df counts — no full-corpus scoring.
+    """
+    return bm25_topk_from_index(
+        postings(df, text_col, id_col),
+        docstats(df, text_col, id_col),
+        corpus_stats(df, text_col, id_col),
+        query_terms, k=k, id_col=id_col,
+    )
 
 
 def preview(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -225,3 +260,115 @@ def search(df: DataFrame, query: str, k: int = 10,
     if not score_terms:
         return base.select(id_col).limit(k).withColumn("score", F.lit(0.0))
     return bm25_topk(base, score_terms, k=k, text_col=text_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Materialized-index serving path (P5 build -> P8 serve without corpus scan)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass  # noqa: E402
+
+
+@_dataclass
+class BM25Index:
+    """The committed-segment state pulse serves from
+    (pulse/src/bin/server.rs:75-77): postings(term, id, tf),
+    docstats(id, dl), stats(n_docs, avgdl) and optional per-doc
+    attributes for field filters. Each member is a DataFrame so it can
+    be backed by a snapshot table / parquet dir and partition-pruned."""
+
+    postings: DataFrame
+    docstats: DataFrame
+    stats: DataFrame
+    docmeta: DataFrame | None = None
+
+
+def build_index(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                meta_cols: tuple[str, ...] = ()) -> BM25Index:
+    """P5 index build: one tokenize pass fans into the three index
+    tables (each a hash agg with map-side partial combine)."""
+    return BM25Index(
+        postings=postings(df, text_col, id_col),
+        docstats=docstats(df, text_col, id_col),
+        stats=corpus_stats(df, text_col, id_col),
+        docmeta=df.select(id_col, *meta_cols) if meta_cols else None,
+    )
+
+
+def materialize_index(df: DataFrame, out_dir: str, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      meta_cols: tuple[str, ...] = (),
+                      bucket_partitions: int | None = None) -> None:
+    """Write the index tables to ``out_dir`` — postings repartitioned by
+    term so a query's broadcast-term join prunes to the term's partitions
+    (the parquet stand-in for an Iceberg bucket(term) layout)."""
+    idx = build_index(df, text_col, id_col, meta_cols)
+    post = idx.postings
+    if bucket_partitions:
+        post = post.repartition(bucket_partitions, "term")
+    post.write.mode("overwrite").parquet(f"{out_dir}/postings")
+    idx.docstats.write.mode("overwrite").parquet(f"{out_dir}/docstats")
+    idx.stats.write.mode("overwrite").parquet(f"{out_dir}/stats")
+    if idx.docmeta is not None:
+        idx.docmeta.write.mode("overwrite").parquet(f"{out_dir}/docmeta")
+
+
+def load_index(spark, out_dir: str, with_meta: bool = False) -> BM25Index:
+    return BM25Index(
+        postings=spark.read.parquet(f"{out_dir}/postings"),
+        docstats=spark.read.parquet(f"{out_dir}/docstats"),
+        stats=spark.read.parquet(f"{out_dir}/stats"),
+        docmeta=spark.read.parquet(f"{out_dir}/docmeta") if with_meta else None,
+    )
+
+
+def search_index(index: BM25Index, query: str, k: int = 10,
+                 id_col: str = "doc_id",
+                 lang: str | None = None) -> DataFrame:
+    """P6-P9 served from the materialized index: field filters resolve
+    against docmeta, +term/-term resolve as postings semi/anti-joins, and
+    scoring reads only the query terms' postings — per-query work is
+    proportional to the matched postings, never the corpus. idf stays
+    corpus-level (Tantivy treats filters as boolean clauses and keeps
+    global term statistics), which is the one documented difference from
+    the ad-hoc ``search(df, ...)`` that re-derives stats on the filtered
+    subset."""
+    pq = parse_query(query)
+    if lang is not None:
+        pq.fields["language"] = lang
+
+    restrict: DataFrame | None = None
+    if pq.fields:
+        if index.docmeta is None:
+            raise ValueError(
+                "field-filtered query needs an index built with meta_cols"
+            )
+        meta = index.docmeta
+        for f_name, v in pq.fields.items():
+            if f_name in meta.columns:
+                if v.lower() in ("true", "false"):
+                    meta = meta.filter(F.col(f_name) == (v.lower() == "true"))
+                else:
+                    meta = meta.filter(F.col(f_name) == v)
+        restrict = meta.select(id_col)
+    for w in pq.must:
+        ids_w = index.postings.filter(F.col("term") == w).select(id_col)
+        restrict = ids_w if restrict is None else restrict.join(
+            ids_w, id_col, "semi"
+        )
+    for w in pq.must_not:
+        ids_w = index.postings.filter(F.col("term") == w).select(id_col)
+        base = restrict if restrict is not None else \
+            index.docstats.select(id_col)
+        restrict = base.join(ids_w, id_col, "anti")
+
+    score_terms = pq.terms + pq.must
+    if not score_terms:
+        base = restrict if restrict is not None else \
+            index.docstats.select(id_col)
+        return base.limit(k).withColumn("score", F.lit(0.0))
+    return bm25_topk_from_index(
+        index.postings, index.docstats, index.stats, score_terms,
+        k=k, id_col=id_col, restrict=restrict,
+    )

@@ -134,6 +134,7 @@ def perform_search(
     query_log=None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    index: "pulse.BM25Index | None" = None,
 ) -> dict:
     """The W1 merge (search.ts:91-99 response shape). ``today`` is
     injectable for determinism; ``query_log`` is an optional
@@ -188,14 +189,18 @@ def perform_search(
             ).collect()
         ]
 
-    # web search (3.2): server-side NOT nsfw:true unless opted out
+    # web search (3.2): server-side NOT nsfw:true unless opted out.
+    # With a materialized index this reads only the query terms' postings
+    # (pulse serves committed segments, server.rs:75-77); the raw-corpus
+    # scan is the ad-hoc fallback only.
     web_q = q if not safe else f"{q} NOT nsfw:true"
-    base = pulse.nsfw_flag(docs, []) if "nsfw" not in docs.columns else docs
-    out["web"] = [
-        r.asDict()
-        for r in pulse.search(
+    if index is not None:
+        hits = pulse.search_index(index, web_q, k=k, id_col=id_col, lang=lang)
+    else:
+        base = pulse.nsfw_flag(docs, []) if "nsfw" not in docs.columns else docs
+        hits = pulse.search(
             base, web_q, k=k, text_col=text_col, id_col=id_col, lang=lang
-        ).collect()
-    ]
+        )
+    out["web"] = [r.asDict() for r in hits.collect()]
     out["web_total"] = len(out["web"])
     return out
