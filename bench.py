@@ -117,6 +117,43 @@ def main() -> None:
         extras["crawl_frontier_urls_per_sec"] = round((fetched + new_urls) / dt, 2)
         shutil.rmtree(whdir, ignore_errors=True)
 
+    # -- crawl rounds with the bloom-shard prefilter (C4 scale path) ---------
+    if want("crawl_rounds_bloom"):
+        import shutil
+        import tempfile
+
+        whdir = tempfile.mkdtemp(prefix="bench_whb_")
+        store = SnapshotStore(spark, whdir)
+        eng = CrawlEngine(spark, store, pages, max_pages=n_pages, seed=42,
+                          salt_buckets=max(8, cpus),
+                          use_bloom=True, bloom_expected_n=max(n_pages * 4, 100_000))
+        eng.init_from_seeds(default_seeds_web(n_pages, n_hosts, k=n_hosts,
+                                              per_host=5, zipf_s=0.25))
+        t0 = time.monotonic()
+        infos = eng.run(max_rounds=3)
+        dt = time.monotonic() - t0
+        timings["crawl_rounds_bloom"] = round(dt, 3)
+        fetched = sum(i.selected for i in infos)
+        extras["crawl_bloom_pages_per_sec"] = round(fetched / dt, 2)
+        shutil.rmtree(whdir, ignore_errors=True)
+
+    # -- index-served BM25 (P5 build once, P8 serve without corpus scan) -----
+    if want("p8b_bm25_serve"):
+        import shutil
+        import tempfile
+
+        from vyntr_spark.operators import pulse
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+        timed("p5_index_build", lambda: pulse.materialize_index(
+            docs, idx_dir, bucket_partitions=cpus))
+        loaded = pulse.load_index(spark, idx_dir)
+        timed("p8b_bm25_serve", lambda: pulse.bm25_topk_from_index(
+            loaded.postings, loaded.docstats, loaded.stats,
+            entry_mod.BM25_QUERY, k=10).count())
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     # -- raw extraction throughput ------------------------------------------
     if want("extract_all"):
         t0 = time.monotonic()

@@ -22,9 +22,12 @@ hash range needs; shards update incrementally per round (OR of the new
 URLs' bit positions). At sandbox scale K=8 suffices; the layout is the
 same.
 
-Pure public APIs: hashing via md5 (stable across engines/sessions),
-aggregation via RDD treeAggregate per shard, application via a
-broadcast + vectorized pandas UDF.
+Pure public APIs: hashing via md5 (stable across engines/sessions).
+Build: per-partition partial bitmaps merged executor-side via
+reduceByKey (one reduce task per shard; driver sees K blobs). Apply:
+candidates hash-routed to their shard and cogrouped with the shard
+table so each task holds one bitmap — with a broadcast + vectorized
+pandas-UDF fast path for small blooms.
 """
 
 from __future__ import annotations
@@ -52,6 +55,23 @@ def _shard_of(url: str, n_shards: int) -> int:
     return int.from_bytes(hashlib.md5(url.encode()).digest()[:4], "little") % n_shards
 
 
+def shard_expr(col, n_shards: int):
+    """Native-expression twin of ``_shard_of`` (md5 digest bytes 0..3
+    little-endian mod K) so candidate routing stays JVM-side."""
+    h = F.md5(col)
+    le_hex = F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+    )
+    return (F.conv(le_hex, 16, 10).cast("long") % n_shards).cast("int")
+
+
+def _or_blobs(a: bytes, b: bytes) -> bytes:
+    return np.bitwise_or(
+        np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+    ).tobytes()
+
+
 class BloomShards:
     """Immutable snapshot of K bloom shards; build/extend distributively."""
 
@@ -73,9 +93,14 @@ class BloomShards:
         return cls(n_shards, m, k)
 
     def add_df(self, urls: DataFrame, url_col: str = "url") -> "BloomShards":
-        """OR the bit positions of every url into the shards (distributed
-        partial bitmaps per partition, reduced on the driver — each task
-        materializes only n_shards small bitmaps)."""
+        """OR the bit positions of every url into the shards.
+
+        Scale shape: each input partition emits at most one partial bitmap
+        per *touched* shard; ``reduceByKey`` (map-side combine, one reduce
+        task per shard) merges the partials executor-side, so the
+        partition-count x shard-count partial set is never co-resident
+        anywhere — the driver receives exactly ``n_shards`` merged blobs.
+        """
         n_shards, m_bits, k_hashes = self.n_shards, self.m_bits, self.k_hashes
         nbytes = m_bits // 8 + 1
 
@@ -92,14 +117,74 @@ class BloomShards:
                     arr[pos >> 3] |= 1 << (pos & 7)
             return [(s, a.tobytes()) for s, a in local.items()]
 
-        partials = urls.select(url_col).rdd.mapPartitions(build).collect()
+        merged = (
+            urls.select(url_col).rdd.mapPartitions(build)
+            .reduceByKey(_or_blobs, numPartitions=n_shards)
+            .collect()
+        )
         shards = [s.copy() for s in self.shards]
-        for s, b in partials:
+        for s, b in merged:
             shards[s] |= np.frombuffer(b, dtype=np.uint8)
         return BloomShards(n_shards, m_bits, k_hashes, shards)
 
+    def flag_maybe_sharded(self, candidates: DataFrame,
+                           url_col: str = "url") -> DataFrame:
+        """Shard-routed maybe-seen flagging: candidates are hash-routed to
+        their shard (native expr) and cogrouped with a (shard_id, blob)
+        DataFrame, so **each task holds exactly one shard's bitmap** —
+        no process ever materializes all shards (the 10^10-URL layout:
+        1024 x ~12 MB shards, one per reduce task). Returns the candidate
+        columns plus a ``_maybe`` boolean.
+
+        Parallelism = number of shards; use the broadcast
+        ``might_contain_udf`` path instead when the whole bloom is small
+        enough to ship to every executor.
+        """
+        n_shards, m_bits, k_hashes = self.n_shards, self.m_bits, self.k_hashes
+        spark = candidates.sparkSession
+        shards_df = spark.createDataFrame(
+            [(i, bytearray(s.tobytes())) for i, s in enumerate(self.shards)],
+            "shard_id int, blob binary",
+        )
+        cand = candidates.withColumn(
+            "_shard", shard_expr(F.col(url_col), n_shards)
+        )
+        out_schema = T.StructType(
+            list(candidates.schema.fields)
+            + [T.StructField("_maybe", T.BooleanType(), True)]
+        )
+        cand_cols = [f.name for f in candidates.schema.fields]
+
+        def check(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = (
+                np.frombuffer(shard_pdf["blob"].iloc[0], dtype=np.uint8)
+                if len(shard_pdf)
+                else None
+            )
+
+            def one(u):
+                if u is None or arr is None:
+                    return False
+                return all(
+                    arr[p >> 3] & (1 << (p & 7))
+                    for p in _hashes(u, m_bits, k_hashes)
+                )
+
+            out = cand_pdf[cand_cols].copy()
+            out["_maybe"] = cand_pdf[url_col].map(one)
+            return out
+
+        return (
+            cand.groupby("_shard")
+            .cogroup(shards_df.groupby("shard_id"))
+            .applyInPandas(check, out_schema)
+        )
+
     def might_contain_udf(self, spark: SparkSession):
-        """Broadcast the shards; return a vectorized maybe-seen predicate."""
+        """Broadcast the shards; return a vectorized maybe-seen predicate.
+        Small-bloom fast path only — ships every shard to every executor,
+        so use ``flag_maybe_sharded`` once total bloom size is beyond a
+        few hundred MB."""
         bc = spark.sparkContext.broadcast(
             (self.n_shards, self.m_bits, self.k_hashes,
              [s.tobytes() for s in self.shards])
@@ -124,13 +209,20 @@ class BloomShards:
 
 
 def bloom_anti_join(candidates: DataFrame, seen: DataFrame,
-                    bloom: BloomShards, url_col: str = "url") -> DataFrame:
+                    bloom: BloomShards, url_col: str = "url",
+                    route: str = "sharded") -> DataFrame:
     """Unseen candidates = bloom-definitely-unseen ∪ exact-confirmed.
     Equivalent to candidates.join(seen, url, 'left_anti') — the bloom just
-    shrinks the shuffled side."""
-    spark = candidates.sparkSession
-    pred = bloom.might_contain_udf(spark)
-    flagged = candidates.withColumn("_maybe", pred(F.col(url_col)))
+    shrinks the shuffled side.
+
+    ``route='sharded'`` (default, the scale path) hash-routes candidates
+    so each task touches one shard; ``route='broadcast'`` ships the whole
+    bloom to every executor (fine while the bloom is small)."""
+    if route == "sharded":
+        flagged = bloom.flag_maybe_sharded(candidates, url_col)
+    else:
+        pred = bloom.might_contain_udf(candidates.sparkSession)
+        flagged = candidates.withColumn("_maybe", pred(F.col(url_col)))
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     survivors = flagged.filter(F.col("_maybe")).drop("_maybe")
     confirmed_new = survivors.join(seen.select(url_col), url_col, "left_anti")
