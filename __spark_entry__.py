@@ -196,6 +196,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p8b_bm25_from_index"] = p8b
 
+    def p6b(s, sf):
+        # P6 full semantics: quoted-phrase query (positional adjacency)
+        # through the boolean parser + positional index
+        from vyntr_spark.operators import boolquery
+
+        idx = pulse.build_index(_docs(s, sf), with_positions=True)
+        return boolquery.search_boolean(idx, '"part filter"', k=10)
+
+    q["p6b_phrase_search"] = p6b
+
     q["p11_string_agg"] = lambda s, sf: pulse.meta_agg(_events(s, sf))
 
     # ---- embeddings (E-ops) -------------------------------------------------
@@ -780,6 +790,33 @@ SELECT doc_id, round(sum(contrib), 4) AS score FROM (
 
     # index-served P8 must be byte-identical to the ad-hoc form
     o["p8b_bm25_from_index"] = o["p8_bm25_topk"]
+
+    # P6 phrase query: positional adjacency match, then BM25 over the
+    # phrase terms restricted to matched docs with CORPUS-level idf
+    # (Tantivy boolean-filter semantics — operators/boolquery.py)
+    o["p6b_phrase_search"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tl FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS term, generate_subscripts(tl, 1) AS pos
+        FROM toks),
+matched AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'part' AND b.term = 'filter'),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ds AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl
+           FROM ds),
+qt(term) AS (VALUES ('part'), ('filter')),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+          WHERE term IN (SELECT term FROM qt) GROUP BY term)
+SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+  SELECT p.doc_id,
+         ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         AS contrib
+  FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
+  WHERE p.doc_id IN (SELECT doc_id FROM matched)
+) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
     o["p11_string_agg"] = (
         "SELECT user_id, string_agg(printf('%s: %.2f', event_type, value), ' ' "

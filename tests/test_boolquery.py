@@ -1,0 +1,117 @@
+"""P6 full query semantics: quoted phrases (positional adjacency),
+parenthesized boolean groups, NOT/AND/OR — served from the positional
+index, cross-checked against a naive Python evaluator."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vyntr_spark.operators import boolquery, pulse
+
+DOCS = [
+    (0, "the quick brown fox jumps", "en"),
+    (1, "quick brown dog naps", "en"),
+    (2, "brown quick reversed order", "en"),
+    (3, "a fox and a dog", "de"),
+    (4, "quick-brown hyphen splits to adjacency", "en"),
+    (5, "quick x brown gap", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, language string")
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    return pulse.build_index(
+        docs, meta_cols=("language",), with_positions=True
+    )
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.collect()}
+
+
+def _naive_tokens(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _naive_phrase(words):
+    out = set()
+    for doc_id, text, _ in DOCS:
+        toks = _naive_tokens(text)
+        for i in range(len(toks) - len(words) + 1):
+            if toks[i:i + len(words)] == words:
+                out.add(doc_id)
+                break
+    return out
+
+
+def test_positions_are_cleaned_sequence_indices(index):
+    rows = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in index.postings.collect()
+    }
+    assert rows[("quick", 0)] == [1]      # after "the"
+    assert rows[("brown", 2)] == [0]
+    assert rows[("quick", 4)] == [0]      # hyphen splits into two tokens
+
+
+def test_phrase_adjacency(index):
+    got = _ids(boolquery.search_boolean(index, '"quick brown"', k=10))
+    assert got == _naive_phrase(["quick", "brown"])
+    assert got == {0, 1, 4}  # not 2 (reversed), not 5 (gap)
+
+
+def test_three_word_phrase(index):
+    got = _ids(boolquery.search_boolean(index, '"quick brown fox"', k=10))
+    assert got == {0}
+
+
+def test_grouped_boolean(index):
+    got = _ids(boolquery.search_boolean(index, "(fox OR dog) AND quick", k=10))
+    assert got == {0, 1}
+
+
+def test_not_and_field(index):
+    got = _ids(boolquery.search_boolean(index, "fox NOT dog", k=10))
+    # bare adjacency is OR for matching; NOT dog excludes dog docs
+    assert got == {0}
+    got = _ids(
+        boolquery.search_boolean(index, "(fox OR dog) AND language:de", k=10)
+    )
+    assert got == {3}
+
+
+def test_phrase_scores_match_term_bm25_on_matched_docs(index):
+    """Scoring = BM25 of the positive terms restricted to matched docs,
+    corpus-level idf — so a phrase hit scores exactly like the same doc
+    under the plain two-term query."""
+    phrase = {
+        r["doc_id"]: r["score"]
+        for r in boolquery.search_boolean(index, '"quick brown"', k=10).collect()
+    }
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in pulse.bm25_topk_from_index(
+            index.postings, index.docstats, index.stats,
+            ["quick", "brown"], k=10
+        ).collect()
+    }
+    for doc_id, score in phrase.items():
+        assert score == plain[doc_id]
+
+
+def test_parser_shapes():
+    n = boolquery.parse_boolean('(a OR b) AND c')
+    assert isinstance(n, boolquery.And)
+    assert isinstance(n.children[0], boolquery.Or)
+    n = boolquery.parse_boolean('"one two" -bad field:val')
+    assert isinstance(n, boolquery.Or)
+    kinds = [type(c).__name__ for c in n.children]
+    assert kinds == ["Phrase", "Not", "FieldFilter"]
+    assert boolquery.parse_boolean("") is None
+    assert boolquery.parse_boolean('""') is None

@@ -85,7 +85,11 @@ def test_perform_search_nsfw_gate(spark, docs):
     assert nsfw_ids and all(r["doc_id"] not in nsfw_ids for r in out["web"])
 
 
-def test_perform_search_query_log_upsert(spark, docs, tmp_path):
+def test_perform_search_query_log_increment(spark, docs, tmp_path):
+    """W2 at scale: each search APPENDS a (query, 1) increment row
+    (O(1) per request); totals come from the rollup, not a per-request
+    table rewrite."""
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from vyntr_spark.tables import SnapshotStore
@@ -101,5 +105,9 @@ def test_perform_search_query_log_upsert(spark, docs, tmp_path):
     perform_search(docs, "Spark  ", k=1, today=TODAY, query_log=log)
     out = perform_search(docs, "spark", k=1, today=TODAY, query_log=log)
     assert out["query_count"] == 2
-    rows = {r["query"]: r["count"] for r in log.read().collect()}
-    assert rows == {"spark": 2}
+    rolled = {
+        r["query"]: r["n"]
+        for r in log.read().groupBy("query")
+        .agg(F.sum("count").alias("n")).collect()
+    }
+    assert rolled == {"spark": 2}

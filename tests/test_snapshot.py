@@ -75,6 +75,13 @@ def test_expire_snapshots(spark, tmp_path):
     assert ta.expire_snapshots(keep_last=1) == 0
     assert {r["url"] for r in ta.read(as_of=a1).collect()} == {"x"}
 
+    # rollback to an expired snapshot must refuse BEFORE deleting
+    # anything (completing it would leave the table unreadable forever)
+    with pytest.raises(ValueError, match="expired"):
+        t.rollback(s2)
+    assert [r["url"] for r in t.read().collect()] == ["c"]
+    assert [s.snapshot_id for s in t.snapshots()] == [s1, s2, s3]
+
 
 def test_expire_keeps_window_replace_history(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "wh4"))

@@ -74,6 +74,7 @@ class CrawlEngine:
         use_bloom: bool = False,
         bloom_expected_n: int = 1_000_000,
         io_coalesce: int | None = 4,
+        parallel_commits: bool = True,
     ):
         self.spark = spark
         self.store = store
@@ -87,6 +88,12 @@ class CrawlEngine:
         self.collect_debug = collect_debug
         self.use_bloom = use_bloom
         self.bloom_expected_n = bloom_expected_n
+        # overlap the three independent round-tail jobs (frontier commit,
+        # seen commit, metrics agg) via concurrent job submission — they
+        # share only persisted inputs, and the per-table snapshot commit
+        # was never atomic across tables anyway (round_state, committed
+        # last, remains the round's durability barrier)
+        self.parallel_commits = parallel_commits
         # output-file sizing for snapshot commits (None = shuffle-partition
         # count; Iceberg proper would size files via its own write targets)
         self.io_coalesce = io_coalesce
@@ -180,6 +187,11 @@ class CrawlEngine:
         if self._frontier_size == 0:
             return None
         fsize = self._frontier_size
+        # invalidate for the duration of the round: if anything below
+        # raises, a retry on this engine instance must re-count rather
+        # than make budget/empty decisions on a stale size (restored from
+        # fsize on successful completion)
+        self._frontier_size = None
 
         sel = politeness_select(frontier, self.cap, self.salt_buckets)
         obs_sel: Observation | None = None
@@ -355,37 +367,63 @@ class CrawlEngine:
         )
         remaining_frontier = frontier.join(sel.select("url"), "url", "left_anti")
         next_frontier = remaining_frontier.unionByName(new_frontier_rows)
-        self.store.table("frontier").commit(next_frontier, "replace",
-                                            {"round": rnd},
-                                            coalesce=self.io_coalesce)
-        n_cand = int(obs_cand.get["n"])
-        n_new = int(obs_new.get["n"])
-        _mark('frontier_commit+expansion')
-        if self.use_bloom and n_new:
-            self._bloom = self._bloom.add_df(new.select("url"))
-        self.store.table("seen").commit(
-            new.select(F.hash("url").alias("url_hash"), "url"),
-            "append",
-            {"round": rnd},
-            coalesce=self.io_coalesce,
-        )
-        _mark('seen_commit')
+
+        def _commit_frontier() -> None:
+            self.store.table("frontier").commit(next_frontier, "replace",
+                                                {"round": rnd},
+                                                coalesce=self.io_coalesce)
+
+        def _commit_seen() -> None:
+            self.store.table("seen").commit(
+                new.select(F.hash("url").alias("url_hash"), "url"),
+                "append",
+                {"round": rnd},
+                coalesce=self.io_coalesce,
+            )
 
         # -- metrics (C20) per md5-partition lineage --------------------------
         # one aggregation job: per-partition outcome counts collected to the
         # driver (≤256 rows at any scale); round totals derived by summation
-        part_rows = (
-            outcome_rows.groupBy(part.alias("partition"))
-            .agg(
-                F.count("*").alias("total"),
-                F.sum((F.col("outcome") == "success").cast("long")).alias("success"),
-                F.sum((F.col("outcome").isin("failed", "missing")).cast("long")).alias("failed"),
-                F.sum((F.col("outcome") == "skipped_ct").cast("long")).alias("skipped_ct"),
-                F.sum((F.col("outcome") == "robots_blocked").cast("long")).alias("robots_blocked"),
+        def _metrics_rows() -> list:
+            return (
+                outcome_rows.groupBy(part.alias("partition"))
+                .agg(
+                    F.count("*").alias("total"),
+                    F.sum((F.col("outcome") == "success").cast("long")).alias("success"),
+                    F.sum((F.col("outcome").isin("failed", "missing")).cast("long")).alias("failed"),
+                    F.sum((F.col("outcome") == "skipped_ct").cast("long")).alias("skipped_ct"),
+                    F.sum((F.col("outcome") == "robots_blocked").cast("long")).alias("robots_blocked"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        _mark('metrics_agg_collect')
+
+        if self.parallel_commits:
+            # the three jobs are independent (they share only the persisted
+            # sel/fetched_slim/cand/new DFs); overlapping them removes the
+            # constant per-round serial tail that otherwise caps scaling —
+            # at 4N cores the extract stage shrinks but 3 x ~1 s of
+            # back-to-back small jobs would not
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                fut_f = pool.submit(_commit_frontier)
+                fut_s = pool.submit(_commit_seen)
+                fut_m = pool.submit(_metrics_rows)
+                fut_f.result()
+                fut_s.result()
+                part_rows = fut_m.result()
+            _mark('frontier+seen+metrics (overlapped)')
+        else:
+            _commit_frontier()
+            _mark('frontier_commit+expansion')
+            _commit_seen()
+            _mark('seen_commit')
+            part_rows = _metrics_rows()
+            _mark('metrics_agg_collect')
+        n_cand = int(obs_cand.get["n"])
+        n_new = int(obs_new.get["n"])
+        if self.use_bloom and n_new:
+            self._bloom = self._bloom.add_df(new.select("url"))
         n_succ = sum(r["success"] for r in part_rows)
         wall_ms = int((time.monotonic() - t0) * 1000)
         metric_tuples = [

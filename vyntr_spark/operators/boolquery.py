@@ -1,0 +1,329 @@
+"""Tantivy-QueryParser-shaped boolean/phrase queries over the
+materialized index (P6 full semantics; reference
+pulse/src/bin/server.rs:165-173 — Tantivy's QueryParser accepts quoted
+phrases, parenthesized boolean groups, AND/OR/NOT and +/- prefixes).
+
+Grammar (recursive descent):
+    or_expr  := and_expr (OR and_expr)*
+    and_expr := unary (AND unary)*
+    unary    := NOT unary | '-' primary | '+' primary | primary
+    primary  := '(' or_expr ')' | '"phrase words"' | field:value | term
+
+Bare space-separated terms at the same level are OR-combined for
+matching (Tantivy's default "should" clauses) while every positive term
+still contributes to the BM25 score.
+
+Evaluation is doc-set algebra on the index tables — per-term postings
+lookups (partition-prunable when postings are bucketed by term),
+semi/anti/union joins on doc ids, and positional adjacency via
+``array_intersect`` on per-term position lists. Nothing scans the raw
+corpus. Scoring reuses ``bm25_topk_from_index`` (corpus-level idf,
+Tantivy boolean-filter semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .pulse import TOKEN_SPLIT, BM25Index, bm25_topk_from_index
+
+# ---------------------------------------------------------------------------
+# positional postings (P5 extension: Tantivy stores positions per posting)
+# ---------------------------------------------------------------------------
+
+
+def tokens_expr(text_col: str):
+    """Order-preserving cleaned token array (split + drop empties), so a
+    token's array index IS its position."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def postings_positions(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(term, id, tf, positions) — positions are 0-based indices into the
+    cleaned token sequence, sorted ascending. One shuffle (groupBy term+id
+    with map-side partial agg), same shape as plain postings plus the
+    position list Tantivy keeps for phrase queries."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "term"),
+    )
+    return tok.groupBy("term", id_col).agg(
+        F.count("*").alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Term:
+    word: str
+
+
+@dataclass
+class Phrase:
+    words: list[str]
+
+
+@dataclass
+class FieldFilter:
+    name: str
+    value: str
+
+
+@dataclass
+class Not:
+    child: object
+
+
+@dataclass
+class And:
+    children: list
+
+
+@dataclass
+class Or:
+    children: list
+
+
+_TOKEN_RE = re.compile(r'"([^"]*)"|(\()|(\))|([^\s()]+)')
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    out = []
+    for m in _TOKEN_RE.finditer(q):
+        if m.group(1) is not None:
+            out.append(("PHRASE", m.group(1)))
+        elif m.group(2):
+            out.append(("LPAREN", "("))
+        elif m.group(3):
+            out.append(("RPAREN", ")"))
+        else:
+            out.append(("WORD", m.group(4)))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.or_expr()
+        return node
+
+    def or_expr(self):
+        children = [self.and_expr()]
+        while True:
+            kind, val = self.peek()
+            if kind == "WORD" and val.upper() == "OR":
+                self.take()
+                children.append(self.and_expr())
+            elif kind in ("WORD", "PHRASE", "LPAREN"):
+                # bare adjacency = Tantivy "should" clauses (OR for match)
+                children.append(self.and_expr())
+            else:
+                break
+        children = [c for c in children if c is not None]
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else Or(children)
+
+    def and_expr(self):
+        children = [self.unary()]
+        while True:
+            kind, val = self.peek()
+            if kind == "WORD" and val.upper() == "AND":
+                self.take()
+                children.append(self.unary())
+            else:
+                break
+        children = [c for c in children if c is not None]
+        if not children:
+            return None
+        return children[0] if len(children) == 1 else And(children)
+
+    def unary(self):
+        kind, val = self.peek()
+        if kind == "WORD" and val.upper() == "NOT":
+            self.take()
+            child = self.unary()
+            return Not(child) if child is not None else None
+        if kind == "WORD" and val.startswith("-") and len(val) > 1:
+            self.take()
+            return Not(self._word_node(val[1:]))
+        if kind == "WORD" and val.startswith("+") and len(val) > 1:
+            self.take()
+            return self._word_node(val[1:])
+        return self.primary()
+
+    def primary(self):
+        kind, val = self.take()
+        if kind == "LPAREN":
+            node = self.or_expr()
+            k, _ = self.peek()
+            if k == "RPAREN":
+                self.take()
+            return node
+        if kind == "PHRASE":
+            words = [w for w in re.split(TOKEN_SPLIT, val.lower()) if w]
+            if not words:
+                return None
+            return Term(words[0]) if len(words) == 1 else Phrase(words)
+        if kind == "WORD":
+            return self._word_node(val)
+        return None
+
+    @staticmethod
+    def _word_node(val: str):
+        if ":" in val:
+            name, v = val.split(":", 1)
+            if name and v:
+                return FieldFilter(name, v)
+        w = re.sub(TOKEN_SPLIT, "", val.lower())
+        return Term(w) if w else None
+
+
+def parse_boolean(q: str):
+    """Parse a Tantivy-style query string into an AST (None = empty)."""
+    return _Parser(_lex(q)).parse()
+
+
+# ---------------------------------------------------------------------------
+# evaluation over the index
+# ---------------------------------------------------------------------------
+
+
+def _phrase_docs(post: DataFrame, words: list[str],
+                 id_col: str) -> DataFrame:
+    """Docs where the words occur at consecutive positions: shift each
+    term's position list by its offset and intersect — a per-term
+    postings lookup + doc_id equi-joins, never a corpus scan."""
+    if "positions" not in post.columns:
+        raise ValueError(
+            "phrase query needs positional postings "
+            "(build_index(..., with_positions=True))"
+        )
+    cur = post.filter(F.col("term") == words[0]).select(
+        F.col(id_col), F.col("positions").alias("_starts")
+    )
+    for i, w in enumerate(words[1:], start=1):
+        # NB: any 2-parameter lambda (even with a default) is treated by
+        # F.transform as the (element, index) form — build a unary
+        # closure over the offset instead
+        shift = (lambda o: (lambda x: x - o))(i)
+        nxt = post.filter(F.col("term") == w).select(
+            F.col(id_col),
+            F.transform("positions", shift).alias("_shift"),
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .withColumn("_starts", F.array_intersect("_starts", "_shift"))
+            .filter(F.size("_starts") > 0)
+            .drop("_shift")
+        )
+    return cur.select(id_col)
+
+
+def _eval_docs(node, index: BM25Index, id_col: str) -> DataFrame:
+    post = index.postings
+    if isinstance(node, Term):
+        return post.filter(F.col("term") == node.word).select(id_col).distinct()
+    if isinstance(node, Phrase):
+        return _phrase_docs(post, node.words, id_col)
+    if isinstance(node, FieldFilter):
+        if index.docmeta is None or node.name not in index.docmeta.columns:
+            return index.docstats.select(id_col)  # unknown field: no-op
+        v = node.value
+        col = F.col(node.name)
+        cond = col == (v.lower() == "true") if v.lower() in ("true", "false") \
+            else col == v
+        return index.docmeta.filter(cond).select(id_col)
+    if isinstance(node, Not):
+        return index.docstats.select(id_col).join(
+            _eval_docs(node.child, index, id_col), id_col, "anti"
+        )
+    if isinstance(node, And):
+        cur = _eval_docs(node.children[0], index, id_col)
+        for c in node.children[1:]:
+            cur = cur.join(_eval_docs(c, index, id_col), id_col, "semi")
+        return cur
+    if isinstance(node, Or):
+        # Tantivy's flat BooleanQuery occurs: Not children are must_not
+        # over the whole clause set, FieldFilter children are musts
+        # (filters, matching the rest of the repo's field semantics),
+        # everything else is a should (union)
+        neg = [c for c in node.children if isinstance(c, Not)]
+        fields = [c for c in node.children if isinstance(c, FieldFilter)]
+        pos = [
+            c for c in node.children
+            if not isinstance(c, (Not, FieldFilter))
+        ]
+        if pos:
+            cur = _eval_docs(pos[0], index, id_col)
+            for c in pos[1:]:
+                cur = cur.unionByName(_eval_docs(c, index, id_col))
+            cur = cur.distinct()
+        else:
+            cur = index.docstats.select(id_col)
+        for c in fields:
+            cur = cur.join(_eval_docs(c, index, id_col), id_col, "semi")
+        for c in neg:
+            cur = cur.join(_eval_docs(c.child, index, id_col), id_col, "anti")
+        return cur
+    raise TypeError(f"unknown node {node!r}")
+
+
+def _positive_terms(node, negated: bool = False) -> list[str]:
+    """Scoring terms: every Term/Phrase word under an even number of
+    NOTs (Tantivy scores the positive clauses of a boolean query)."""
+    if node is None or isinstance(node, FieldFilter):
+        return []
+    if isinstance(node, Term):
+        return [] if negated else [node.word]
+    if isinstance(node, Phrase):
+        return [] if negated else list(node.words)
+    if isinstance(node, Not):
+        return _positive_terms(node.child, not negated)
+    out: list[str] = []
+    for c in node.children:
+        out.extend(_positive_terms(c, negated))
+    return out
+
+
+def search_boolean(index: BM25Index, query: str, k: int = 10,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Full P6 query semantics served from the index: boolean/phrase/
+    field matching as doc-set algebra, BM25 scoring of the positive
+    terms restricted to the matched set (corpus-level idf)."""
+    node = parse_boolean(query)
+    if node is None:
+        return (
+            index.docstats.select(id_col).limit(0)
+            .withColumn("score", F.lit(0.0))
+        )
+    matched = _eval_docs(node, index, id_col)
+    terms = list(dict.fromkeys(_positive_terms(node)))  # dedup, keep order
+    if not terms:
+        return matched.limit(k).withColumn("score", F.lit(0.0))
+    return bm25_topk_from_index(
+        index.postings, index.docstats, index.stats, terms,
+        k=k, id_col=id_col, restrict=matched,
+    )

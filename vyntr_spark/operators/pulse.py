@@ -285,11 +285,20 @@ class BM25Index:
 
 def build_index(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id",
-                meta_cols: tuple[str, ...] = ()) -> BM25Index:
+                meta_cols: tuple[str, ...] = (),
+                with_positions: bool = False) -> BM25Index:
     """P5 index build: one tokenize pass fans into the three index
-    tables (each a hash agg with map-side partial combine)."""
+    tables (each a hash agg with map-side partial combine).
+    ``with_positions`` stores per-posting position lists (Tantivy keeps
+    them for phrase queries — operators/boolquery.py)."""
+    if with_positions:
+        from .boolquery import postings_positions
+
+        post = postings_positions(df, text_col, id_col)
+    else:
+        post = postings(df, text_col, id_col)
     return BM25Index(
-        postings=postings(df, text_col, id_col),
+        postings=post,
         docstats=docstats(df, text_col, id_col),
         stats=corpus_stats(df, text_col, id_col),
         docmeta=df.select(id_col, *meta_cols) if meta_cols else None,

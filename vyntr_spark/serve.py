@@ -149,18 +149,21 @@ def perform_search(
         return out
 
     if query_log is not None:
-        # W2 (search.ts:126-144): count = count + 1 upsert on the
-        # normalized query
+        # W2 (search.ts:126-144): count = count + 1 on the normalized
+        # query. Scale shape: APPEND an increment row (O(1) per search)
+        # and let reads roll up with the existing W2 rollup operator —
+        # the old read-modify-write upsert rewrote the whole log table
+        # per request. Compaction = periodic rollup + replace.
         spark = docs.sparkSession
-        incoming = spark.createDataFrame([(norm, 1)], "query string, count long")
-        current = query_log.read().filter(F.col("query") == norm)
-        rows = current.collect()
-        n = (rows[0]["count"] + 1) if rows else 1
-        query_log.upsert(
-            spark.createDataFrame([(norm, n)], "query string, count long"),
-            keys=["query"],
+        query_log.commit(
+            spark.createDataFrame([(norm, 1)], "query string, count long"),
+            "append", {"op": "w2_increment"},
         )
-        out["query_count"] = n
+        n = (
+            query_log.read().filter(F.col("query") == norm)
+            .agg(F.sum("count").alias("n")).collect()[0]["n"]
+        )
+        out["query_count"] = int(n)
 
     today = today or date.today()
     out["date"] = parse_date_query(norm, today)

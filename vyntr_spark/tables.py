@@ -296,7 +296,15 @@ class SnapshotTable:
 
     def rollback(self, snapshot_id: int) -> None:
         """Drop every snapshot newer than ``snapshot_id`` (Iceberg
-        rollback_to_snapshot analog). Physical dirs are removed."""
+        rollback_to_snapshot analog). Physical dirs are removed.
+
+        Refuses when the target snapshot's live lineage contains a path
+        already removed by ``expire_snapshots`` — completing such a
+        rollback would leave the table permanently unreadable (every
+        subsequent read would hit the expired-data guard)."""
+        # mirrors the read-time guard in _live_paths (raises ValueError
+        # on an expired path in the target lineage) BEFORE any deletion
+        self._live_paths(as_of=snapshot_id)
         snaps = self._load()
         keep = [s for s in snaps if s.snapshot_id <= snapshot_id]
         drop = [s for s in snaps if s.snapshot_id > snapshot_id]
