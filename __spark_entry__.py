@@ -206,6 +206,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p6b_phrase_search"] = p6b
 
+    def p4b(s, sf):
+        # P4 full semantics (pulse/src/main.rs:114-118): nsfw = OR over
+        # domain-of(content/title/url) membership; title row exercises
+        # repeated-prefix stripping + case folding + first-'/' split
+        d = _docs(s, sf).select(
+            "doc_id", "text",
+            F.format_string(
+                "https://www.host%d.example/p%d",
+                F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("url"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("www.HOST3.example/x y")
+            ).otherwise(F.format_string("t %d", F.col("doc_id"))).alias("title"),
+        )
+        domains = s.createDataFrame(
+            [("host7.example",), ("host13.example",), ("host3.example",)],
+            "domain string",
+        )
+        return pulse.nsfw_flag_domains(
+            d, domains, cols=("text", "title", "url")
+        ).select("doc_id", "nsfw")
+
+    q["p4b_nsfw_domains"] = p4b
+
+    def w12(s, sf):
+        # W12 WordNet load: deterministic LMF XML generated from the
+        # documents ids (one LexicalEntry per doc; a group synset per 5
+        # docs; a shared synset for doc_id%3==0 entries), parsed by the
+        # real XML loader, aggregated per POS. Oracle replays the
+        # generation math relationally (pairs sharing a synset).
+        import tempfile
+
+        from vyntr_spark.sources.wordnet import POS_MAP, wordnet_df
+
+        n = _docs(s, sf).count()
+        codes = list(POS_MAP.keys())  # n v a r s c p x u
+        parts = ["<LexicalResource><Lexicon>"]
+        for g in range((n + 4) // 5):
+            parts.append(
+                f'<Synset id="sg{g}" partOfSpeech="{codes[g % 9]}">'
+                f"<Definition>def g{g}</Definition></Synset>"
+            )
+        parts.append(
+            '<Synset id="scommon" partOfSpeech="n">'
+            "<Definition>def common</Definition></Synset>"
+        )
+        for i in range(n):
+            senses = [f'<Sense id="sn{i}" synset="sg{i // 5}"/>']
+            if i % 3 == 0:
+                senses.append(f'<Sense id="snc{i}" synset="scommon"/>')
+            parts.append(
+                f'<LexicalEntry id="w{i}">'
+                f'<Lemma writtenForm="word{i}" partOfSpeech="{codes[i % 9]}"/>'
+                + "".join(senses) + "</LexicalEntry>"
+            )
+        parts.append("</Lexicon></LexicalResource>")
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".xml", delete=False
+        ) as f:
+            f.write("".join(parts))
+            path = f.name
+        wn = wordnet_df(s, path)
+        return wn.groupBy("part_of_speech").agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("definitions")).alias("n_defs"),
+            F.sum(F.size("synonyms")).alias("n_syn"),
+        )
+
+    q["w12_wordnet"] = w12
+
+    def c13(s, sf):
+        # C13 request fingerprint (genesis/src/fingerprint.rs:9-88):
+        # per-IP stable UA + referrer as native md5/CASE exprs; every
+        # 5th url is root-path (referrer suppressed)
+        from vyntr_spark.operators.fingerprint import request_fingerprint
+
+        d = _docs(s, sf).select(
+            "doc_id",
+            F.format_string(
+                "10.%d.%d.%d",
+                F.col("doc_id") % 4, F.col("doc_id") % 256,
+                (F.col("doc_id") * 7) % 256,
+            ).alias("ip"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(
+                    "https://host%d.example/", F.col("doc_id") % 50
+                ),
+            ).otherwise(
+                F.format_string(
+                    "https://host%d.example/p%d",
+                    F.col("doc_id") % 50, F.col("doc_id"),
+                )
+            ).alias("url"),
+        )
+        return request_fingerprint(d).select(
+            "doc_id", "user_agent", "referrer"
+        )
+
+    q["c13_fingerprint"] = c13
+
     q["p11_string_agg"] = lambda s, sf: pulse.meta_agg(_events(s, sf))
 
     # ---- embeddings (E-ops) -------------------------------------------------
@@ -267,6 +368,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at both sf0.001 and sf0.01 (the operator is threshold-parametric)
     q["t_embed_neardup"] = lambda s, sf: vectors.cosine_neardup_pairs(
         _emb(s, sf), threshold=0.4
+    )
+
+    # banded variant (scale path): 2 independent 4-bit sign-hashes,
+    # candidate = collision in ANY band — bounded buckets + recovered
+    # recall (VERDICT r1: fixed 8-bit width is a scale-killer)
+    q["t_embed_neardup_banded"] = lambda s, sf: vectors.cosine_neardup_pairs(
+        _emb(s, sf), threshold=0.4, n_bits=4, n_bands=2
     )
 
     q["t_langid"] = lambda s, sf: textstats.lang_id(_docs(s, sf))
@@ -674,8 +782,8 @@ def _hex4_to_int(expr: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _lsh_planes_values(n_bits: int = 8) -> str:
-    planes = projection_planes(n_bits=n_bits, dim=64, seed=42)
+def _lsh_planes_values(n_bits: int = 8, seed: int = 42) -> str:
+    planes = projection_planes(n_bits=n_bits, dim=64, seed=seed)
     rows = []
     for b in range(n_bits):
         for d in range(64):
@@ -787,6 +895,67 @@ SELECT doc_id, round(sum(contrib), 4) AS score FROM (
   FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
 ) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+    # P4 full domain semantics: replicate the Rust trim_start_matches
+    # chain (repeated http:// then https:// then www.) + first-'/' split
+    _DOMOF = (
+        "lower(string_split(regexp_replace(regexp_replace(regexp_replace("
+        "{c}, '^(http://)+', ''), '^(https://)+', ''), '^(www\\.)+', ''), "
+        "'/')[1])"
+    )
+    o["p4b_nsfw_domains"] = f"""
+WITH d AS (SELECT doc_id, text,
+  printf('https://www.host%d.example/p%d', doc_id % 50, doc_id) AS url,
+  CASE WHEN doc_id % 7 = 0 THEN 'www.HOST3.example/x y'
+       ELSE printf('t %d', doc_id) END AS title FROM documents),
+doms(dom) AS (VALUES ('host7.example'), ('host13.example'), ('host3.example')),
+cand AS (
+  SELECT doc_id, {_DOMOF.format(c='text')} AS dom FROM d
+  UNION ALL SELECT doc_id, {_DOMOF.format(c='title')} FROM d
+  UNION ALL SELECT doc_id, {_DOMOF.format(c='url')} FROM d),
+hits AS (SELECT DISTINCT doc_id FROM cand JOIN doms ON cand.dom = doms.dom)
+SELECT d.doc_id, (hits.doc_id IS NOT NULL) AS nsfw
+FROM d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+    # W12: replay of the generated-WordNet math — defs = group synset +
+    # shared synset for i%3==0; synonyms = distinct other entries sharing
+    # a synset (same group of 5, or both in the shared %3 synset)
+    o["w12_wordnet"] = """
+WITH posmap(i, pos) AS (VALUES (0, 'noun'), (1, 'verb'), (2, 'adjective'),
+  (3, 'adverb'), (4, 'adjective_satellite'), (5, 'conjunction'),
+  (6, 'adposition'), (7, 'other'), (8, 'unknown')),
+d AS (SELECT doc_id AS i FROM documents),
+syn AS (SELECT a.i AS i, count(DISTINCT b.i) AS n_syn
+        FROM d a LEFT JOIN d b ON b.i <> a.i AND
+          (b.i // 5 = a.i // 5 OR (a.i % 3 = 0 AND b.i % 3 = 0))
+        GROUP BY a.i)
+SELECT p.pos AS part_of_speech, count(*) AS n_words,
+       CAST(sum(1 + CASE WHEN d.i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_defs,
+       CAST(sum(syn.n_syn) AS BIGINT) AS n_syn
+FROM d JOIN posmap p ON d.i % 9 = p.i JOIN syn ON syn.i = d.i
+GROUP BY p.pos
+"""
+
+    # C13: oracle exprs generated from the SAME UA-pool constants as the
+    # Spark operator (vyntr_spark/operators/fingerprint.py) so the two
+    # sides cannot drift
+    from vyntr_spark.operators.fingerprint import oracle_sql_fragment
+
+    _fp_ip = ("printf('10.%d.%d.%d', doc_id % 4, doc_id % 256, "
+              "(doc_id * 7) % 256)")
+    _fp_url = ("CASE WHEN doc_id % 5 = 0 "
+               "THEN printf('https://host%d.example/', doc_id % 50) "
+               "ELSE printf('https://host%d.example/p%d', doc_id % 50, "
+               "doc_id) END")
+    _fp_ua, _fp_ref = oracle_sql_fragment("ip", "url")
+    o["c13_fingerprint"] = (
+        f"WITH d AS (SELECT doc_id, {_fp_ip} AS ip, {_fp_url} AS url "
+        "FROM documents) "
+        f"SELECT doc_id, {_fp_ua} AS user_agent, "
+        f"{_fp_ref} AS referrer FROM d"
+    )
 
     # index-served P8 must be byte-identical to the ad-hoc form
     o["p8b_bm25_from_index"] = o["p8_bm25_topk"]
@@ -934,6 +1103,36 @@ bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, b) AS BIGINT)
        FROM dots GROUP BY vec_id),
 pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b USING (bucket)
           WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT p.id_a, p.id_b, round(
+    sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
+    / (sqrt(sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(ea.embedding[i + 1] AS DOUBLE)))
+       * sqrt(sum(CAST(eb.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
+  FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+       JOIN embeddings eb ON eb.vec_id = p.id_b, range(64) t(i)
+  GROUP BY p.id_a, p.id_b
+) s WHERE cos_sim >= 0.4
+"""
+
+    # banded neardup: per-band buckets (seeds 42000/42001, 4 bits), a
+    # pair is a candidate if it collides in ANY band (UNION dedups)
+    o["t_embed_neardup_banded"] = f"""
+WITH p0(b, d, w) AS (SELECT * FROM (VALUES {_lsh_planes_values(4, 42000)})),
+p1(b, d, w) AS (SELECT * FROM (VALUES {_lsh_planes_values(4, 42001)})),
+d0 AS (SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.w) AS dot
+       FROM embeddings e, p0 p GROUP BY e.vec_id, p.b),
+bk0 AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM d0 GROUP BY vec_id),
+d1 AS (SELECT e.vec_id, p.b, sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.w) AS dot
+       FROM embeddings e, p1 p GROUP BY e.vec_id, p.b),
+bk1 AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM d1 GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk0 a JOIN bk0 b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id FROM bk1 a JOIN bk1 b USING (bucket)
+  WHERE a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos_sim FROM (
   SELECT p.id_a, p.id_b, round(
     sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))

@@ -121,6 +121,31 @@ def test_multi_round_full_crawl_parity(spark, tmp_path, tiny_web):
     _assert_parity(store, infos, orc, rows)
 
 
+def test_parity_replace_frontier_mode(spark, tmp_path, tiny_web):
+    """frontier_mode='replace' (the O(frontier)-rewrite fallback) must
+    produce the identical crawl."""
+    rows, seeds = tiny_web
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7,
+                               frontier_mode="replace")
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_parity_with_frequent_compaction(spark, tmp_path, tiny_web):
+    """compact_every=1 folds the delta log into a fresh base after every
+    round — parity must hold and compaction snapshots must exist."""
+    rows, seeds = tiny_web
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7,
+                               compact_every=1)
+    _assert_parity(store, infos, orc, rows)
+    compacts = [
+        s for s in store.table("frontier").snapshots()
+        if "compact_round" in s.summary
+    ]
+    assert len(compacts) == len(infos)
+
+
 def test_politeness_cap(spark, tmp_path):
     # 1 hot host with 40 pages + small hosts: ≤5/host/round (crawler.rs:28-48)
     rows = generate_pages(60, 2, seed=11)  # zipf: host0 hot

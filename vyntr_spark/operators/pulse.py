@@ -142,10 +142,53 @@ def lang_default(df: DataFrame, lang_col: str = "lang") -> DataFrame:
 def nsfw_flag(df: DataFrame, nsfw_set: list[str],
               source_col: str = "source") -> DataFrame:
     """P4 (main.rs:219-246): membership of the lowercased domain-ish field
-    in a broadcast blocklist."""
+    in a broadcast blocklist (simplified single-column form; the full
+    reference semantics are ``nsfw_flag_domains``)."""
     return df.withColumn(
         "nsfw", F.lower(F.col(source_col)).isin([s.lower() for s in nsfw_set])
     )
+
+
+def domain_of_expr(col):
+    """pulse/src/main.rs:226-233 parity: strip repeated ``http://`` then
+    ``https://`` then ``www.`` prefixes (Rust trim_start_matches removes
+    every leading repetition, in that order), take up to the first '/',
+    lowercase. Applied to arbitrary TEXT too — the reference feeds
+    content/title/meta through the same function."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, "^(http://)+", ""), "^(https://)+", ""
+        ),
+        r"^(www\.)+", "",
+    )
+    return F.lower(F.split(stripped, "/")[0])
+
+
+def nsfw_flag_domains(df: DataFrame, domains: DataFrame,
+                      cols: tuple[str, ...] = ("content_text", "title", "url"),
+                      id_col: str = "doc_id") -> DataFrame:
+    """P4 full semantics (main.rs:114-118): nsfw = OR over
+    ``domain_of(col) IN nsfw_domains`` for content/title/meta/url.
+
+    Scale shape: the reference's 1M-site set rides as a broadcast
+    domains table; per row the <=len(cols) candidate domains explode and
+    SEMI-join the broadcast set (no 1M-literal isin in the plan), then a
+    broadcast join marks the hit ids back onto df."""
+    cand = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[domain_of_expr(F.col(c)) for c in cols])
+        ).alias("_dom"),
+    )
+    dom = domains.select(F.lower(F.col(domains.columns[0])).alias("_dom"))
+    hits = (
+        cand.join(F.broadcast(dom), "_dom", "semi")
+        .select(id_col).distinct()
+        .withColumn("nsfw", F.lit(True))
+    )
+    # hit-id join left to AQE: the nsfw id set is usually broadcastable
+    # but can grow with the corpus, unlike the fixed 1M-domain table
+    return df.join(hits, id_col, "left").fillna(False, ["nsfw"])
 
 
 def meta_agg(events: DataFrame) -> DataFrame:

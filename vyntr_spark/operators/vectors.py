@@ -122,21 +122,82 @@ def ann_ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
+def n_bits_for(n_vectors: int, target_bucket: int = 4096,
+               lo: int = 4, hi: int = 24) -> int:
+    """Scale-parametric LSH width: enough sign bits that the EXPECTED
+    bucket population n / 2^bits stays near ``target_bucket`` (the
+    within-bucket pairwise join is quadratic in bucket size, so a fixed
+    width is a scale-killer: 8 bits at 10^10 vectors = ~4x10^7
+    rows/bucket)."""
+    import math as _m
+
+    bits = _m.ceil(_m.log2(max(n_vectors, 1) / target_bucket)) \
+        if n_vectors > target_bucket else lo
+    return max(lo, min(hi, bits))
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         n_bits: int | None = 8, n_bands: int = 1,
+                         dim: int = 64, seed: int = 42,
+                         max_bucket: int | None = None,
+                         expected_n: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
     Scale path: LSH-bucket first (equi-join) so the pairwise compare runs
-    within buckets only, never the full cross product."""
-    b = lsh_sign_buckets(emb, n_bits=8, dim=64)
-    e = emb.join(b, id_col).select(id_col, vec_col, "bucket")
-    left = e.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
-    )
-    right = e.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
-    )
-    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    within buckets only, never the full cross product.
+
+    * ``n_bits=None`` sizes the hash adaptively from ``expected_n`` (or
+      one count job) via ``n_bits_for`` — bucket populations stay
+      bounded as the corpus grows.
+    * ``n_bands > 1`` banks several independent narrower sign-hashes
+      (seeds derived per band, MinHash-LSH style): a pair is a candidate
+      if it collides in ANY band, recovering the recall a single wide
+      hash loses while keeping each band's buckets small.
+    * ``max_bucket`` drops degenerate hot buckets (near-zero vectors,
+      boilerplate embeddings) from pair generation per band — dropped
+      bucket/row counts are LOGGED, never silent (scale guard: one hot
+      bucket would otherwise go quadratic).
+    """
+    if n_bits is None:
+        n = expected_n if expected_n is not None else emb.count()
+        n_bits = n_bits_for(n)
+
+    all_pairs = None
+    for band in range(n_bands):
+        band_seed = seed if n_bands == 1 else seed * 1000 + band
+        b = lsh_sign_buckets(emb, n_bits=n_bits, dim=dim, id_col=id_col,
+                             vec_col=vec_col, seed=band_seed)
+        if max_bucket is not None:
+            sizes = b.groupBy("bucket").count()
+            hot = sizes.filter(F.col("count") > max_bucket).collect()
+            if hot:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "cosine_neardup_pairs band %d: dropping %d hot "
+                    "bucket(s) totaling %d rows (> max_bucket=%d): %s",
+                    band, len(hot), sum(r["count"] for r in hot),
+                    max_bucket,
+                    [(r["bucket"], r["count"]) for r in hot[:10]],
+                )
+                hot_ids = [r["bucket"] for r in hot]
+                b = b.filter(~F.col("bucket").isin(hot_ids))
+        pim = b.select(id_col, "bucket")
+        left = pim.select(F.col(id_col).alias("id_a"), "bucket")
+        right = pim.select(F.col(id_col).alias("id_b"), "bucket")
+        cand = (
+            left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        all_pairs = cand if all_pairs is None else all_pairs.unionByName(cand)
+    if n_bands > 1:
+        all_pairs = all_pairs.distinct()
+
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = all_pairs.join(ea, "id_a").join(eb, "id_b")
     score = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
         pairs.select("id_a", "id_b", (F.round(score, 4) + F.lit(0.0)).alias("cos_sim"))

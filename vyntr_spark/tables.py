@@ -358,6 +358,16 @@ class SnapshotStore:
         "pages": PAGES,
         "seeds": SEEDS,
         "frontier": FRONTIER,
+        # removal log for frontier_mode='log': round = the round the url
+        # was SELECTED (removed); a removal covers frontier rows whose
+        # discovery round is <= it, so a same-round re-discovery (the
+        # normalize_seeds=False alias quirk) survives
+        "frontier_removed": T.StructType(
+            [
+                T.StructField("url", T.StringType(), False),
+                T.StructField("round", T.IntegerType(), False),
+            ]
+        ),
         "seen": SEEN,
         "robots_rules": ROBOTS_RULES,
         "analyses": ANALYSES,
