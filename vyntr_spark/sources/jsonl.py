@@ -38,7 +38,11 @@ ANALYSES_JSONL = T.StructType(
 def read_jsonl(spark: SparkSession, path: str,
                schema: T.StructType = ANALYSES_JSONL) -> DataFrame:
     """Read JSONL, skipping bad lines (and lines missing a url)."""
-    with_corrupt = schema.add(T.StructField("_corrupt", T.StringType(), True))
+    # NB: StructType.add mutates in place — build a fresh schema so the
+    # caller's (often module-level) schema object is never modified
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType(), True)]
+    )
     df = (
         spark.read.schema(with_corrupt)
         .option("mode", "PERMISSIVE")
