@@ -34,6 +34,19 @@ from vyntr_spark.operators.vectors import projection_planes  # noqa: E402
 
 NSFW_SET = ["src1", "src13"]
 BM25_QUERY = ["spark", "data", "window"]
+
+# W7 full-table pairs: (event_id % len) -> conversion; covers plain
+# ratio, the temperature chain, both fuel-inversion directions,
+# cross-category (null) and unknown-unit (null) rows
+_W7B_PAIRS = [
+    ("meters", "feet"), ("kilometers", "miles"),
+    ("celsius", "fahrenheit"), ("fahrenheit", "kelvin"),
+    ("milesPerGallon", "litersPer100km"),
+    ("litersPer100km", "kilometersPerLiter"),
+    ("bytes", "mebibytes"), ("hours", "minutes"),
+    ("pounds", "kilograms"), ("degrees", "radians"),
+    ("meters", "pounds"), ("frobs", "meters"),
+]
 TARGET_DATE = "2026-12-25"
 
 
@@ -306,6 +319,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["c13_fingerprint"] = c13
+
+    def _w11_requests(s, sf):
+        # synthetic API requests: every 5th missing key, next 5th an
+        # unknown key, rest valid keys mapping to 20 users
+        ev = _events(s, sf)
+        return ev.select(
+            F.col("event_id").alias("request_id"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(""))
+            .when(
+                F.col("event_id") % 5 == 1,
+                F.format_string("bad-%d", F.col("event_id")),
+            )
+            .otherwise(F.format_string("key-%d", F.col("user_id") % 20))
+            .alias("api_key"),
+            F.to_date("ts").cast("string").alias("date"),
+        )
+
+    def _w11_keys(s):
+        return s.createDataFrame(
+            [(f"key-{i}", 1000 + i) for i in range(20)],
+            "key string, user_id long",
+        )
+
+    def w11a(s, sf):
+        # W11 auth gate (+server.ts:15-46)
+        return serving.api_key_auth(_w11_requests(s, sf), _w11_keys(s))
+
+    q["w11_api_auth"] = w11a
+
+    def w11b(s, sf):
+        # W11 usage metering (+server.ts:48-77) as append+rollup
+        return serving.api_usage_rollup(w11a(s, sf))
+
+    q["w11_api_usage"] = w11b
+
+    def w7b(s, sf):
+        # W7 full table parity (units.ts:21-196, convertUnit :364-423)
+        from vyntr_spark.operators.units import convert_units
+
+        pairs = s.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(_W7B_PAIRS)],
+            "i long, from_unit string, to_unit string",
+        )
+        req = (
+            _events(s, sf)
+            .withColumn("i", F.col("event_id") % len(_W7B_PAIRS))
+            .join(F.broadcast(pairs), "i")
+            .select(
+                "event_id",
+                (F.round("value", 2) + 1).alias("value"),
+                "from_unit", "to_unit",
+            )
+        )
+        return convert_units(req).select(
+            "event_id", "from_unit", "to_unit", "category",
+            F.round("result", 4).alias("result"),
+        )
+
+    q["w7b_unit_full"] = w7b
 
     q["p11_string_agg"] = lambda s, sf: pulse.meta_agg(_events(s, sf))
 
@@ -956,6 +1028,73 @@ GROUP BY p.pos
         f"SELECT doc_id, {_fp_ua} AS user_agent, "
         f"{_fp_ref} AS referrer FROM d"
     )
+
+    # W11: auth verdict + usage rollup over the synthesized requests
+    _W11_REQ = (
+        "SELECT event_id AS request_id, "
+        "CASE WHEN event_id % 5 = 0 THEN '' "
+        "WHEN event_id % 5 = 1 THEN printf('bad-%d', event_id) "
+        "ELSE printf('key-%d', user_id % 20) END AS api_key, "
+        "CAST(CAST(ts AS DATE) AS VARCHAR) AS date, "
+        "user_id % 20 AS uk FROM events"
+    )
+    o["w11_api_auth"] = f"""
+WITH req AS ({_W11_REQ}),
+keys AS (SELECT 'key-' || CAST(i AS VARCHAR) AS key, 1000 + i AS user_id
+         FROM range(20) t(i))
+SELECT request_id, api_key, date,
+  CASE WHEN api_key = '' THEN 401 WHEN k.user_id IS NULL THEN 401
+       ELSE 200 END AS status,
+  CASE WHEN api_key = '' THEN 'API key required'
+       WHEN k.user_id IS NULL THEN 'Invalid API key' END AS error,
+  k.user_id AS user_id
+FROM req LEFT JOIN keys k ON req.api_key = k.key
+"""
+    o["w11_api_usage"] = f"""
+WITH req AS ({_W11_REQ}),
+keys AS (SELECT 'key-' || CAST(i AS VARCHAR) AS key, 1000 + i AS user_id
+         FROM range(20) t(i))
+SELECT k.user_id AS user_id, date, count(*) AS count
+FROM req JOIN keys k ON req.api_key = k.key
+GROUP BY k.user_id, date
+"""
+
+    # W7 full-table conversion: multipliers generated from the same dict
+    from vyntr_spark.operators.units import oracle_units_values
+
+    _w7b_pairs_sql = ",".join(
+        f"({i},'{a}','{b}')" for i, (a, b) in enumerate(_W7B_PAIRS)
+    )
+    o["w7b_unit_full"] = f"""
+WITH ut(category, unit, multiplier) AS (VALUES {oracle_units_values()}),
+pairs(i, fu, tu) AS (VALUES {_w7b_pairs_sql}),
+req AS (SELECT event_id, round(value, 2) + 1 AS v, fu, tu
+        FROM events JOIN pairs ON events.event_id % {len(_W7B_PAIRS)} = pairs.i),
+j AS (SELECT req.*, f.category AS category, f.multiplier AS fm,
+             t.multiplier AS tm
+      FROM req
+      LEFT JOIN ut f ON f.unit = req.fu
+      LEFT JOIN ut t ON t.unit = req.tu AND t.category = f.category)
+SELECT event_id, fu AS from_unit, tu AS to_unit, category,
+  round(CASE
+    WHEN fm IS NULL OR tm IS NULL THEN NULL
+    WHEN category = 'temperature' THEN
+      (CASE WHEN tu = 'celsius' THEN k - 273.15
+            WHEN tu = 'fahrenheit' THEN (k - 273.15) * 1.8 + 32
+            WHEN tu = 'kelvin' THEN k
+            WHEN tu = 'rankine' THEN k * 1.8 END)
+    WHEN category = 'fuel' AND fu = 'litersPer100km'
+         AND tu = 'litersPer100km' THEN v
+    WHEN category = 'fuel' AND fu = 'litersPer100km' THEN (100 / v) * tm
+    WHEN category = 'fuel' AND tu = 'litersPer100km' THEN 100 / (v / fm)
+    ELSE v / fm * tm END, 4) AS result
+FROM (SELECT j.*,
+        CASE WHEN fu = 'celsius' THEN v + 273.15
+             WHEN fu = 'fahrenheit' THEN (v - 32) / 1.8 + 273.15
+             WHEN fu = 'kelvin' THEN v
+             WHEN fu = 'rankine' THEN v / 1.8 END AS k
+      FROM j) jj
+"""
 
     # index-served P8 must be byte-identical to the ad-hoc form
     o["p8b_bm25_from_index"] = o["p8_bm25_topk"]

@@ -19,9 +19,9 @@ TODAY = date(2026, 8, 17)
 
 
 def test_parse_date_fixed_and_rules():
-    assert parse_date_query("days until christmas", TODAY) == {
-        "target": "christmas", "date": "2026-12-25", "days": 130,
-    }
+    c = parse_date_query("days until christmas", TODAY)
+    assert c["date"] == "2026-12-25" and c["days"] == 130
+    assert c["name"] == "Christmas Day"
     # easter 2026 (Apr 5) already passed on TODAY -> next year's (Mar 28)
     e = parse_date_query("how many days until easter?", TODAY)
     assert e["date"] == "2027-03-28" and e["days"] == (date(2027, 3, 28) - TODAY).days
@@ -29,6 +29,22 @@ def test_parse_date_fixed_and_rules():
     assert t["date"] == "2026-11-26"  # 4th Thursday of November 2026
     assert parse_date_query("days until 2026-09-01", TODAY)["days"] == 15
     assert parse_date_query("weather tomorrow", TODAY) is None
+
+
+def test_parse_date_full_table():
+    # nth-weekday rules (date.ts:258-305): forward from 2026-08-17
+    assert parse_date_query("days until labor day", TODAY)["date"] == "2026-09-07"
+    assert parse_date_query("days until mlk day", TODAY)["date"] == "2027-01-18"
+    assert parse_date_query("days until memorial day", TODAY)["date"] == "2027-05-31"
+    assert parse_date_query("days until mothers day", TODAY)["date"] == "2027-05-09"
+    gf = parse_date_query("days until good friday", TODAY)
+    assert gf["date"] == "2027-03-26" and gf["name"] == "Good Friday"
+    # apostrophe alias falls back to the normalized key
+    assert parse_date_query("days until st patrick's day", TODAY)[
+        "date"] == "2027-03-17"
+    # looking back ('since') -> most recent past occurrence
+    j = parse_date_query("days since juneteenth", TODAY)
+    assert j["date"] == "2026-06-19" and j["days"] < 0
 
 
 def test_parse_unit_currency_bang():

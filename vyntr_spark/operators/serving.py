@@ -315,3 +315,113 @@ def summary_cache_lookup(queries_df: DataFrame, cache_df: DataFrame,
     ).join(
         F.broadcast(cache_df.filter(~F.col("is_null"))), "query", "inner"
     ).select("query", "summary")
+
+
+def api_key_auth(requests: DataFrame, keys: DataFrame,
+                 key_col: str = "api_key",
+                 id_col: str = "request_id") -> DataFrame:
+    """W11 (website/src/routes/api/v1/search/+server.ts:15-46): Bearer
+    API-key gate. Missing/empty key -> 401 'API key required'; unknown
+    key -> 401 'Invalid API key'; else 200 with the key's user.
+    The key table is a dimension -> broadcast left join, no shuffle of
+    the request stream."""
+    k = keys.select(F.col("key").alias(key_col), F.col("user_id"))
+    joined = requests.join(F.broadcast(k), key_col, "left")
+    missing = F.col(key_col).isNull() | (F.col(key_col) == "")
+    status = (
+        F.when(missing, F.lit(401))
+        .when(F.col("user_id").isNull(), F.lit(401))
+        .otherwise(F.lit(200))
+    )
+    err = (
+        F.when(missing, F.lit("API key required"))
+        .when(F.col("user_id").isNull(), F.lit("Invalid API key"))
+    )
+    # passthrough of every request column (e.g. the date the usage
+    # rollup meters on) + the auth verdict
+    return joined.select(
+        *[F.col(c) for c in requests.columns],
+        status.alias("status"),
+        err.alias("error"),
+        "user_id",
+    )
+
+
+def api_usage_rollup(auth_df: DataFrame, date_col: str = "date") -> DataFrame:
+    """W11 usage metering (+server.ts:48-77): per-(user, day) request
+    counter. The reference does a read-modify-write per request; at scale
+    each authorized request is an increment event and THIS rollup is the
+    aggregation (same shape as the W2 query-log fix) — one hash agg with
+    map-side combine."""
+    return (
+        auth_df.filter(F.col("status") == 200)
+        .groupBy("user_id", date_col)
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def last_weekday(year: int, month: int, weekday: int) -> _date:
+    """W6: last-weekday-of-month rule (date.ts getLastDayOfMonth)."""
+    nxt = _date(year + 1, 1, 1) if month == 12 else _date(year, month + 1, 1)
+    from datetime import timedelta as _td
+
+    d = nxt - _td(days=1)
+    return d - _td(days=(d.weekday() - weekday) % 7)
+
+
+def _easter_offset(delta_days: int):
+    from datetime import timedelta as _td
+
+    return lambda y: easter_date(y) + _td(days=delta_days)
+
+
+# W6 full holiday table (date.ts:185-306 — keys, display names and rules
+# mirrored; matching is substring over the query like the reference's
+# query.includes(key), in the same insertion order). Python weekday
+# numbering: Mon=0..Sun=6 (date.ts uses JS Sun=0).
+HOLIDAY_RULES: dict = {
+    "new year": ("New Year's Day", lambda y: _date(y, 1, 1)),
+    "juneteenth": ("Juneteenth", lambda y: _date(y, 6, 19)),
+    "valentines": ("Valentine's Day", lambda y: _date(y, 2, 14)),
+    "st patricks": ("St. Patrick's Day", lambda y: _date(y, 3, 17)),
+    "april fools": ("April Fools' Day", lambda y: _date(y, 4, 1)),
+    "canada day": ("Canada Day", lambda y: _date(y, 7, 1)),
+    "independence day": ("Independence Day (US)", lambda y: _date(y, 7, 4)),
+    "halloween": ("Halloween", lambda y: _date(y, 10, 31)),
+    "veterans day": ("Veterans Day (US)", lambda y: _date(y, 11, 11)),
+    "christmas": ("Christmas Day", lambda y: _date(y, 12, 25)),
+    "boxing day": ("Boxing Day", lambda y: _date(y, 12, 26)),
+    "easter": ("Easter Sunday", easter_date),
+    "good friday": ("Good Friday", _easter_offset(-2)),
+    "easter monday": ("Easter Monday", _easter_offset(1)),
+    "mlk day": ("Martin Luther King, Jr. Day",
+                lambda y: nth_weekday(y, 1, 0, 3)),
+    "presidents day": ("Presidents' Day (US)",
+                       lambda y: nth_weekday(y, 2, 0, 3)),
+    "mothers day": ("Mother's Day (US)", lambda y: nth_weekday(y, 5, 6, 2)),
+    "memorial day": ("Memorial Day (US)", lambda y: last_weekday(y, 5, 0)),
+    "fathers day": ("Father's Day (US)", lambda y: nth_weekday(y, 6, 6, 3)),
+    "labor day": ("Labor Day (US)", lambda y: nth_weekday(y, 9, 0, 1)),
+    "columbus day": ("Columbus Day / Indigenous Peoples' Day (US)",
+                     lambda y: nth_weekday(y, 10, 0, 2)),
+    "thanksgiving": ("Thanksgiving Day (US)",
+                     lambda y: nth_weekday(y, 11, 3, 4)),
+}
+
+
+def holiday_occurrence(key: str, today: _date,
+                       looking_back: bool = False) -> tuple[str, _date] | None:
+    """(display name, date) for a holiday key: the NEXT occurrence at or
+    after today (date.ts getDateFixed/getDateVariable forward branch), or
+    the most recent at-or-before occurrence when looking back
+    ('since'/'from' queries)."""
+    entry = HOLIDAY_RULES.get(key)
+    if entry is None:
+        return None
+    name, rule = entry
+    this_year = rule(today.year)
+    if looking_back:
+        d = this_year if this_year <= today else rule(today.year - 1)
+    else:
+        d = this_year if this_year >= today else rule(today.year + 1)
+    return name, d

@@ -29,58 +29,58 @@ from .operators import pulse
 from .operators.serving import (
     BANGS,
     CURRENCY_RATES_USD,
+    HOLIDAY_RULES,
     UNIT_FACTORS,
     _BANG_RE,
     _CUR_RE,
     _UNIT_RE,
     easter_date,
+    holiday_occurrence,
     math_eval,
     nth_weekday,
     trigram_similarity,
 )
 
-# W6 (date.ts): holiday table — fixed-date entries plus rule-based ones
-# (Easter via Meeus/Jones/Butcher computus, Nth-weekday rules).
-_FIXED_HOLIDAYS = {
-    "christmas": (12, 25),
-    "halloween": (10, 31),
-    "valentine's day": (2, 14),
-    "valentines day": (2, 14),
-}
-
-_DAYS_UNTIL_RE = re.compile(r"(?:how\s+many\s+)?days\s+until\s+(.+?)\s*\??$")
-
-
-def _next_occurrence(today: date, month: int, day: int) -> date:
-    d = date(today.year, month, day)
-    return d if d >= today else date(today.year + 1, month, day)
+# W6: the FULL date.ts holiday table lives in operators/serving.py
+# (HOLIDAY_RULES, date.ts:185-306 parity). Matching is substring over
+# the query in table insertion order, like the reference's
+# `query.includes(key)`; 'since'/'from' flips to the most recent past
+# occurrence (date.ts:310-311 lookingBack).
+_DAYS_UNTIL_RE = re.compile(
+    r"(?:how\s+many\s+)?days\s+(?:until|since|from)\s+(.+?)\s*\??$"
+)
 
 
 def parse_date_query(q: str, today: date) -> dict | None:
-    """W6: 'days until <holiday|YYYY-MM-DD>' → {target, date, days}."""
+    """W6: 'days until|since <holiday|YYYY-MM-DD>' →
+    {target, name, date, days}."""
     m = _DAYS_UNTIL_RE.search(q)
     if not m:
         return None
+    looking_back = ("since" in q) or ("from" in q)
     target = m.group(1).strip().lower()
-    if target in _FIXED_HOLIDAYS:
-        mo, da = _FIXED_HOLIDAYS[target]
-        d = _next_occurrence(today, mo, da)
-    elif target in ("new year", "new year's", "new years", "new year's day"):
-        d = date(today.year + 1, 1, 1)
-    elif target == "easter":
-        d = easter_date(today.year)
-        if d < today:
-            d = easter_date(today.year + 1)
-    elif target == "thanksgiving":
-        d = nth_weekday(today.year, 11, 3, 4)  # 4th Thursday of November
-        if d < today:
-            d = nth_weekday(today.year + 1, 11, 3, 4)
-    else:
-        try:
-            d = date.fromisoformat(target)
-        except ValueError:
-            return None
-    return {"target": target, "date": d.isoformat(), "days": (d - today).days}
+    for key in HOLIDAY_RULES:
+        if key in target:
+            name, d = holiday_occurrence(key, today, looking_back)
+            return {
+                "target": target, "name": name,
+                "date": d.isoformat(), "days": (d - today).days,
+            }
+    # aliased spellings the key table misses (apostrophes)
+    alias = target.replace("'", "").replace("s day", "s")
+    for key in HOLIDAY_RULES:
+        if key in alias:
+            name, d = holiday_occurrence(key, today, looking_back)
+            return {
+                "target": target, "name": name,
+                "date": d.isoformat(), "days": (d - today).days,
+            }
+    try:
+        d = date.fromisoformat(target)
+    except ValueError:
+        return None
+    return {"target": target, "name": "",
+            "date": d.isoformat(), "days": (d - today).days}
 
 
 def parse_unit_query(q: str) -> dict | None:
