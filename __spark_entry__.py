@@ -379,6 +379,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w7b_unit_full"] = w7b
 
+    def c10b(s, sf):
+        # robots.txt -> rules table (the gate's input): parse generated
+        # two-group bodies; '*' group prefixes survive, the vyntr-only
+        # group is correctly NOT applied for agent '*'
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators.robots import robots_rules
+
+        d = _docs(s, sf).filter(F.col("doc_id") < 50).select(
+            F.format_string("host%d.example", F.col("doc_id")).alias("host"),
+            F.format_string(
+                "# generated\nUser-agent: *\nDisallow: /a%d\n"
+                "Disallow: /b%d\nCrawl-delay: 5\n\n"
+                "User-agent: vyntr\nDisallow: /v%d\n",
+                F.col("doc_id") % 10, F.col("doc_id") % 7, F.col("doc_id"),
+            ).alias("robots_txt"),
+        )
+        return robots_rules(d).select(
+            "host", F.concat_ws("|", "disallow_prefixes").alias("prefixes")
+        )
+
+    q["c10b_robots_rules"] = c10b
+
     q["p11_string_agg"] = lambda s, sf: pulse.meta_agg(_events(s, sf))
 
     # ---- embeddings (E-ops) -------------------------------------------------
@@ -1095,6 +1117,13 @@ FROM (SELECT j.*,
              WHEN fu = 'rankine' THEN v / 1.8 END AS k
       FROM j) jj
 """
+
+    # robots parse: the '*' group's two prefixes, in file order
+    o["c10b_robots_rules"] = (
+        "SELECT printf('host%d.example', doc_id) AS host, "
+        "printf('/a%d|/b%d', doc_id % 10, doc_id % 7) AS prefixes "
+        "FROM documents WHERE doc_id < 50"
+    )
 
     # index-served P8 must be byte-identical to the ad-hoc form
     o["p8b_bm25_from_index"] = o["p8_bm25_topk"]
