@@ -75,8 +75,11 @@ def main() -> None:
     whdir = tempfile.mkdtemp(prefix=f"scal_wh_{cpus}_")
     store = SnapshotStore(spark, whdir)
     frontier_mode = os.environ.get("VYNTR_FRONTIER_MODE", "log")
+    io_coalesce_env = os.environ.get("VYNTR_IO_COALESCE", "")
+    io_coalesce = None if io_coalesce_env == "none" else \
+        int(io_coalesce_env) if io_coalesce_env else cpus
     eng = CrawlEngine(spark, store, pages, max_pages=n_pages, seed=42,
-                      salt_buckets=32, io_coalesce=cpus,
+                      salt_buckets=32, io_coalesce=io_coalesce,
                       frontier_mode=frontier_mode)
     # cap seeds per host => round 1 is already a full-width politeness
     # round; zipf_s=0.25 keeps the tail hosts deep enough that EVERY round

@@ -401,6 +401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c10b_robots_rules"] = c10b
 
+    # rolling-hash document fingerprints (winnowing, SIGMOD'03): the
+    # local-similarity key of the training-data dedup family
+    q["t_winnow_fp"] = lambda s, sf: textstats.winnow_fingerprints(
+        _docs(s, sf), k=5, window=4
+    )
+
     q["p11_string_agg"] = lambda s, sf: pulse.meta_agg(_events(s, sf))
 
     # ---- embeddings (E-ops) -------------------------------------------------
@@ -1116,6 +1122,25 @@ FROM (SELECT j.*,
              WHEN fu = 'kelvin' THEN v
              WHEN fu = 'rankine' THEN v / 1.8 END AS k
       FROM j) jj
+"""
+
+    # winnowing: same md5-first-8-hex-digit hash, same k=5 grams and
+    # window=4 minima, via DuckDB list_transform lambdas
+    _h8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) * "
+        f"CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    )
+    o["t_winnow_fp"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tl FROM documents),
+gm AS (SELECT doc_id, list_transform(range(greatest(len(tl) - 4, 0)),
+         i -> md5(array_to_string(tl[i+1:i+5], ' '))) AS gmd5 FROM toks),
+g AS (SELECT doc_id, list_transform(gmd5, hh -> {_h8}) AS grams FROM gm),
+w AS (SELECT doc_id, list_distinct(
+         list_transform(range(greatest(len(grams) - 3, 0)),
+           j -> list_min(grams[j+1:j+4]))) AS fps FROM g)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint
+FROM w WHERE len(fps) > 0
 """
 
     # robots parse: the '*' group's two prefixes, in file order

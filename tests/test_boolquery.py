@@ -105,6 +105,16 @@ def test_phrase_scores_match_term_bm25_on_matched_docs(index):
         assert score == plain[doc_id]
 
 
+def test_adhoc_search_delegates_phrases(docs, index):
+    """pulse.search() routes quoted/parenthesized queries through the
+    boolean evaluator — same hits as the direct index path."""
+    via_search = pulse.search(docs, '"quick brown"', k=10).collect()
+    direct = boolquery.search_boolean(index, '"quick brown"', k=10).collect()
+    assert {r["doc_id"] for r in via_search} == {r["doc_id"] for r in direct}
+    grouped = pulse.search(docs, "(fox OR dog) AND quick", k=10).collect()
+    assert {r["doc_id"] for r in grouped} == {0, 1}
+
+
 def test_parser_shapes():
     n = boolquery.parse_boolean('(a OR b) AND c')
     assert isinstance(n, boolquery.And)

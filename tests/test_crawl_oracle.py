@@ -144,6 +144,13 @@ def test_parity_with_frequent_compaction(spark, tmp_path, tiny_web):
         if "compact_round" in s.summary
     ]
     assert len(compacts) == len(infos)
+    # post-compaction maintenance expired superseded delta snapshots
+    # (path cleared, lineage id kept) once history exceeded expire_keep
+    snaps = store.table("frontier").snapshots()
+    if len(snaps) > 4:
+        assert any(s.path == "" for s in snaps)
+    # current state still reads fine after expiration
+    assert store.table("frontier").read().count() >= 0
 
 
 def test_politeness_cap(spark, tmp_path):

@@ -91,6 +91,7 @@ class CrawlEngine:
         parallel_commits: bool = True,
         frontier_mode: str = "log",
         compact_every: int = 8,
+        expire_keep: int | None = 4,
     ):
         self.spark = spark
         self.store = store
@@ -119,6 +120,10 @@ class CrawlEngine:
         # rewrite-per-round (VERDICT r1 called it the load-bearing gap).
         self.frontier_mode = frontier_mode
         self.compact_every = compact_every
+        # post-compaction maintenance: expire superseded frontier
+        # snapshot data files (Iceberg expire_snapshots analog) keeping
+        # this many recent snapshots of time travel; None disables
+        self.expire_keep = expire_keep
         # output-file sizing for snapshot commits (None = shuffle-partition
         # count; Iceberg proper would size files via its own write targets)
         self.io_coalesce = io_coalesce
@@ -534,6 +539,16 @@ class CrawlEngine:
                 self.spark.createDataFrame([], "url string, round int"),
                 "replace", {"compact_round": rnd}, coalesce=1,
             )
+            if self.expire_keep is not None:
+                # drop the data files of pre-compaction delta snapshots
+                # (disk would otherwise grow O(rounds x delta) forever);
+                # manifest ids survive for lineage
+                self.store.table("frontier").expire_snapshots(
+                    keep_last=self.expire_keep
+                )
+                self.store.table("frontier_removed").expire_snapshots(
+                    keep_last=self.expire_keep
+                )
             _mark('frontier_compaction')
 
         info = RoundInfo(

@@ -283,7 +283,23 @@ def search(df: DataFrame, query: str, k: int = 10,
            lang: str | None = None) -> DataFrame:
     """P6-P9 composed: parse → field/language filters (P7: server appends
     'AND language:{lang}', pulse/src/bin/server.rs:66-68) → BM25 over the
-    scoring terms → top-K projection."""
+    scoring terms → top-K projection.
+
+    Queries using quoted phrases or parenthesized groups delegate to the
+    full boolean evaluator over an on-the-fly positional index
+    (operators/boolquery.py) — note its documented idf difference:
+    corpus-level statistics with filters as boolean clauses, like
+    Tantivy, vs this flat path's filtered-subset statistics."""
+    if '"' in query or "(" in query:
+        from . import boolquery
+
+        meta_cols = tuple(
+            c for c in df.columns if c not in (text_col, id_col)
+        )
+        idx = build_index(df, text_col, id_col, meta_cols=meta_cols,
+                          with_positions=True)
+        q2 = query if lang is None else f"{query} language:{lang}"
+        return boolquery.search_boolean(idx, q2, k=k, id_col=id_col)
     pq = parse_query(query)
     if lang is not None:
         pq.fields["language"] = lang

@@ -223,3 +223,44 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every word
+    k-gram, slide a window of ``window`` consecutive hashes, keep each
+    window's minimum, dedupe. The selected fingerprints are guaranteed
+    to overlap for documents sharing any run of >= k+window-1 tokens,
+    which makes them a local-similarity key (vs the global md5 of
+    ``fingerprint``).
+
+    All native exprs — hashes are the first 8 hex digits of md5 of the
+    space-joined k-gram (engine-portable; the DuckDB oracle replays the
+    identical math). One explode + distinct; no Python, no self-join.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    n_grams = F.size(toks) - (k - 1)
+
+    def gram_hash(i):
+        gram = F.array_join(F.slice(toks, i + 1, k), " ")
+        return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+
+    grams = F.transform(F.sequence(F.lit(0), n_grams - 1), gram_hash)
+    n_windows = n_grams - (window - 1)
+    fps = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda j: F.array_min(F.slice(grams, j + 1, window)),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(n_windows > 0, F.array_distinct(fps)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("fingerprint"),
+    )
+    return out
