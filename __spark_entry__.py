@@ -122,6 +122,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c6_politeness_window"] = c6
 
+    def c7(s, sf):
+        from vyntr_spark.operators.politeness import batch_shuffle
+
+        batch = _docs(s, sf).select(
+            F.concat(
+                F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+        return batch_shuffle(batch, seed=42, rnd=1).select(
+            "url", "shuffle_key"
+        )
+
+    q["c7_batch_shuffle"] = c7
+
     def c16(s, sf):
         d = _docs(s, sf)
         path = F.concat(
@@ -166,6 +181,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["d2_empty_drop"] = lambda s, sf: cleaner.drop_empty(
         cleaner.clean_documents(_docs(s, sf))
+    ).select("doc_id", "cleaned_text")
+
+    q["d7_skip_fresh"] = lambda s, sf: cleaner.skip_if_fresh(
+        _docs(s, sf),
+        _docs(s, sf).filter(F.col("doc_id") % 3 == 0),
     ).select("doc_id", "cleaned_text")
 
     q["d4_top_n"] = lambda s, sf: cleaner.top_n_largest(_docs(s, sf), n=100)
@@ -906,6 +926,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM events) t WHERE rn <= 5"
     )
 
+    o["c7_batch_shuffle"] = (
+        "WITH b AS (SELECT 'https://h' || CAST(doc_id % 50 AS VARCHAR) || "
+        "'.example.com/p' || CAST(doc_id AS VARCHAR) AS url FROM documents) "
+        "SELECT url, md5('42:1:' || url) AS shuffle_key FROM b"
+    )
+
     o["c16_link_filter"] = (
         "WITH d AS (SELECT doc_id, lower('/p' || CAST(doc_id AS VARCHAR) || "
         "CASE WHEN doc_id % 7 = 0 THEN '.pdf' "
@@ -935,6 +961,11 @@ def oracle_sql() -> dict[str, str]:
     o["d2_empty_drop"] = (
         f"SELECT doc_id, cleaned_text FROM (SELECT doc_id, {_CLEAN} AS cleaned_text "
         "FROM documents) t WHERE coalesce(cleaned_text, '') <> ''"
+    )
+
+    o["d7_skip_fresh"] = (
+        f"SELECT doc_id, {_CLEAN} AS cleaned_text FROM documents "
+        "WHERE doc_id % 3 <> 0"
     )
 
     o["d4_top_n"] = (
@@ -1238,20 +1269,27 @@ SELECT fp.doc_id AS dup_id, canon.canonical_id
 FROM fp JOIN canon USING (f) WHERE canon.n > 1 AND fp.doc_id <> canon.canonical_id
 """
 
+    from vyntr_spark.operators.textstats import MINHASH_P, minhash_params
+
     minhash_aggs = ",".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+        f"min(({a} * base + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_params(8))
     )
     _sh_cte = (
         f"WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
-        f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk "
-        "WHERE len(toks) >= 3)"
+        f"sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk "
+        "WHERE len(toks) >= 3), "
+        "sh AS (SELECT doc_id, shingle, "
+        "CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) "
+        f"% {MINHASH_P} AS base FROM sh0)"
     )
     o["t_minhash_sig"] = (
         f"{_sh_cte} SELECT doc_id, {minhash_aggs} FROM sh GROUP BY doc_id"
     )
 
     band_union = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS key FROM sig"
+        f"SELECT doc_id, {b} AS band, CAST(h{2 * b} AS VARCHAR) || '|' || "
+        f"CAST(h{2 * b + 1} AS VARCHAR) AS key FROM sig"
         for b in range(4)
     )
     o["t_minhash_lsh_pairs"] = (

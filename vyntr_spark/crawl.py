@@ -556,11 +556,13 @@ class CrawlEngine:
             dedup_dropped=n_cand - n_new, wall_ms=wall_ms,
         )
         if self.collect_debug:
-            shuffle_key = F.md5(
-                F.concat(F.lit(f"{self.seed}:{rnd}:"), F.col("url"))
-            )
+            from .operators.politeness import batch_shuffle_key
+
             ordered = (
-                outcome_rows.select("url", "outcome", shuffle_key.alias("_k"))
+                outcome_rows.select(
+                    "url", "outcome",
+                    batch_shuffle_key(self.seed, rnd).alias("_k"),
+                )
                 .orderBy("_k")
                 .collect()
             )

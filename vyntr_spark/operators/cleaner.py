@@ -53,6 +53,24 @@ def drop_empty(df: DataFrame, text_col: str = "cleaned_text",
     return df.filter(~(empty_text & empty_meta))
 
 
+def skip_if_fresh(df: DataFrame, processed: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """D7: incremental clean — skip rows already processed.
+
+    The reference's dataset tool skips an input file whose cleaned output
+    already exists and is fresh (mtime check, content_cleaner.js). The
+    set-based analog: anti-join the already-processed ids and run the D1
+    pipeline only on the remainder, so a re-run re-does no work.
+
+    Scale: a left-anti equi-join on the id key — broadcasts when the
+    processed set is small, shuffles on the key otherwise; either way no
+    per-row driver logic.
+    """
+    todo = df.join(processed.select(id_col), id_col, "left_anti")
+    return clean_documents(todo, text_col)
+
+
 def top_n_largest(df: DataFrame, n: int = 1000, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """D4 (find_largest.js): global top-N by content length. Spark plans

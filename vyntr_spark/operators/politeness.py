@@ -22,6 +22,33 @@ from pyspark.sql import functions as F
 MAX_PER_DOMAIN = 5  # genesis/src/main.rs:175
 
 
+def batch_shuffle_key(seed: int, rnd: int, url_col: str = "url"):
+    """C7 shuffle key: md5('{seed}:{round}:' || url).
+
+    The reference shuffles each selected batch with an OS-seeded StdRng
+    (genesis/src/main.rs:173,191-199) — nondeterministic by construction.
+    The rebuild pins the order (SURVEY.md §8 determinism contract) with a
+    seeded pseudo-random total order that reproduces across runs AND
+    across executor counts, and is expressible in the SQL oracle.
+    """
+    return F.md5(F.concat(F.lit(f"{seed}:{rnd}:"), F.col(url_col)))
+
+
+def batch_shuffle(batch: DataFrame, seed: int, rnd: int,
+                  url_col: str = "url") -> DataFrame:
+    """C7: deterministic batch shuffle — the batch ordered by its seeded
+    shuffle key, with the key kept as `shuffle_key`.
+
+    Scale: orderBy is a distributed range sort on the 32-hex key (no
+    global window / row_number), so the shuffle spreads a hot host's URLs
+    uniformly across output partitions — the same load-spreading effect
+    the reference's RNG shuffle buys, without a sequential rank.
+    """
+    return batch.withColumn(
+        "shuffle_key", batch_shuffle_key(seed, rnd, url_col)
+    ).orderBy("shuffle_key")
+
+
 def politeness_select(
     frontier: DataFrame,
     cap: int = MAX_PER_DOMAIN,

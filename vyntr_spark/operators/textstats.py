@@ -122,14 +122,42 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal hash family
+    h_i(x) = (a_i*x + b_i) mod p. Knuth multiplicative constant keeps the
+    a_i well-spread; a_i != 0 because p is prime and p does not divide
+    2654435761."""
+    return [
+        (((i + 1) * 2654435761) % MINHASH_P, ((i + 1) * 40503) % MINHASH_P)
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signature(df: DataFrame, n_hashes: int = 8,
                       text_col: str = "text", k: int = 3) -> DataFrame:
-    """MinHash: component i = min over shingles of md5('i:' || shingle).
-    One groupBy; signature as (doc_id, h0..h{n-1}) columns."""
-    sh = shingles(df, text_col, k)
+    """MinHash with ONE hash per shingle: base = the shingle's 60-bit md5
+    prefix as an int (mod p), component i = min over shingles of
+    (a_i*base + b_i) mod p — the standard universal-hash family (the same
+    scheme Spark ML's MinHashLSH uses), so per-shingle hashing cost is
+    one md5 instead of n_hashes md5s. p = 2^31-1 keeps a_i*base + b_i
+    below 2^62: no int64 overflow under ANSI mode, and the identical
+    integer arithmetic is expressible in the DuckDB oracle."""
+    sh = shingles(df, text_col, k).withColumn(
+        "_base",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(MINHASH_P),
+        ),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min(
+            F.pmod(F.lit(a) * F.col("_base") + F.lit(b), F.lit(MINHASH_P))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
