@@ -54,3 +54,24 @@ def test_skip_if_fresh_rerun_is_empty(spark):
         [(i, f"t{i}") for i in range(5)], "doc_id long, text string"
     )
     assert skip_if_fresh(docs, docs).count() == 0
+
+
+def test_minhash_lsh_hot_bucket_cap(spark, caplog):
+    """Scale guard: a boilerplate clone-cluster's band bucket is dropped
+    (with a log line), distinct near-dups elsewhere still pair."""
+    import logging
+
+    from vyntr_spark.operators.textstats import minhash_lsh_pairs
+
+    boiler = [(i, "copyright footer nav home about contact " * 3)
+              for i in range(40)]
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    pair = [(100, shared + "omega end"), (101, shared + "omega fin")]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING,
+                         logger="vyntr_spark.operators.textstats"):
+        pairs = minhash_lsh_pairs(docs, max_bucket=10).collect()
+    assert any("hot bucket" in r.message for r in caplog.records)
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (100, 101) in got                      # real near-dups survive
+    assert not any(a < 100 and b < 100 for a, b in got)  # clone block dropped

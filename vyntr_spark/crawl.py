@@ -403,16 +403,20 @@ class CrawlEngine:
             .persist()
         )
         seen_t = self.store.table("seen")
+        flagged = None
         if self.use_bloom:
             # scale path (C4): bloom prefilter shrinks the shuffled side of
-            # the anti-join; exact confirm keeps it false-negative-free
-            from .operators.bloom import BloomShards, bloom_anti_join
+            # the anti-join; exact confirm keeps it false-negative-free.
+            # Flag ONCE and persist — split_by_flag's two union branches
+            # both read the flagged frame.
+            from .operators.bloom import BloomShards, flag_maybe, split_by_flag
 
             if self._bloom is None:
                 self._bloom = BloomShards.sized_for(
                     self.bloom_expected_n, fpp=0.01, n_shards=8
                 ).add_df(seen_t.read())
-            new = bloom_anti_join(cand, seen_t.read(), self._bloom)
+            flagged = flag_maybe(self._bloom, cand).persist()
+            new = split_by_flag(flagged, seen_t.read())
         else:
             new = cand.join(seen_t.read(), "url", "left_anti")
         obs_new = Observation()
@@ -572,6 +576,8 @@ class CrawlEngine:
 
         for df in (sel, fetched_slim, extracted, cand, new):
             df.unpersist()
+        if flagged is not None:
+            flagged.unpersist()
         return info
 
     def run(self, max_rounds: int = 1_000) -> list[RoundInfo]:

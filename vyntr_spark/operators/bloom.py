@@ -43,16 +43,56 @@ from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
 
+_MASK64 = (1 << 64) - 1
+
+
 def _hashes(url: str, m_bits: int, k: int) -> list[int]:
-    """k bit positions via double hashing of md5(url) (Kirsch-Mitzenmacher)."""
+    """k bit positions via double hashing of md5(url) (Kirsch-Mitzenmacher).
+    (h1 + i*h2) wraps mod 2^64 so the scalar form agrees bit-for-bit with
+    the vectorized numpy batch path below."""
     d = hashlib.md5(url.encode()).digest()
     h1 = int.from_bytes(d[:8], "big")
     h2 = int.from_bytes(d[8:], "big") | 1
-    return [((h1 + i * h2) % m_bits) for i in range(k)]
+    return [(((h1 + i * h2) & _MASK64) % m_bits) for i in range(k)]
 
 
 def _shard_of(url: str, n_shards: int) -> int:
     return int.from_bytes(hashlib.md5(url.encode()).digest()[:4], "little") % n_shards
+
+
+def _digest_matrix(urls) -> np.ndarray:
+    """(n, 16) uint8 matrix of md5 digests — the only per-row Python work;
+    everything downstream (shard routing, bit positions, membership) is
+    vectorized numpy over the whole Arrow batch."""
+    buf = b"".join(hashlib.md5(u.encode()).digest() for u in urls)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(-1, 16)
+
+
+def _shards_vec(dm: np.ndarray, n_shards: int) -> np.ndarray:
+    le = np.ascontiguousarray(dm[:, :4]).view("<u4").ravel()
+    return (le % np.uint32(n_shards)).astype(np.int64)
+
+
+def _positions_vec(dm: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions; uint64 arithmetic wraps mod 2^64, matching
+    the scalar ``_hashes``."""
+    h1 = np.ascontiguousarray(dm[:, :8]).view(">u8").ravel().astype(np.uint64)
+    h2 = (np.ascontiguousarray(dm[:, 8:]).view(">u8").ravel().astype(np.uint64)
+          | np.uint64(1))
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def _contains_vec(arr: np.ndarray, dm: np.ndarray,
+                  m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership of each digest row against one shard bitmap."""
+    pos = _positions_vec(dm, m_bits, k)
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+    masks = np.left_shift(
+        np.uint8(1), (pos & np.uint64(7)).astype(np.uint8), dtype=np.uint8
+    )
+    return ((arr[byte_idx] & masks) != 0).all(axis=1)
 
 
 def shard_expr(col, n_shards: int):
@@ -84,6 +124,9 @@ class BloomShards:
             np.zeros(m_bits // 8 + 1, dtype=np.uint8) for _ in range(n_shards)
         ]
 
+    def total_bytes(self) -> int:
+        return sum(s.nbytes for s in self.shards)
+
     @classmethod
     def sized_for(cls, expected_n: int, fpp: float = 0.01,
                   n_shards: int = 8) -> "BloomShards":
@@ -105,17 +148,24 @@ class BloomShards:
         nbytes = m_bits // 8 + 1
 
         def build(part):
-            local = {}
-            for row in part:
-                u = row[0]
-                s = _shard_of(u, n_shards)
-                arr = local.get(s)
-                if arr is None:
-                    arr = np.zeros(nbytes, dtype=np.uint8)
-                    local[s] = arr
-                for pos in _hashes(u, m_bits, k_hashes):
-                    arr[pos >> 3] |= 1 << (pos & 7)
-            return [(s, a.tobytes()) for s, a in local.items()]
+            urls = [row[0] for row in part if row[0] is not None]
+            if not urls:
+                return []
+            dm = _digest_matrix(urls)
+            shard_ids = _shards_vec(dm, n_shards)
+            pos = _positions_vec(dm, m_bits, k_hashes)
+            out = []
+            for s in np.unique(shard_ids):
+                p = pos[shard_ids == s].ravel()
+                byte_idx = (p >> np.uint64(3)).astype(np.int64)
+                masks = np.left_shift(
+                    np.uint8(1), (p & np.uint64(7)).astype(np.uint8),
+                    dtype=np.uint8,
+                )
+                arr = np.zeros(nbytes, dtype=np.uint8)
+                np.bitwise_or.at(arr, byte_idx, masks)
+                out.append((int(s), arr.tobytes()))
+            return out
 
         merged = (
             urls.select(url_col).rdd.mapPartitions(build)
@@ -156,22 +206,19 @@ class BloomShards:
         cand_cols = [f.name for f in candidates.schema.fields]
 
         def check(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = cand_pdf[cand_cols].copy()
             arr = (
                 np.frombuffer(shard_pdf["blob"].iloc[0], dtype=np.uint8)
                 if len(shard_pdf)
                 else None
             )
-
-            def one(u):
-                if u is None or arr is None:
-                    return False
-                return all(
-                    arr[p >> 3] & (1 << (p & 7))
-                    for p in _hashes(u, m_bits, k_hashes)
-                )
-
-            out = cand_pdf[cand_cols].copy()
-            out["_maybe"] = cand_pdf[url_col].map(one)
+            urls = cand_pdf[url_col]
+            valid = urls.notna().to_numpy()
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+            if arr is not None and valid.any():
+                dm = _digest_matrix(urls[valid].tolist())
+                maybe[valid] = _contains_vec(arr, dm, m_bits, k_hashes)
+            out["_maybe"] = maybe
             return out
 
         return (
@@ -193,37 +240,65 @@ class BloomShards:
         @pandas_udf(T.BooleanType())
         def might_contain(url: pd.Series) -> pd.Series:
             n_shards, m_bits, k_hashes, blobs = bc.value
-            arrays = [np.frombuffer(b, dtype=np.uint8) for b in blobs]
-
-            def check(u):
-                if u is None:
-                    return False
-                arr = arrays[_shard_of(u, n_shards)]
-                return all(
-                    arr[p >> 3] & (1 << (p & 7)) for p in _hashes(u, m_bits, k_hashes)
+            # (n_shards, nbytes) matrix: per-row shard select is one gather
+            mat = np.stack([np.frombuffer(b, dtype=np.uint8) for b in blobs])
+            valid = url.notna().to_numpy()
+            maybe = np.zeros(len(url), dtype=bool)
+            if valid.any():
+                dm = _digest_matrix(url[valid].tolist())
+                shard_ids = _shards_vec(dm, n_shards)
+                pos = _positions_vec(dm, m_bits, k_hashes)
+                byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+                masks = np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8),
+                    dtype=np.uint8,
                 )
-
-            return url.map(check)
+                bits = mat[shard_ids[:, None], byte_idx] & masks
+                maybe[valid] = (bits != 0).all(axis=1)
+            return pd.Series(maybe)
 
         return might_contain
 
 
-def bloom_anti_join(candidates: DataFrame, seen: DataFrame,
-                    bloom: BloomShards, url_col: str = "url",
-                    route: str = "sharded") -> DataFrame:
-    """Unseen candidates = bloom-definitely-unseen ∪ exact-confirmed.
-    Equivalent to candidates.join(seen, url, 'left_anti') — the bloom just
-    shrinks the shuffled side.
+#: shards whose total size fits comfortably in an executor broadcast take
+#: the no-shuffle path; beyond this the cogroup keeps per-task memory at
+#: one shard (the 10^10-URL layout)
+BROADCAST_MAX_BYTES = 64 << 20
 
-    ``route='sharded'`` (default, the scale path) hash-routes candidates
-    so each task touches one shard; ``route='broadcast'`` ships the whole
-    bloom to every executor (fine while the bloom is small)."""
+
+def flag_maybe(bloom: BloomShards, candidates: DataFrame,
+               url_col: str = "url", route: str = "auto") -> DataFrame:
+    """Candidates + a ``_maybe`` bloom-membership column.
+
+    ``route='auto'`` broadcasts the whole bloom while it is small
+    (≤ BROADCAST_MAX_BYTES: a narrow pandas UDF, no shuffle, parallelism =
+    input partitions) and switches to the shard-routed cogroup once the
+    bloom outgrows what every executor should hold."""
+    if route == "auto":
+        route = ("broadcast" if bloom.total_bytes() <= BROADCAST_MAX_BYTES
+                 else "sharded")
     if route == "sharded":
-        flagged = bloom.flag_maybe_sharded(candidates, url_col)
-    else:
-        pred = bloom.might_contain_udf(candidates.sparkSession)
-        flagged = candidates.withColumn("_maybe", pred(F.col(url_col)))
+        return bloom.flag_maybe_sharded(candidates, url_col)
+    pred = bloom.might_contain_udf(candidates.sparkSession)
+    return candidates.withColumn("_maybe", pred(F.col(url_col)))
+
+
+def split_by_flag(flagged: DataFrame, seen: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """bloom-definitely-unseen ∪ exact-confirmed-unseen over a flagged
+    frame. Callers that materialize the result once should persist
+    ``flagged`` first — both union branches read it."""
     definitely_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     survivors = flagged.filter(F.col("_maybe")).drop("_maybe")
     confirmed_new = survivors.join(seen.select(url_col), url_col, "left_anti")
     return definitely_new.unionByName(confirmed_new)
+
+
+def bloom_anti_join(candidates: DataFrame, seen: DataFrame,
+                    bloom: BloomShards, url_col: str = "url",
+                    route: str = "auto") -> DataFrame:
+    """Unseen candidates = bloom-definitely-unseen ∪ exact-confirmed.
+    Equivalent to candidates.join(seen, url, 'left_anti') — the bloom just
+    shrinks the shuffled side. See ``flag_maybe`` for route selection."""
+    return split_by_flag(flag_maybe(bloom, candidates, url_col, route),
+                         seen, url_col)

@@ -163,10 +163,18 @@ def minhash_signature(df: DataFrame, n_hashes: int = 8,
 
 
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
-                      text_col: str = "text", k: int = 3) -> DataFrame:
+                      text_col: str = "text", k: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash+LSH near-dup candidates: split the signature into bands,
     bucket-join on (band, concatenated band hash) — candidates meet in
-    buckets; no cross join anywhere."""
+    buckets; no cross join anywhere.
+
+    ``max_bucket`` is the hot-bucket scale guard (same contract as
+    cosine_neardup_pairs): a band bucket holding > max_bucket docs —
+    boilerplate pages whose shingle mins all collide — would go quadratic
+    in the within-bucket join, so such buckets are dropped from pair
+    generation and the dropped bucket/row counts are LOGGED, never
+    silent."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, n_hashes, text_col, k)
     band_cols = []
@@ -178,6 +186,26 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+        )
+        hot_rows = hot.collect()  # bounded: only buckets above the cap
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: dropping %d hot bucket(s) totaling %d "
+                "docs (> max_bucket=%d): %s",
+                len(hot_rows), sum(r["count"] for r in hot_rows), max_bucket,
+                [(r["band"], r["key"], r["count"]) for r in hot_rows[:10]],
+            )
+            buckets = buckets.join(
+                F.broadcast(hot.select("band", "key")),
+                ["band", "key"], "left_anti",
+            )
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "key")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "key")
     return (
