@@ -340,6 +340,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c13_fingerprint"] = c13
 
+    # fixture pool mirroring proxies.txt's ip:port:user:pass shape; the
+    # malformed line and the bad-IP line exercise the loader's drop /
+    # 0.0.0.0 fallback (proxy.rs:45-48)
+    PROXY_LINES = [
+        "10.0.0.1:8080:alice:pw1",
+        "10.0.0.2:8080:bob:pw2",
+        "not-a-proxy-line",
+        "999.1.1.1:3128:carol:pw3",
+        "10.0.0.4:3128:dave:pw4",
+        "10.0.0.5:1080:eve:pw5",
+    ]
+
+    def c14(s, sf):
+        from vyntr_spark.operators.fingerprint import (
+            assign_proxies, load_proxy_pool,
+        )
+
+        pool = load_proxy_pool(s, PROXY_LINES)
+        batch = _docs(s, sf).select(
+            F.format_string(
+                "https://host%d.example/p%d",
+                F.col("doc_id") % 50, F.col("doc_id"),
+            ).alias("url")
+        )
+        return assign_proxies(batch, pool, seed=42, rnd=1).select(
+            "url", "proxy_idx", "addr", "proxy_ip"
+        )
+
+    q["c14_proxy_pick"] = c14
+
     def _w11_requests(s, sf):
         # synthetic API requests: every 5th missing key, next 5th an
         # unknown key, rest valid keys mapping to 20 users
@@ -1086,6 +1116,25 @@ GROUP BY p.pos
         "FROM documents) "
         f"SELECT doc_id, {_fp_ua} AS user_agent, "
         f"{_fp_ref} AS referrer FROM d"
+    )
+
+    # C14: hash-pick over the 5 valid fixture proxies (the malformed line
+    # is dropped; 999.1.1.1 falls back to ip 0.0.0.0 but keeps its addr)
+    o["c14_proxy_pick"] = (
+        "WITH pool AS (SELECT * FROM (VALUES "
+        "(0, '10.0.0.1', 'http://10.0.0.1:8080'), "
+        "(1, '10.0.0.2', 'http://10.0.0.2:8080'), "
+        "(2, '0.0.0.0',  'http://999.1.1.1:3128'), "
+        "(3, '10.0.0.4', 'http://10.0.0.4:3128'), "
+        "(4, '10.0.0.5', 'http://10.0.0.5:1080')"
+        ") AS t(proxy_idx, proxy_ip, addr)), "
+        "b AS (SELECT printf('https://host%d.example/p%d', doc_id % 50, "
+        "doc_id) AS url FROM documents), "
+        "picked AS (SELECT url, CAST(CAST(concat('0x', "
+        "substr(md5('42:1:' || url), 1, 15)) AS BIGINT) % 5 AS INT) "
+        "AS proxy_idx FROM b) "
+        "SELECT url, picked.proxy_idx, addr, proxy_ip "
+        "FROM picked JOIN pool USING (proxy_idx)"
     )
 
     # W11: auth verdict + usage rollup over the synthesized requests

@@ -65,3 +65,38 @@ def test_parse_query_edge():
     assert pq.terms == ["good"]
     assert pq.fields == {"field": "v"}
     assert parse_query("").terms == []
+
+
+def test_proxy_pool_loader_and_assignment(spark):
+    """C14: parser drops malformed lines, falls back bad IPs to 0.0.0.0
+    (proxy.rs:45-48); assignment is deterministic, balanced-ish, and
+    every pick resolves to a pool row."""
+    from pyspark.sql import functions as F
+
+    from vyntr_spark.operators.fingerprint import (
+        assign_proxies, load_proxy_pool,
+    )
+
+    pool = load_proxy_pool(spark, [
+        "1.2.3.4:8080:u:p", "bad-line", "5.6.7.8:3128:u:p",
+        "300.0.0.1:80:u:p", "only:three:parts",
+    ])
+    rows = {r["proxy_idx"]: r for r in pool.collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[2]["ip"] == "0.0.0.0"               # bad-IP fallback
+    assert rows[2]["addr"] == "http://300.0.0.1:80"  # addr keeps raw text
+    assert rows[0]["addr"] == "http://1.2.3.4:8080"
+
+    batch = spark.range(300).select(
+        F.concat(F.lit("https://h.example/p"), F.col("id")).alias("url")
+    )
+    a = assign_proxies(batch, pool, seed=9, rnd=2).collect()
+    b = assign_proxies(batch.repartition(7), pool, seed=9, rnd=2).collect()
+    assert {(r["url"], r["proxy_idx"]) for r in a} == \
+           {(r["url"], r["proxy_idx"]) for r in b}   # layout-independent
+    used = {r["proxy_idx"] for r in a}
+    assert used == {0, 1, 2}                         # all proxies rotate in
+    assert all(r["addr"] is not None for r in a)
+
+    empty = assign_proxies(batch, pool.filter("proxy_idx < 0"), 9, 2)
+    assert empty.filter(F.col("proxy_idx").isNotNull()).count() == 0

@@ -159,3 +159,65 @@ def oracle_sql_fragment(ip_sql: str, url_sql: str) -> str:
         f"THEN {scheme} || '://' || {host} END"
     )
     return ua, referrer
+
+
+# ---------------------------------------------------------------------------
+# C14 proxy pool (genesis/src/proxy.rs)
+# ---------------------------------------------------------------------------
+
+def load_proxy_pool(spark, lines: list[str]) -> DataFrame:
+    """ProxyManager::new analog (proxy.rs:33-81): parse ``ip:port:user:
+    pass`` lines into a proxy table. Lines without exactly 4 fields are
+    dropped (the reference's filter_map); an unparseable IP falls back to
+    0.0.0.0 (proxy.rs:45-48). addr = ``http://ip:port`` (proxy.rs:50).
+    proxy_idx is the line's position among the VALID lines, matching the
+    Vec index the reference rotates over."""
+    rows = []
+    idx = 0
+    for line in lines:
+        parts = line.split(":")
+        if len(parts) != 4:
+            continue
+        ip = parts[0]
+        octets = ip.split(".")
+        if not (len(octets) == 4
+                and all(o.isdigit() and int(o) <= 255 for o in octets)):
+            ip = "0.0.0.0"
+        rows.append((idx, ip, parts[1], parts[2],
+                     f"http://{parts[0]}:{parts[1]}"))
+        idx += 1
+    return spark.createDataFrame(
+        rows, "proxy_idx int, ip string, port string, username string, addr string"
+    )
+
+
+def proxy_pick_expr(n_proxies: int, seed: int, rnd: int,
+                    url_col: str = "url"):
+    """Deterministic pool index for a request. The reference rotates an
+    atomic cursor (``current.fetch_add(1) % len``, proxy.rs:88) — exact
+    round-robin, but order-dependent and so nondeterministic under
+    concurrency. The rebuild's analog picks uniformly by the seeded
+    request key md5(seed:round:url): same balanced-rotation intent,
+    reproducible across runs AND executor counts, and window-free (a
+    distributed row_number would serialize the batch through one task)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:{rnd}:"), F.col(url_col)))
+    return F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+        F.lit(n_proxies),
+    ).cast("int")
+
+
+def assign_proxies(batch: DataFrame, proxies: DataFrame, seed: int,
+                   rnd: int, url_col: str = "url") -> DataFrame:
+    """C14: batch rows + (proxy_idx, addr, ip) of the picked proxy.
+    The pool is tiny (a proxies.txt) — broadcast join, no shuffle."""
+    n = proxies.count()
+    if n == 0:
+        return batch.withColumn("proxy_idx", F.lit(None).cast("int")) \
+                    .withColumn("addr", F.lit(None).cast("string")) \
+                    .withColumn("proxy_ip", F.lit(None).cast("string"))
+    b = batch.withColumn("proxy_idx", proxy_pick_expr(n, seed, rnd, url_col))
+    p = proxies.select(
+        "proxy_idx", "addr", F.col("ip").alias("proxy_ip")
+    )
+    return b.join(F.broadcast(p), "proxy_idx", "left")
