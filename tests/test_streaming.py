@@ -57,3 +57,44 @@ def test_stream_metrics_windowed(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     fetch = [r for r in rows if r["event_type"] == "fetch"]
     assert fetch and fetch[0]["total"] == 2 and fetch[0]["sum_value"] == 3.0
+
+
+def test_stream_host_cap_across_batches(spark, tmp_path):
+    """The GroupState counter must persist across separate query runs
+    (checkpoint): a host exhausted in run 1 admits nothing in run 2,
+    a fresh host admits up to the remaining cap."""
+    from vyntr_spark.streaming.frontier_stream import stream_host_cap
+
+    frontier = str(tmp_path / "frontier")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt_cap")
+
+    b1 = spark.createDataFrame(
+        [(f"https://a.ex/p{i}", "a.ex", 0) for i in range(8)]
+        + [("https://b.ex/p0", "b.ex", 0)],
+        "url string, host string, round long",
+    )
+    b1.write.mode("append").parquet(frontier)
+    stream_host_cap(spark, frontier, out, ckpt, cap=3)
+
+    got1 = spark.read.parquet(out)
+    per_host = {r["host"]: r["n"] for r in
+                got1.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host == {"a.ex": 3, "b.ex": 1}
+    # pinned (round, url) order: the 3 smallest a.ex urls were admitted
+    a_urls = sorted(r["url"] for r in got1.filter("host='a.ex'").collect())
+    assert a_urls == [f"https://a.ex/p{i}" for i in range(3)]
+
+    # run 2: a.ex is exhausted, b.ex admits 2 more then caps
+    b2 = spark.createDataFrame(
+        [(f"https://a.ex/q{i}", "a.ex", 1) for i in range(4)]
+        + [(f"https://b.ex/p{i}", "b.ex", 1) for i in range(1, 6)],
+        "url string, host string, round long",
+    )
+    b2.write.mode("append").parquet(frontier)
+    stream_host_cap(spark, frontier, out, ckpt, cap=3)
+
+    got2 = spark.read.parquet(out)
+    per_host = {r["host"]: r["n"] for r in
+                got2.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host == {"a.ex": 3, "b.ex": 3}

@@ -96,3 +96,58 @@ def stream_metrics(spark: SparkSession, events_dir: str, out_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+def stream_host_cap(spark: SparkSession, frontier_dir: str, out_dir: str,
+                    checkpoint_dir: str, cap: int = 5):
+    """Streaming politeness admission (C6/C9 analog): admit at most
+    ``cap`` URLs per host across the WHOLE stream — a running per-host
+    counter in GroupState via ``applyInPandasWithState``.
+
+    This is the custom-stateful case the built-ins can't express:
+    watermarked ``dropDuplicates`` dedups identities, it cannot cap a
+    per-key admission count across micro-batches. Within a micro-batch
+    rows are admitted in the pinned (round, url) politeness order
+    (SURVEY.md §8); the counter survives restarts through the query
+    checkpoint. Scale: state is one int64 per host, hash-partitioned by
+    the group key — the same per-host layout as the batch engine's
+    politeness stage."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    frontier_schema = T.StructType([
+        T.StructField("url", T.StringType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("round", T.LongType(), True),
+    ])
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("round", T.LongType(), True),
+    ])
+    state_schema = T.StructType([T.StructField("n", T.LongType(), True)])
+
+    def admit(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            if n >= cap or pdf.empty:
+                continue  # must drain the iterator either way
+            batch = pdf.sort_values(["round", "url"]).head(cap - n)
+            n += len(batch)
+            yield batch[["url", "host", "round"]]
+        state.update((n,))
+
+    src = spark.readStream.schema(frontier_schema).parquet(frontier_dir)
+    admitted = src.groupBy("host").applyInPandasWithState(
+        admit, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
