@@ -115,6 +115,82 @@ def test_adhoc_search_delegates_phrases(docs, index):
     assert {r["doc_id"] for r in grouped} == {0, 1}
 
 
+def _naive_eval(node):
+    """Pure-Python mirror of boolquery._eval_docs over DOCS (same
+    Tantivy occurs semantics: Or = union of shoulds ∩ field musts −
+    must_nots)."""
+    all_ids = {d for d, _, _ in DOCS}
+    if isinstance(node, boolquery.Term):
+        return {d for d, t, _ in DOCS if node.word in _naive_tokens(t)}
+    if isinstance(node, boolquery.Phrase):
+        return _naive_phrase(node.words)
+    if isinstance(node, boolquery.FieldFilter):
+        if node.name != "language":
+            return all_ids
+        return {d for d, _, lang in DOCS if lang == node.value}
+    if isinstance(node, boolquery.Not):
+        return all_ids - _naive_eval(node.child)
+    if isinstance(node, boolquery.And):
+        out = all_ids
+        for c in node.children:
+            out &= _naive_eval(c)
+        return out
+    if isinstance(node, boolquery.Or):
+        neg = [c for c in node.children if isinstance(c, boolquery.Not)]
+        fields = [c for c in node.children
+                  if isinstance(c, boolquery.FieldFilter)]
+        pos = [c for c in node.children
+               if not isinstance(c, (boolquery.Not, boolquery.FieldFilter))]
+        out = set()
+        for c in pos:
+            out |= _naive_eval(c)
+        if not pos:
+            out = set(all_ids)
+        for c in fields:
+            out &= _naive_eval(c)
+        for c in neg:
+            out -= _naive_eval(c.child)
+        return out
+    raise TypeError(node)
+
+
+TRICKY = [
+    "quick brown",                    # bare shoulds = union
+    '"brown fox" OR dog',
+    "NOT (fox OR dog)",
+    "((quick))",
+    "-quick fox",                     # must_not over the clause set
+    "+fox -dog",
+    'language:en "quick brown"',      # field must + phrase should
+    '"fox" AND "dog"',                # 1-word phrases degrade to terms
+    "(quick AND brown) OR (fox AND dog)",
+    "language:de OR language:en NOT brown",
+]
+
+
+@pytest.mark.parametrize("q", TRICKY)
+def test_boolean_eval_matches_naive(index, q):
+    node = boolquery.parse_boolean(q)
+    got = _ids(boolquery.search_boolean(index, q, k=100))
+    assert got == _naive_eval(node), q
+
+
+def test_parse_fuzz_never_crashes():
+    from hypothesis import given, settings, strategies as st
+
+    piece = st.one_of(
+        st.sampled_from(['"', "(", ")", "AND", "OR", "NOT", "-", "+", ":",
+                         "fox", "dog", "quick", "language:en", " "]),
+        st.text(max_size=6),
+    )
+    @given(st.lists(piece, max_size=12).map(" ".join))
+    @settings(max_examples=300, deadline=None)
+    def check(q):
+        boolquery.parse_boolean(q)  # must never raise
+
+    check()
+
+
 def test_parser_shapes():
     n = boolquery.parse_boolean('(a OR b) AND c')
     assert isinstance(n, boolquery.And)

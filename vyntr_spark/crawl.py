@@ -94,6 +94,12 @@ class CrawlEngine:
         expire_keep: int | None = 4,
     ):
         self.spark = spark
+        # the engine's extract UDF needs vyntr_spark importable in the
+        # Python workers; for sessions not built by get_spark (or not
+        # launched via spark-submit --py-files) ship the package zip now
+        from .session import ensure_pyfiles
+
+        ensure_pyfiles(spark)
         self.store = store
         self.pages = pages
         self.max_pages = max_pages

@@ -27,6 +27,17 @@ def _package_zip() -> str:
     return out
 
 
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to the Python workers of an externally-built
+    session (the ``--py-files`` contract for sessions that didn't come
+    from :func:`get_spark`). Idempotent — re-adding the same zip path is
+    a no-op for Spark."""
+    sc = spark.sparkContext
+    if not getattr(sc, "_vyntr_pyfiles_added", False):
+        sc.addPyFile(_package_zip())
+        sc._vyntr_pyfiles_added = True
+
+
 def get_spark(
     app_name: str = "vyntr-spark",
     master: str | None = None,
@@ -70,5 +81,5 @@ def get_spark(
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
-    spark.sparkContext.addPyFile(_package_zip())
+    ensure_pyfiles(spark)
     return spark
