@@ -95,3 +95,65 @@ def test_perform_search_uses_index(spark, docs, index):
     )
     assert out["web"], "index-served search returned no hits"
     assert {r["doc_id"] for r in out["web"]} <= {0, 1, 3}
+
+
+def test_term_bucket_expr_parity(spark):
+    """Driver-side term_bucket must agree with the native expr for every
+    bucket width (the query path computes buckets in Python, the write
+    path in JVM exprs — disagreement would silently empty results)."""
+    terms = ["spark", "join", "a", "0", "über", "東京", "x" * 500]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    for k in (2, 8, 1024):
+        got = {
+            r["term"]: r["b"]
+            for r in df.select(
+                "term", pulse.term_bucket_expr(F.col("term"), k).alias("b")
+            ).collect()
+        }
+        assert got == {t: pulse.term_bucket(t, k) for t in terms}, k
+
+
+def test_bucketed_index_prunes_and_matches(spark, docs, tmp_path):
+    """bucket_partitions=K writes hive-partitioned postings; queries
+    must (a) return byte-identical results to the flat layout and
+    (b) scan only the query terms' bucket directories."""
+    bdir, fdir = str(tmp_path / "b"), str(tmp_path / "f")
+    pulse.materialize_index(docs, bdir, bucket_partitions=8)
+    pulse.materialize_index(docs, fdir)
+    bidx = pulse.load_index(spark, bdir)
+    fidx = pulse.load_index(spark, fdir)
+    assert bidx.n_buckets == 8 and fidx.n_buckets is None
+
+    q = ["spark", "join"]
+    got = pulse.bm25_topk_from_index(
+        bidx.postings, bidx.docstats, bidx.stats, q, k=10
+    ).collect()
+    want = pulse.bm25_topk_from_index(
+        fidx.postings, fidx.docstats, fidx.stats, q, k=10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    pruned = pulse.prune_terms(bidx.postings, q, bidx.n_buckets)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the scan reads only the matched buckets' files
+    want_buckets = {pulse.term_bucket(t, 8) for t in q}
+    files = {
+        r[0]
+        for r in pruned.select(
+            F.input_file_name()
+        ).distinct().collect()
+    }
+    import re
+    seen_buckets = {
+        int(re.search(r"bucket=(\d+)", f).group(1)) for f in files
+    }
+    assert seen_buckets <= want_buckets
+
+    # per-term lookup helper prunes to exactly one bucket
+    one = bidx.term_postings("spark")
+    fs = {
+        int(re.search(r"bucket=(\d+)", r[0]).group(1))
+        for r in one.select(F.input_file_name()).distinct().collect()
+    }
+    assert fs == {pulse.term_bucket("spark", 8)}

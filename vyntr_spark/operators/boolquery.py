@@ -211,17 +211,18 @@ def parse_boolean(q: str):
 # ---------------------------------------------------------------------------
 
 
-def _phrase_docs(post: DataFrame, words: list[str],
+def _phrase_docs(index: BM25Index, words: list[str],
                  id_col: str) -> DataFrame:
     """Docs where the words occur at consecutive positions: shift each
     term's position list by its offset and intersect — a per-term
-    postings lookup + doc_id equi-joins, never a corpus scan."""
-    if "positions" not in post.columns:
+    (bucket-pruned) postings lookup + doc_id equi-joins, never a corpus
+    scan."""
+    if "positions" not in index.postings.columns:
         raise ValueError(
             "phrase query needs positional postings "
             "(build_index(..., with_positions=True))"
         )
-    cur = post.filter(F.col("term") == words[0]).select(
+    cur = index.term_postings(words[0]).select(
         F.col(id_col), F.col("positions").alias("_starts")
     )
     for i, w in enumerate(words[1:], start=1):
@@ -229,7 +230,7 @@ def _phrase_docs(post: DataFrame, words: list[str],
         # F.transform as the (element, index) form — build a unary
         # closure over the offset instead
         shift = (lambda o: (lambda x: x - o))(i)
-        nxt = post.filter(F.col("term") == w).select(
+        nxt = index.term_postings(w).select(
             F.col(id_col),
             F.transform("positions", shift).alias("_shift"),
         )
@@ -243,11 +244,10 @@ def _phrase_docs(post: DataFrame, words: list[str],
 
 
 def _eval_docs(node, index: BM25Index, id_col: str) -> DataFrame:
-    post = index.postings
     if isinstance(node, Term):
-        return post.filter(F.col("term") == node.word).select(id_col).distinct()
+        return index.term_postings(node.word).select(id_col).distinct()
     if isinstance(node, Phrase):
-        return _phrase_docs(post, node.words, id_col)
+        return _phrase_docs(index, node.words, id_col)
     if isinstance(node, FieldFilter):
         if index.docmeta is None or node.name not in index.docmeta.columns:
             return index.docstats.select(id_col)  # unknown field: no-op

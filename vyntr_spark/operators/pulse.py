@@ -58,6 +58,41 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`term_bucket_expr` (md5 digest bytes
+    0..3 big-endian mod K) — lets the query path compute which hive
+    partitions its terms live in without a Spark job."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(term.encode()).digest()[:4], "big"
+    ) % n_buckets
+
+
+def term_bucket_expr(col, n_buckets: int):
+    """Deterministic term -> bucket as a native expr (first 8 md5 hex
+    chars = digest bytes 0..3 big-endian). Used as the hive partition
+    column of a materialized postings table — the parquet stand-in for
+    an Iceberg ``bucket(K, term)`` partition transform."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def prune_terms(post: DataFrame, query_terms: list[str],
+                n_buckets: int | None) -> DataFrame:
+    """Restrict a postings frame to the hive partitions holding
+    ``query_terms``. On a bucket-partitioned postings table the
+    ``bucket IN (...)`` predicate is a PartitionFilter — the scan
+    touches only those directories (O(matched buckets), not O(index)).
+    No-op for unbucketed postings (n_buckets falsy / no bucket col)."""
+    if not n_buckets or "bucket" not in post.columns:
+        return post
+    buckets = sorted({term_bucket(t, n_buckets) for t in query_terms})
+    return post.filter(F.col("bucket").isin(buckets))
+
+
 def bm25_topk_from_index(post: DataFrame, ds: DataFrame, stats: DataFrame,
                          query_terms: list[str], k: int = 10,
                          id_col: str = "doc_id",
@@ -76,6 +111,10 @@ def bm25_topk_from_index(post: DataFrame, ds: DataFrame, stats: DataFrame,
     row = stats.collect()[0]  # 1-row stats table — the only driver fetch
     n_docs = float(row["n_docs"])
     avgdl = float(row["avgdl"] or 0.0)
+    # bucket-partitioned index (materialize_index): prune the postings
+    # scan to the query terms' hive partitions before the term join
+    n_buckets = row["n_buckets"] if "n_buckets" in stats.columns else None
+    post = prune_terms(post, query_terms, n_buckets)
 
     qterms = spark.createDataFrame([(t,) for t in query_terms], "term string")
     qpost = post.join(F.broadcast(qterms), "term")
@@ -340,6 +379,15 @@ class BM25Index:
     docstats: DataFrame
     stats: DataFrame
     docmeta: DataFrame | None = None
+    #: hive-bucket count of the postings table (None = unbucketed);
+    #: per-term lookups prune to md5(term) % n_buckets
+    n_buckets: int | None = None
+
+    def term_postings(self, term: str) -> DataFrame:
+        """One term's postings — partition-pruned on a bucketed index."""
+        return prune_terms(self.postings, [term], self.n_buckets).filter(
+            F.col("term") == term
+        )
 
 
 def build_index(df: DataFrame, text_col: str = "text",
@@ -368,26 +416,47 @@ def materialize_index(df: DataFrame, out_dir: str, text_col: str = "text",
                       id_col: str = "doc_id",
                       meta_cols: tuple[str, ...] = (),
                       bucket_partitions: int | None = None) -> None:
-    """Write the index tables to ``out_dir`` — postings repartitioned by
-    term so a query's broadcast-term join prunes to the term's partitions
-    (the parquet stand-in for an Iceberg bucket(term) layout)."""
+    """Write the index tables to ``out_dir``. With ``bucket_partitions``
+    = K the postings land hive-partitioned by ``bucket = md5(term) % K``
+    (the parquet stand-in for an Iceberg ``bucket(K, term)`` transform):
+    a query computes its terms' buckets driver-side (:func:`term_bucket`)
+    and the scan directory-prunes to those partitions — per-query IO is
+    O(matched buckets / K of the index), which is what keeps term
+    lookups cheap at a 10^10-posting index. The bucket count rides the
+    1-row stats table so every reader agrees without extra scans."""
     idx = build_index(df, text_col, id_col, meta_cols)
     post = idx.postings
+    stats = idx.stats.withColumn(
+        "n_buckets", F.lit(int(bucket_partitions or 0))
+    )
     if bucket_partitions:
-        post = post.repartition(bucket_partitions, "term")
-    post.write.mode("overwrite").parquet(f"{out_dir}/postings")
+        post = post.withColumn(
+            "bucket", term_bucket_expr(F.col("term"), bucket_partitions)
+        )
+        # one output file per bucket dir (term-local row groups)
+        post = post.repartition(bucket_partitions, "bucket")
+        post.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_dir}/postings"
+        )
+    else:
+        post.write.mode("overwrite").parquet(f"{out_dir}/postings")
     idx.docstats.write.mode("overwrite").parquet(f"{out_dir}/docstats")
-    idx.stats.write.mode("overwrite").parquet(f"{out_dir}/stats")
+    stats.write.mode("overwrite").parquet(f"{out_dir}/stats")
     if idx.docmeta is not None:
         idx.docmeta.write.mode("overwrite").parquet(f"{out_dir}/docmeta")
 
 
 def load_index(spark, out_dir: str, with_meta: bool = False) -> BM25Index:
+    stats = spark.read.parquet(f"{out_dir}/stats")
+    n_buckets = None
+    if "n_buckets" in stats.columns:
+        n_buckets = stats.select("n_buckets").collect()[0][0] or None
     return BM25Index(
         postings=spark.read.parquet(f"{out_dir}/postings"),
         docstats=spark.read.parquet(f"{out_dir}/docstats"),
-        stats=spark.read.parquet(f"{out_dir}/stats"),
+        stats=stats,
         docmeta=spark.read.parquet(f"{out_dir}/docmeta") if with_meta else None,
+        n_buckets=n_buckets,
     )
 
 
@@ -421,12 +490,12 @@ def search_index(index: BM25Index, query: str, k: int = 10,
                     meta = meta.filter(F.col(f_name) == v)
         restrict = meta.select(id_col)
     for w in pq.must:
-        ids_w = index.postings.filter(F.col("term") == w).select(id_col)
+        ids_w = index.term_postings(w).select(id_col)
         restrict = ids_w if restrict is None else restrict.join(
             ids_w, id_col, "semi"
         )
     for w in pq.must_not:
-        ids_w = index.postings.filter(F.col("term") == w).select(id_col)
+        ids_w = index.term_postings(w).select(id_col)
         base = restrict if restrict is not None else \
             index.docstats.select(id_col)
         restrict = base.join(ids_w, id_col, "anti")
