@@ -415,7 +415,8 @@ def build_index(df: DataFrame, text_col: str = "text",
 def materialize_index(df: DataFrame, out_dir: str, text_col: str = "text",
                       id_col: str = "doc_id",
                       meta_cols: tuple[str, ...] = (),
-                      bucket_partitions: int | None = None) -> None:
+                      bucket_partitions: int | None = None,
+                      with_positions: bool = False) -> None:
     """Write the index tables to ``out_dir``. With ``bucket_partitions``
     = K the postings land hive-partitioned by ``bucket = md5(term) % K``
     (the parquet stand-in for an Iceberg ``bucket(K, term)`` transform):
@@ -423,8 +424,11 @@ def materialize_index(df: DataFrame, out_dir: str, text_col: str = "text",
     and the scan directory-prunes to those partitions — per-query IO is
     O(matched buckets / K of the index), which is what keeps term
     lookups cheap at a 10^10-posting index. The bucket count rides the
-    1-row stats table so every reader agrees without extra scans."""
-    idx = build_index(df, text_col, id_col, meta_cols)
+    1-row stats table so every reader agrees without extra scans.
+    ``with_positions`` persists per-posting position lists so quoted
+    phrases serve from the same pruned on-disk layout."""
+    idx = build_index(df, text_col, id_col, meta_cols,
+                      with_positions=with_positions)
     post = idx.postings
     stats = idx.stats.withColumn(
         "n_buckets", F.lit(int(bucket_partitions or 0))
