@@ -98,3 +98,36 @@ def test_stream_host_cap_across_batches(spark, tmp_path):
     per_host = {r["host"]: r["n"] for r in
                 got2.groupBy("host").agg(F.count("*").alias("n")).collect()}
     assert per_host == {"a.ex": 3, "b.ex": 3}
+
+
+def test_stream_index_build_bucketed(spark, tmp_path):
+    """bucket_partitions appends into the hive bucket=md5(term)%K layout
+    — incremental growth keeps the serving path's partition pruning."""
+    from vyntr_spark.operators.pulse import term_bucket
+
+    analyses = str(tmp_path / "analyses_b")
+    post_dir = str(tmp_path / "postings_b")
+    ckpt = str(tmp_path / "ckpt_b")
+    spark.createDataFrame(
+        [("u1", "spark data spark"), ("u2", "window data")],
+        "url string, content_text string",
+    ).write.mode("append").parquet(analyses)
+    stream_index_build(spark, analyses, post_dir, ckpt, bucket_partitions=8)
+    spark.createDataFrame(
+        [("u3", "spark window")], "url string, content_text string"
+    ).write.mode("append").parquet(analyses)
+    stream_index_build(spark, analyses, post_dir, ckpt, bucket_partitions=8)
+
+    post = spark.read.parquet(post_dir)
+    rows = post.collect()
+    assert {(r["term"], r["url"], r["tf"]) for r in rows} == {
+        ("spark", "u1", 2), ("data", "u1", 1), ("window", "u2", 1),
+        ("data", "u2", 1), ("spark", "u3", 1), ("window", "u3", 1),
+    }
+    # every row landed in its term's bucket directory
+    assert all(r["bucket"] == term_bucket(r["term"], 8) for r in rows)
+    # a pruned term lookup reads only that bucket's files
+    one = post.filter(F.col("bucket") == term_bucket("spark", 8)).filter(
+        F.col("term") == "spark"
+    )
+    assert {r["url"] for r in one.collect()} == {"u1", "u3"}

@@ -31,9 +31,14 @@ ANALYSES_MIN = T.StructType(
 
 
 def stream_index_build(spark: SparkSession, analyses_dir: str,
-                       postings_dir: str, checkpoint_dir: str):
+                       postings_dir: str, checkpoint_dir: str,
+                       bucket_partitions: int | None = None):
     """Incrementally maintain the postings table from analyses file
-    appends. Returns the finished StreamingQuery (AvailableNow)."""
+    appends. Returns the finished StreamingQuery (AvailableNow).
+    ``bucket_partitions`` appends into the same hive ``bucket =
+    md5(term) % K`` layout the serving path prunes on
+    (operators/pulse.py materialize_index) so an incrementally-grown
+    index keeps O(matched buckets) term lookups."""
     src = (
         spark.readStream.schema(ANALYSES_MIN)
         .option("maxFilesPerTrigger", 64)
@@ -52,6 +57,16 @@ def stream_index_build(spark: SparkSession, analyses_dir: str,
             .groupBy("term", "url")
             .agg(F.count("*").alias("tf"))
         )
+        if bucket_partitions:
+            from ..operators.pulse import term_bucket_expr
+
+            post = post.withColumn(
+                "bucket", term_bucket_expr(F.col("term"), bucket_partitions)
+            )
+            post.write.mode("append").partitionBy("bucket").parquet(
+                postings_dir
+            )
+            return
         post.write.mode("append").parquet(postings_dir)
 
     q = (
