@@ -92,6 +92,7 @@ class CrawlEngine:
         frontier_mode: str = "log",
         compact_every: int = 8,
         expire_keep: int | None = 4,
+        logger=None,
     ):
         self.spark = spark
         # the engine's extract UDF needs vyntr_spark importable in the
@@ -133,6 +134,10 @@ class CrawlEngine:
         # output-file sizing for snapshot commits (None = shuffle-partition
         # count; Iceberg proper would size files via its own write targets)
         self.io_coalesce = io_coalesce
+        # optional C22 AsyncLogger (vyntr_spark/logger.py): per-round
+        # summaries buffered + flushed like the reference's batch logs
+        # (genesis/src/main.rs:106-108)
+        self.logger = logger
         self._bloom = None  # built lazily from the seen table, then extended
         self._state_cache: tuple[int, int] | None = None
         # tracked frontier row count: lets a round skip the up-front
@@ -565,6 +570,14 @@ class CrawlEngine:
             round=rnd, selected=n_sel, success=n_succ, new_urls=n_new,
             dedup_dropped=n_cand - n_new, wall_ms=wall_ms,
         )
+        if self.logger is not None:
+            # main.rs per-batch summary shape: totals + rate
+            self.logger.add_entry(
+                f"round {rnd}: selected={n_sel} success={n_succ} "
+                f"new_urls={n_new} dedup_dropped={n_cand - n_new} "
+                f"wall_ms={wall_ms} "
+                f"pages_per_sec={n_sel / max(wall_ms, 1) * 1000:.1f}"
+            )
         if self.collect_debug:
             from .operators.politeness import batch_shuffle_key
 
