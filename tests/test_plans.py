@@ -60,3 +60,34 @@ def test_politeness_no_single_partition_exchange(spark):
     )
     plan = audit.executed_plan(politeness_select(frontier))
     assert "SinglePartition" not in plan, "politeness must not globally sort"
+
+
+def test_r2_native_operators_have_no_python(spark):
+    """Round-2 ops that must stay JVM-side: C13 fingerprint, C14 proxy
+    pick, full NSFW domains, full unit table, winnowing, batch shuffle,
+    index-served BM25."""
+    for name in ["c13_fingerprint", "c14_proxy_pick", "p4b_nsfw_domains",
+                 "w7b_unit_full", "t_winnow_fp", "c7_batch_shuffle",
+                 "p8b_bm25_from_index", "w11_api_usage"]:
+        df = entry_mod.queries()[name](spark, SF)
+        assert audit.python_eval_count(df) == 0, f"{name} leaked into Python"
+
+
+def test_index_served_bm25_never_scans_documents(spark):
+    """The serving path reads postings/docstats/stats only — a scan of
+    the raw corpus in the plan means the O(corpus)-per-query
+    anti-pattern came back."""
+    import tempfile
+
+    from vyntr_spark.operators import pulse
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        pulse.materialize_index(docs, d, bucket_partitions=4)
+        idx = pulse.load_index(spark, d)
+        q = pulse.bm25_topk_from_index(
+            idx.postings, idx.docstats, idx.stats, ["spark", "data"], k=10
+        )
+        plan = audit.executed_plan(q)
+        assert "documents.parquet" not in plan
+        assert audit.python_eval_count(q) == 0
