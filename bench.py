@@ -96,19 +96,8 @@ def main() -> None:
 
     pages = spark.read.schema(PAGES).parquet(pages_path)
 
-    # -- steady-state warmup -------------------------------------------------
-    # One small untimed pass through the hot code paths (codegen compile,
-    # Python UDF worker spin-up, parquet footer + page cache) before any
-    # timed region. A long-lived cluster never pays these per query; the
-    # scaling evidence in BENCH/BASELINE.md warms identically. Without
-    # this, the first timed crawl measures JVM warmup, not the engine
-    # (observed 2-4x first-run penalty on this host).
-    pages.limit(512).select(
-        extract_udf(F.col("html"), F.col("url")).alias("ex")
-    ).select(F.sum(F.size("ex.links"))).collect()
-    pages.groupBy("url").count().count()
-
-    def crawl_once(use_bloom: bool = False) -> tuple[float, list]:
+    def crawl_once(use_bloom: bool = False, budget: int | None = None,
+                   seed_k: int | None = None) -> tuple[float, list]:
         import shutil
         import tempfile
 
@@ -118,18 +107,34 @@ def main() -> None:
         if use_bloom:
             kw = dict(use_bloom=True,
                       bloom_expected_n=max(n_pages * 4, 100_000))
-        eng = CrawlEngine(spark, store, pages, max_pages=n_pages, seed=42,
+        eng = CrawlEngine(spark, store, pages,
+                          max_pages=budget or n_pages, seed=42,
                           salt_buckets=max(8, cpus), **kw)
         # full-width seeding (cap per host): every round sweeps
         # ~cap*n_hosts pages — the wide-crawl steady state the north
         # rule's throughput criterion measures (BENCH/BASELINE.md)
-        eng.init_from_seeds(default_seeds_web(n_pages, n_hosts, k=n_hosts,
+        eng.init_from_seeds(default_seeds_web(n_pages, n_hosts,
+                                              k=seed_k or n_hosts,
                                               per_host=5, zipf_s=0.25))
         t0 = time.monotonic()
         infos = eng.run(max_rounds=3)
         dt = time.monotonic() - t0
         shutil.rmtree(whdir, ignore_errors=True)
         return dt, infos
+
+    # -- steady-state warmup -------------------------------------------------
+    # One untimed 1/10-scale crawl + extract pass through the full hot
+    # path (round-loop codegen, Python UDF worker spin-up, snapshot-commit
+    # writers, parquet footer + page cache) before any timed region. A
+    # long-lived cluster never pays these per query; the scaling evidence
+    # in BENCH/BASELINE.md warms identically. Without this, the first
+    # timed crawl measures JVM warmup, not the engine (observed 2-4x
+    # first-run penalty on this host).
+    crawl_once(budget=max(n_pages // 10, 500),
+               seed_k=max(n_hosts // 10, 50))
+    pages.limit(512).select(
+        extract_udf(F.col("html"), F.col("url")).alias("ex")
+    ).select(F.sum(F.size("ex.links"))).collect()
 
     # -- crawl rounds (north-rule workload) ---------------------------------
     # best of up to 3: the sandbox host shows minute-scale background-load
