@@ -67,6 +67,17 @@ def get_spark(
         # mid-job; JVM case mapping is semantically identical for ASCII and
         # matches DuckDB's simple UTF-8 mapping (oracle parity).
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        # JVM<->Python-worker channel over AF_UNIX instead of loopback TCP
+        # (Spark 4.1, SPARK-51596): skips the TCP stack for every Arrow
+        # batch. On this sandbox's shared hypervisor, kernel time is the
+        # dominant cost of the UDF exchange during contended windows
+        # (observed up to 97% system CPU with workers blocked in
+        # tcp_recvmsg) — fewer/cheaper kernel crossings shrink that
+        # exposure. VYNTR_UDS=0 reverts to TCP.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            "false" if os.environ.get("VYNTR_UDS") == "0" else "true",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
