@@ -115,7 +115,11 @@ def main() -> None:
         f"{result['pairs'][f'{a}->{b}']['scaling_efficiency_frontier']}**"
         for a, b in pairs
     )
-    md = f"""# BENCH baseline — measured numbers (this rebuild)
+    # Refresh only the measured block (header → criterion lines) and keep
+    # the hand-maintained narrative below the first "(target ≥ 0.8" line:
+    # the narrative carries same-window probe numbers, repeat-spread and
+    # A/B evidence that a table regeneration must not clobber.
+    measured = f"""# BENCH baseline — measured numbers (this rebuild)
 
 Workload: north-rule crawl (politeness cap 5/host, seeded shuffle,
 seen-dedup, extraction, snapshot commits) over the deterministic
@@ -136,15 +140,15 @@ every run.
 
 {pair_lines}
 
-(target ≥ 0.8 — BASELINE.json `north_rule`; efficiency =
+"""
+    path = os.path.join(HERE, "BASELINE.md")
+    tail = """(target ≥ 0.8 — BASELINE.json `north_rule`; efficiency =
 (throughput_4N / throughput_N) / 4. The local[2] → local[8] pair is the
 criterion measurement: both levels run far below the 32-vCPU host's
 capacity, so it isolates the job's own scaling. The local[8] → local[32]
-pair saturates a shared Firecracker host whose hypervisor slows each core
-~28% when all 32 vCPUs are busy (measured with plain CPU-bound worker
-processes, no Spark: 3.6s/task at 1-8 procs vs 5.0s at 32), capping even
-a perfectly-scaling job at ~0.72 on that pair — it is reported as
-full-machine evidence, with that external cap noted.)
+pair saturates a shared Firecracker host and is reported as full-machine
+evidence only — rerun BENCH/cpu_probe.py in the same window for the
+host-contention ceiling.)
 
 **Determinism across parallelism: IDENTICAL**
 (order-insensitive md5 over analyses (url, content_text, title) —
@@ -157,8 +161,13 @@ Config: spark.sql.shuffle.partitions = cores, AQE on, Arrow batches 512,
 ICU case mappings off (see vyntr_spark/session.py), 16m parquet splits
 for the binary-heavy scan.
 """
-    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
-        f.write(md)
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("(target ≥ 0.8")
+        if cut != -1:
+            tail = old[cut:]
+    with open(path, "w") as f:
+        f.write(measured + tail)
 
 
 if __name__ == "__main__":

@@ -192,11 +192,28 @@ def main() -> None:
         extras["crawl_samples_host_cores"] = hosts
 
     # -- crawl rounds with the bloom-shard prefilter (C4 scale path) ---------
+    # same best-of sampling as crawl_rounds: a single unlucky host window
+    # here produced a 3x outlier in one round-2 run, so one sample is not
+    # evidence of anything on this host
     if want("crawl_rounds_bloom"):
-        dt, infos = crawl_once(use_bloom=True)
+        samples = []
+        hosts = []
+        infos = None
+        for _ in range(3):
+            _, (dt_in, infos_s), host = host_sample(
+                lambda: crawl_once(use_bloom=True))
+            samples.append(dt_in)
+            hosts.append(host)
+            if infos is None or dt_in <= min(samples):
+                infos = infos_s
+            if len(samples) >= 2 and sorted(samples)[1] <= sorted(samples)[0] * 1.25:
+                break
+        dt = min(samples)
         timings["crawl_rounds_bloom"] = round(dt, 3)
         fetched = sum(i.selected for i in infos)
         extras["crawl_bloom_pages_per_sec"] = round(fetched / dt, 2)
+        extras["crawl_bloom_samples_sec"] = [round(s, 3) for s in samples]
+        extras["crawl_bloom_samples_host_cores"] = hosts
 
     # -- index-served BM25 (P5 build once, P8 serve without corpus scan) -----
     if want("p8b_bm25_serve"):

@@ -67,16 +67,17 @@ def get_spark(
         # mid-job; JVM case mapping is semantically identical for ASCII and
         # matches DuckDB's simple UTF-8 mapping (oracle parity).
         .config("spark.sql.icu.caseMappings.enabled", "false")
-        # JVM<->Python-worker channel over AF_UNIX instead of loopback TCP
-        # (Spark 4.1, SPARK-51596): skips the TCP stack for every Arrow
-        # batch. On this sandbox's shared hypervisor, kernel time is the
-        # dominant cost of the UDF exchange during contended windows
-        # (observed up to 97% system CPU with workers blocked in
-        # tcp_recvmsg) — fewer/cheaper kernel crossings shrink that
-        # exposure. VYNTR_UDS=0 reverts to TCP.
+        # JVM<->Python-worker channel: loopback TCP (Spark default) unless
+        # VYNTR_UDS=1 opts into AF_UNIX (Spark 4.1, SPARK-51596). The UDS
+        # route was tried as the round-2 default to cut kernel crossings
+        # on the Arrow exchange, but an interleaved local[32] A/B on this
+        # shared host was inconclusive (UDS 288/233 s vs TCP 96/227 s on
+        # identical 120k-page crawls — host-window noise dominates either
+        # channel), and every sub-100 s window ever observed here was TCP;
+        # defaulting to the channel with the best observed ceiling.
         .config(
             "spark.python.unix.domain.socket.enabled",
-            "false" if os.environ.get("VYNTR_UDS") == "0" else "true",
+            "true" if os.environ.get("VYNTR_UDS") == "1" else "false",
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
