@@ -300,7 +300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ) as f:
             f.write("".join(parts))
             path = f.name
-        wn = wordnet_df(s, path)
+        try:
+            # parse is eager (driver-side XML -> createDataFrame), so the
+            # temp file can go as soon as wordnet_df returns
+            wn = wordnet_df(s, path)
+        finally:
+            os.unlink(path)
         return wn.groupBy("part_of_speech").agg(
             F.count("*").alias("n_words"),
             F.sum(F.size("definitions")).alias("n_defs"),

@@ -158,11 +158,15 @@ def main() -> None:
     # in BENCH/BASELINE.md warms identically. Without this, the first
     # timed crawl measures JVM warmup, not the engine (observed 2-4x
     # first-run penalty on this host).
-    crawl_once(budget=max(n_pages // 10, 500),
-               seed_k=max(n_hosts // 10, 50))
-    pages.limit(512).select(
-        extract_udf(F.col("html"), F.col("url")).alias("ex")
-    ).select(F.sum(F.size("ex.links"))).collect()
+    # (gated on the entries that actually exercise those paths, so a
+    # BENCH_QUERIES subset doesn't pay a crawl it will never time)
+    if want("crawl_rounds") or want("crawl_rounds_bloom"):
+        crawl_once(budget=max(n_pages // 10, 500),
+                   seed_k=max(n_hosts // 10, 50))
+    if want("crawl_rounds") or want("crawl_rounds_bloom") or want("extract_all"):
+        pages.limit(512).select(
+            extract_udf(F.col("html"), F.col("url")).alias("ex")
+        ).select(F.sum(F.size("ex.links"))).collect()
 
     # -- crawl rounds (north-rule workload) ---------------------------------
     # best of up to 3: the sandbox host shows minute-scale background-load

@@ -46,6 +46,19 @@ def test_interval_flush_and_close(tmp_path):
     assert "ticked" in body and "closing" in body
 
 
+def test_add_entry_after_close_raises(tmp_path):
+    # entries after close() can never reach the file — they must fail
+    # loudly, not buffer silently (regression)
+    import pytest
+
+    log = AsyncLogger(str(tmp_path), buffer_size=10, flush_interval=None,
+                      seed=3)
+    log.add_entry("before")
+    log.close()
+    with pytest.raises(ValueError):
+        log.add_entry("after")
+
+
 def test_crawl_engine_logs_round_summaries(spark, tmp_path):
     from vyntr_spark.crawl import CrawlEngine
     from vyntr_spark.synth import default_seeds, generate_pages

@@ -39,9 +39,17 @@ def test_parse_date_full_table():
     assert parse_date_query("days until mothers day", TODAY)["date"] == "2027-05-09"
     gf = parse_date_query("days until good friday", TODAY)
     assert gf["date"] == "2027-03-26" and gf["name"] == "Good Friday"
-    # apostrophe alias falls back to the normalized key
+    # apostrophe alias falls back to the normalized key — including keys
+    # that END in ' day' (regression: a "s day"->"s" rewrite used to
+    # shorten the alias past the table key for these)
     assert parse_date_query("days until st patrick's day", TODAY)[
         "date"] == "2027-03-17"
+    assert parse_date_query("days until mother's day", TODAY)[
+        "date"] == "2027-05-09"
+    assert parse_date_query("days until father's day", TODAY)[
+        "date"] == "2027-06-20"
+    assert parse_date_query("days until presidents' day", TODAY)[
+        "date"] == "2027-02-15"
     # looking back ('since') -> most recent past occurrence
     j = parse_date_query("days since juneteenth", TODAY)
     assert j["date"] == "2026-06-19" and j["days"] < 0

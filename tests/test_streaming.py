@@ -100,6 +100,34 @@ def test_stream_host_cap_across_batches(spark, tmp_path):
     assert per_host == {"a.ex": 3, "b.ex": 3}
 
 
+def test_stream_host_cap_chunked_group_order(spark, tmp_path):
+    """A host whose rows span multiple Arrow chunks must admit in the
+    global (round, url) order, not per-chunk order (regression: the cap
+    used to be spent on the first chunk's rows, i.e. physical file
+    order, whenever a group exceeded maxRecordsPerBatch)."""
+    from vyntr_spark.streaming.frontier_stream import stream_host_cap
+
+    frontier = str(tmp_path / "frontier_c")
+    out = str(tmp_path / "admitted_c")
+    ckpt = str(tmp_path / "ckpt_c")
+
+    # one host, 12 rows written in DESCENDING url order so the
+    # politeness-smallest urls sit in the last Arrow chunk
+    rows = [(f"https://c.ex/p{i:02d}", "c.ex", 0) for i in range(11, -1, -1)]
+    (spark.createDataFrame(rows, "url string, host string, round long")
+     .coalesce(1).write.mode("append").parquet(frontier))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream_host_cap(spark, frontier, out, ckpt, cap=3)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got == [f"https://c.ex/p{i:02d}" for i in range(3)]
+
+
 def test_stream_index_build_bucketed(spark, tmp_path):
     """bucket_partitions appends into the hive bucket=md5(term)%K layout
     — incremental growth keeps the serving path's partition pruning."""

@@ -70,6 +70,11 @@ class AsyncLogger:
     def add_entry(self, message: str) -> None:
         line = f"[{datetime.now():%Y-%m-%d %H:%M:%S}] {message}\n"
         with self._lock:
+            if self._fh.closed:
+                # entries after close() could never reach the file (the
+                # flush guard skips a closed handle) — fail loudly
+                # instead of buffering them into the void
+                raise ValueError("add_entry() on a closed AsyncLogger")
             self._buf.append(line)
             if len(self._buf) >= self.buffer_size:
                 self._flush_locked()

@@ -199,8 +199,12 @@ def proxy_pick_expr(n_proxies: int, seed: int, rnd: int,
     concurrency. The rebuild's analog picks uniformly by the seeded
     request key md5(seed:round:url): same balanced-rotation intent,
     reproducible across runs AND executor counts, and window-free (a
-    distributed row_number would serialize the batch through one task)."""
-    key = F.md5(F.concat(F.lit(f"{seed}:{rnd}:"), F.col(url_col)))
+    distributed row_number would serialize the batch through one task).
+    The request key is the C7 seeded shuffle key — one derivation shared
+    with politeness.batch_shuffle_key so the two can't drift."""
+    from .politeness import batch_shuffle_key
+
+    key = batch_shuffle_key(seed, rnd, url_col)
     return F.pmod(
         F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
         F.lit(n_proxies),

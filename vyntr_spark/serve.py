@@ -57,8 +57,16 @@ def parse_date_query(q: str, today: date) -> dict | None:
     m = _DAYS_UNTIL_RE.search(q)
     if not m:
         return None
+    # whole-query substring check, NOT the matched keyword: date.ts:310
+    # does `query.includes('since') || query.includes('from')`, so a
+    # query like "days until christmas from now" looks back there too —
+    # quirk kept for parity.
     looking_back = ("since" in q) or ("from" in q)
     target = m.group(1).strip().lower()
+    # insertion-order first-substring-match like date.ts:334
+    # `query.includes(key)` — note 'easter' precedes 'easter monday' in
+    # both tables, so the 'easter monday' entry is shadowed in the
+    # reference and here alike (kept for table parity).
     for key in HOLIDAY_RULES:
         if key in target:
             name, d = holiday_occurrence(key, today, looking_back)
@@ -66,8 +74,9 @@ def parse_date_query(q: str, today: date) -> dict | None:
                 "target": target, "name": name,
                 "date": d.isoformat(), "days": (d - today).days,
             }
-    # aliased spellings the key table misses (apostrophes)
-    alias = target.replace("'", "").replace("s day", "s")
+    # aliased spellings the key table misses (apostrophes): "mother's
+    # day" → "mothers day" etc. (beyond date.ts, which lowercases only)
+    alias = target.replace("'", "")
     for key in HOLIDAY_RULES:
         if key in alias:
             name, d = holiday_occurrence(key, today, looking_back)

@@ -142,10 +142,20 @@ def stream_host_cap(spark: SparkSession, frontier_dir: str, out_dir: str,
     state_schema = T.StructType([T.StructField("n", T.LongType(), True)])
 
     def admit(key, pdf_iter, state):
+        import pandas as pd
+
         n = state.get[0] if state.exists else 0
-        for pdf in pdf_iter:
-            if n >= cap or pdf.empty:
-                continue  # must drain the iterator either way
+        # Arrow hands the group over as an iterator of bounded chunks
+        # (maxRecordsPerBatch rows each). The admission order must be the
+        # global (round, url) order over the WHOLE group, so collect the
+        # chunks before sorting — a per-chunk sort+head would spend the
+        # cap on whichever chunk arrives first, i.e. on physical row
+        # order. Memory is bounded by one host's rows in this micro-batch
+        # — the same per-host working set the batch politeness stage
+        # holds.
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if chunks and n < cap:
+            pdf = pd.concat(chunks, ignore_index=True)
             batch = pdf.sort_values(["round", "url"]).head(cap - n)
             n += len(batch)
             yield batch[["url", "host", "round"]]
