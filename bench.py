@@ -15,6 +15,12 @@ Env:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for local[N] (default 32)
   BENCH_QUERIES        comma list to restrict (debug)
+  BENCH_BUDGET_S       wall-clock budget (default 600). Repeat samples
+                       (the best-of-N retries for crawl/bloom/extract)
+                       are skipped once the budget is spent so one bad
+                       host window can never starve the later queries or
+                       blow past a driver timeout; every query still gets
+                       measured at least once.
 """
 
 from __future__ import annotations
@@ -81,6 +87,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
+    t_bench0 = time.monotonic()
+
+    def over_budget(frac: float = 1.0) -> bool:
+        """True once frac of the wall budget is spent. Checked only
+        before OPTIONAL repeat samples — first measurements always run,
+        so a trimmed run is less noise-robust, never less complete."""
+        hit = (time.monotonic() - t_bench0) > budget_s * frac
+        if hit:
+            extras["bench_budget_trimmed"] = True
+        return hit
 
     def _cpu_ticks() -> tuple[int, int, int]:
         """(user+nice, system+irq+softirq, steal) jiffies from /proc/stat."""
@@ -178,6 +196,8 @@ def main() -> None:
         samples: list[tuple[float, list]] = []
         hosts: list[dict] = []
         for _ in range(4):
+            if samples and over_budget(0.45):
+                break
             dt_s, (dt_in, infos_s), host = host_sample(crawl_once)
             samples.append((dt_in, infos_s))
             hosts.append(host)
@@ -204,6 +224,8 @@ def main() -> None:
         hosts = []
         infos = None
         for _ in range(3):
+            if samples and over_budget(0.75):
+                break
             _, (dt_in, infos_s), host = host_sample(
                 lambda: crawl_once(use_bloom=True))
             samples.append(dt_in)
@@ -241,6 +263,8 @@ def main() -> None:
         samples = []
         hosts = []
         for _ in range(3):
+            if samples and over_budget(0.9):
+                break
             dt_s, n, host = host_sample(
                 lambda: pages.select(
                     extract_udf(F.col("html"), F.col("url")).alias("ex")
