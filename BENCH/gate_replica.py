@@ -80,7 +80,11 @@ def main():
             rec["err"] = f"{type(e).__name__}: {e}"
             n_fail += 1
         results[name] = rec
-        flag = "OK " if rec["err"] is None and rec.get("hash_match", True) in (True, None) and rec.get("rows_match") else "FAIL"
+        flag = ("OK " if rec["err"] is None
+                and rec.get("rows_match")
+                and rec.get("hash_match", True) in (True, None)
+                and rec.get("schema_match", True) in (True, None)
+                else "FAIL")
         print(f"{flag} {name} rows={rec.get('spark_rows')}", flush=True)
     print(json.dumps({"total": len(qs), "failed": n_fail}))
     with open("/tmp/gate_replica.json", "w") as f:

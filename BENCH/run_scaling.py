@@ -165,7 +165,22 @@ for the binary-heavy scan.
         old = open(path).read()
         cut = old.find("(target ≥ 0.8")
         if cut != -1:
-            tail = old[cut:]
+            # the preserved narrative can cite numbers from the PREVIOUS
+            # table (probe ceilings, per-run walls, "criterion met at X");
+            # mark it dated so a regenerated table never silently
+            # contradicts prose written for an older run
+            marker = (
+                "> NOTE: the narrative below this line was written for an "
+                "earlier measured\n> table and is preserved across "
+                "regeneration; window-specific numbers in it\n> (probe "
+                "ceilings, repeat spreads, per-run walls) describe THAT "
+                "run. The\n> table above is the current measurement.\n\n"
+            )
+            old_tail = old[cut:]
+            if not old_tail.startswith("> NOTE:"):
+                tail = marker + old_tail
+            else:
+                tail = old_tail
     with open(path, "w") as f:
         f.write(measured + tail)
 

@@ -201,3 +201,16 @@ def test_parser_shapes():
     assert kinds == ["Phrase", "Not", "FieldFilter"]
     assert boolquery.parse_boolean("") is None
     assert boolquery.parse_boolean('""') is None
+
+
+def test_has_phrase_gates_positional_index():
+    """search() builds positional postings only for ASTs that actually
+    contain a multi-word Phrase — parens, single-word quotes, NOT/field
+    shapes must not trigger the corpus-wide posexplode pass."""
+    needs = ['"exact phrase" AND x', 'NOT "two words"', '("a b" OR c)']
+    skips = ['"single"', '(a OR b) AND c', 'plain terms',
+             'field:value -x', '', '""']
+    for q in needs:
+        assert boolquery.has_phrase(boolquery.parse_boolean(q)), q
+    for q in skips:
+        assert not boolquery.has_phrase(boolquery.parse_boolean(q)), q

@@ -566,6 +566,22 @@ class CrawlEngine:
                 )
             _mark('frontier_compaction')
 
+        if self.expire_keep is not None and (rnd + 1) % self.compact_every == 0:
+            # same maintenance cadence for the tables that replace-commit
+            # every round OUTSIDE log mode: replace-mode frontier rewrites
+            # the full frontier per round and round_state rewrites one row
+            # per round in both modes — without expiry their old snapshot
+            # dirs accumulate O(rounds) (O(rounds x frontier) disk for
+            # replace mode, the exact growth expire_keep exists to bound).
+            if self.frontier_mode != "log":
+                self.store.table("frontier").expire_snapshots(
+                    keep_last=self.expire_keep
+                )
+            self.store.table("round_state").expire_snapshots(
+                keep_last=self.expire_keep
+            )
+            _mark('snapshot_expiry')
+
         info = RoundInfo(
             round=rnd, selected=n_sel, success=n_succ, new_urls=n_new,
             dedup_dropped=n_cand - n_new, wall_ms=wall_ms,

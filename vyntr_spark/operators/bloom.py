@@ -237,11 +237,22 @@ class BloomShards:
              [s.tobytes() for s in self.shards])
         )
 
+        # per-worker cache of the stacked matrix: np.stack copies the whole
+        # bloom, so doing it per Arrow batch would cost O(bloom bytes) per
+        # ~512 rows on the crawl hot path. The closure dict ships empty and
+        # persists in each worker process; broadcast.value is deserialized
+        # once per worker, so id(blobs) is a stable key there.
+        _mat_cache: dict[int, np.ndarray] = {}
+
         @pandas_udf(T.BooleanType())
         def might_contain(url: pd.Series) -> pd.Series:
             n_shards, m_bits, k_hashes, blobs = bc.value
             # (n_shards, nbytes) matrix: per-row shard select is one gather
-            mat = np.stack([np.frombuffer(b, dtype=np.uint8) for b in blobs])
+            mat = _mat_cache.get(id(blobs))
+            if mat is None:
+                mat = np.stack([np.frombuffer(b, dtype=np.uint8) for b in blobs])
+                _mat_cache.clear()  # bound worker memory to one matrix
+                _mat_cache[id(blobs)] = mat
             valid = url.notna().to_numpy()
             maybe = np.zeros(len(url), dtype=bool)
             if valid.any():

@@ -206,6 +206,19 @@ def parse_boolean(q: str):
     return _Parser(_lex(q)).parse()
 
 
+def has_phrase(node) -> bool:
+    """True when the AST contains a multi-word Phrase — the only node
+    that needs positional postings. Callers building an on-the-fly index
+    can skip the posexplode position pass for everything else."""
+    if isinstance(node, Phrase):
+        return True
+    if isinstance(node, Not):
+        return has_phrase(node.child)
+    if isinstance(node, (And, Or)):
+        return any(has_phrase(c) for c in node.children)
+    return False
+
+
 # ---------------------------------------------------------------------------
 # evaluation over the index
 # ---------------------------------------------------------------------------

@@ -335,9 +335,14 @@ def search(df: DataFrame, query: str, k: int = 10,
         meta_cols = tuple(
             c for c in df.columns if c not in (text_col, id_col)
         )
-        idx = build_index(df, text_col, id_col, meta_cols=meta_cols,
-                          with_positions=True)
         q2 = query if lang is None else f"{query} language:{lang}"
+        # positional postings (a corpus-wide posexplode) are only needed
+        # when the parse actually contains a quoted phrase — a stray
+        # paren or quote pair with no multi-word phrase must not trigger
+        # the positions pass
+        need_pos = boolquery.has_phrase(boolquery.parse_boolean(q2))
+        idx = build_index(df, text_col, id_col, meta_cols=meta_cols,
+                          with_positions=need_pos)
         return boolquery.search_boolean(idx, q2, k=k, id_col=id_col)
     pq = parse_query(query)
     if lang is not None:

@@ -177,6 +177,11 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
     silent."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature(df, n_hashes, text_col, k)
+    if max_bucket is not None:
+        # the guard needs a counting action BEFORE the pair job; cache the
+        # signature (one short row per doc) so the corpus-wide shingle+md5
+        # aggregation — the dominant cost — runs once, not once per action
+        sig = sig.persist()
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
@@ -187,12 +192,12 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
-        hot = (
+        hot_rows = (
             buckets.groupBy("band", "key")
             .count()
             .filter(F.col("count") > max_bucket)
+            .collect()  # bounded: only buckets above the cap
         )
-        hot_rows = hot.collect()  # bounded: only buckets above the cap
         if hot_rows:
             import logging
 
@@ -202,9 +207,15 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = 8, bands: int = 4,
                 len(hot_rows), sum(r["count"] for r in hot_rows), max_bucket,
                 [(r["band"], r["key"], r["count"]) for r in hot_rows[:10]],
             )
+            # exclusion from the ALREADY-collected rows: joining against
+            # the `hot` plan instead would recompute the full signature
+            # aggregation inside the pair job's anti-join
+            excl = df.sparkSession.createDataFrame(
+                [(r["band"], r["key"]) for r in hot_rows],
+                "band int, key string",
+            )
             buckets = buckets.join(
-                F.broadcast(hot.select("band", "key")),
-                ["band", "key"], "left_anti",
+                F.broadcast(excl), ["band", "key"], "left_anti",
             )
     a = buckets.select(F.col("doc_id").alias("id_a"), "band", "key")
     b = buckets.select(F.col("doc_id").alias("id_b"), "band", "key")
