@@ -196,7 +196,12 @@ def main() -> None:
         samples: list[tuple[float, list]] = []
         hosts: list[dict] = []
         for _ in range(4):
-            if samples and over_budget(0.45):
+            # the budget may trim repeats 3-4, never the second sample: a
+            # single sample has no noise protection, and in a bad host
+            # window the untimed warmup alone can spend the trim fraction
+            # (observed: warmup + one 79 s outlier sample -> headline 3x
+            # worse than steady state with nothing to take the min over)
+            if len(samples) >= 2 and over_budget(0.45):
                 break
             dt_s, (dt_in, infos_s), host = host_sample(crawl_once)
             samples.append((dt_in, infos_s))
@@ -224,7 +229,8 @@ def main() -> None:
         hosts = []
         infos = None
         for _ in range(3):
-            if samples and over_budget(0.75):
+            # min-2 samples before budget trim, same as crawl_rounds
+            if len(samples) >= 2 and over_budget(0.75):
                 break
             _, (dt_in, infos_s), host = host_sample(
                 lambda: crawl_once(use_bloom=True))
@@ -263,7 +269,8 @@ def main() -> None:
         samples = []
         hosts = []
         for _ in range(3):
-            if samples and over_budget(0.9):
+            # min-2 samples before budget trim, same as crawl_rounds
+            if len(samples) >= 2 and over_budget(0.9):
                 break
             dt_s, n, host = host_sample(
                 lambda: pages.select(
