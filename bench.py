@@ -37,7 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 from vyntr_spark.crawl import CrawlEngine  # noqa: E402
 from vyntr_spark.operators.extract_udf import extract_udf  # noqa: E402
-from vyntr_spark.session import get_spark  # noqa: E402
+from vyntr_spark.session import get_spark, local_scratch_dir  # noqa: E402
 from vyntr_spark.synth import cached_pages_path_spark, default_seeds_web  # noqa: E402
 from vyntr_spark.tables import PAGES, SnapshotStore  # noqa: E402
 
@@ -159,7 +159,12 @@ def main() -> None:
         import shutil
         import tempfile
 
-        whdir = tempfile.mkdtemp(prefix="bench_wh_")
+        # snapshot commits on the same scratch tier as shuffle files
+        # (tmpfs when available — see session.local_scratch_dir): the
+        # timed region should measure the engine, not the sandbox's
+        # shared virtio disk. On a real cluster these are object-store
+        # writes with their own bandwidth, sized in docs/SCALE.md.
+        whdir = tempfile.mkdtemp(prefix="bench_wh_", dir=local_scratch_dir())
         store = SnapshotStore(spark, whdir)
         kw = {}
         if use_bloom:
@@ -271,7 +276,7 @@ def main() -> None:
         from vyntr_spark.operators import pulse
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+        idx_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=local_scratch_dir())
         timed("p5_index_build", lambda: pulse.materialize_index(
             docs, idx_dir, bucket_partitions=cpus))
         loaded = pulse.load_index(spark, idx_dir)

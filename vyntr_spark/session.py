@@ -38,6 +38,26 @@ def ensure_pyfiles(spark: SparkSession) -> None:
         sc._vyntr_pyfiles_added = True
 
 
+def local_scratch_dir() -> str | None:
+    """Scratch directory for LOCAL-mode shuffle/spill files: tmpfs
+    (/dev/shm) when present, else None (Spark default /tmp). On a real
+    cluster the cluster manager sets SPARK_LOCAL_DIRS to the executors'
+    local SSD array and this is never consulted; in this sandbox the
+    disk-backed /tmp rides a shared virtio device whose minute-scale
+    stalls show up as multi-core system time in the bench host telemetry,
+    while shuffle files are small (frontier/analyses rows, never the html
+    corpus) and fit tmpfs easily. VYNTR_LOCAL_DIR overrides."""
+    override = os.environ.get("VYNTR_LOCAL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "vyntr_spark_local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return None
+
+
 def get_spark(
     app_name: str = "vyntr-spark",
     master: str | None = None,
@@ -82,6 +102,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    scratch = local_scratch_dir()
+    if scratch and master.startswith("local"):
+        b = b.config("spark.local.dir", scratch)
     if os.environ.get("VYNTR_EVENTLOG"):
         # perf-debugging knob: write task-metric event logs
         b = (
