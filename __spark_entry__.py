@@ -29,7 +29,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from vyntr_spark.operators import cleaner, pulse, serving, textstats, vectors  # noqa: E402
+from vyntr_spark.operators import cleaner, graph, pulse, serving, textstats, vectors  # noqa: E402
 from vyntr_spark.operators.vectors import projection_planes  # noqa: E402
 
 NSFW_SET = ["src1", "src13"]
@@ -48,6 +48,35 @@ _W7B_PAIRS = [
     ("meters", "pounds"), ("frobs", "meters"),
 ]
 TARGET_DATE = "2026-12-25"
+
+# ---- line-structured text fixture (the synthetic corpus is single-line;
+# the line/paragraph operators need lines, dup lines, bullets, ellipses,
+# and a cross-doc boilerplate line — injected deterministically on BOTH
+# engines: newline after every 8th word, a global boilerplate footer,
+# a self-duplicated first line (doc_id%3), bullets (%4), '...' (%5),
+# a '#' heading (%7)) --------------------------------------------------
+_BOILER = "subscribe to our newsletter click here now"
+
+# PageRank fixture: 3 deterministic out-edges per doc (multiplier, offset
+# mod n_docs); docs with doc_id % 11 == 5 keep NO out-edges, making them
+# dangling so the dangling-mass path is exercised, not vacuous
+_PR_EDGE_GENS = ((31, 1), (17, 2), (7, 3))
+
+
+def _mtext_col():
+    lineified = F.regexp_replace(F.col("text"), "((\\S+ ){8})", "$1\n")
+    first_line = F.substring_index(lineified, "\n", 1)
+    return F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("# heading\n")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("- bullet item\n- bullet item\n")).otherwise(F.lit("")),
+        lineified,
+        F.lit("\n" + _BOILER),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("\n"), first_line)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\nread more...")).otherwise(F.lit("")),
+    )
 
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
@@ -858,6 +887,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["h5_nation_revenue"] = h5
+
+    # ---- line-level quality + paragraph dedup (Gopher / RefinedWeb-style
+    # training-data filters over the line-structured fixture) -------------
+    q["t_gopher_quality"] = lambda s, sf: textstats.gopher_quality(
+        _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
+    )
+
+    q["t_para_dedup"] = lambda s, sf: textstats.paragraph_dedup(
+        _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
+    )
+
+    # ---- link-graph ops: PageRank frontier priority + near-dup
+    # connected components (alternating large-star/small-star) ------------
+    def g1(s, sf):
+        d = _docs(s, sf).select("doc_id")
+        n = d.count()
+        parts = [
+            d.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * m + o) % n).alias("dst"),
+            )
+            for m, o in _PR_EDGE_GENS
+        ]
+        edges = (
+            parts[0].unionByName(parts[1]).unionByName(parts[2])
+            .filter((F.col("src") % 11 != 5) & (F.col("src") != F.col("dst")))
+        )
+        pr = graph.pagerank(edges, n_iter=5, damping=0.85)
+        return pr.select(
+            F.col("node").cast("long").alias("node"),
+            F.round("rank", 6).alias("rank"),
+        )
+
+    q["g1_pagerank"] = g1
+
+    def g2(s, sf):
+        d = _docs(s, sf)
+        pairs = textstats.minhash_lsh_pairs(d, n_hashes=8, bands=4)
+        mx = d.agg(F.max("doc_id")).first()[0]
+        chain = d.filter(
+            (F.col("doc_id") % 5 != 4) & (F.col("doc_id") + 1 <= mx)
+        ).select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        edges = pairs.select("id_a", "id_b").unionByName(chain)
+        return graph.neardup_components(edges).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("canonical_id").cast("long").alias("canonical_id"),
+        )
+
+    q["g2_neardup_components"] = g2
 
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
@@ -1785,6 +1865,143 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
         f"{_md5b(3)}*256 + {_md5b(4)}) % 600000 END AS BIGINT) "
         "AS duration_ms FROM d"
     )
+
+    # ---- line-level quality + paragraph dedup + link graph ----------------
+    # the same deterministic line-structured fixture as the Spark side
+    # (_mtext_col): newline every 8th word, boilerplate footer, self-dup
+    # first line (%3), bullets (%4), '...' (%5), '#' heading (%7)
+    _lineified = r"regexp_replace(text, '((\S+ ){8})', '\1' || chr(10), 'g')"
+    _mtext = (
+        "(CASE WHEN doc_id % 7 = 0 THEN '# heading' || chr(10) ELSE '' END) || "
+        "(CASE WHEN doc_id % 4 = 0 THEN '- bullet item' || chr(10) || "
+        "'- bullet item' || chr(10) ELSE '' END) || "
+        f"{_lineified} || chr(10) || '{_BOILER}' || "
+        f"(CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+        f"split_part({_lineified}, chr(10), 1) ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'read more...' ELSE '' END)"
+    )
+    _mlines = (
+        "list_filter(list_transform(string_split(mtext, chr(10)), "
+        "x -> trim(x)), x -> x <> '')"
+    )
+    _mwords = r"list_filter(string_split_regex(mtext, '\s+'), x -> x <> '')"
+
+    o["t_gopher_quality"] = rf"""
+WITH m AS (SELECT doc_id, {_mtext} AS mtext FROM documents),
+ws AS (SELECT doc_id,
+  CAST(len({_mwords}) AS BIGINT) AS n_words,
+  CAST(length(regexp_replace(mtext, '\s', '', 'g')) AS BIGINT) AS tot_wlen,
+  CAST(len(list_filter({_mwords},
+    x -> length(regexp_replace(x, '[^a-zA-Z]', '', 'g')) > 0)) AS BIGINT) AS n_alpha,
+  CAST((length(mtext) - length(replace(mtext, '#', '')))
+   + (length(mtext) - length(replace(mtext, '...', ''))) // 3 AS BIGINT) AS n_sym
+ FROM m),
+lx AS (SELECT doc_id, unnest({_mlines}) AS line FROM m),
+pl AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS llen
+       FROM lx GROUP BY doc_id, line),
+ls AS (SELECT doc_id,
+  sum(cnt) AS n_lines, sum(cnt - 1) AS n_dup_lines,
+  sum((cnt - 1) * llen) AS dup_chars, sum(cnt * llen) AS tot_chars,
+  sum(CASE WHEN line LIKE '-%' OR line LIKE '*%' OR line LIKE '•%'
+      THEN cnt ELSE 0 END) AS n_bullet,
+  sum(CASE WHEN line LIKE '%...' THEN cnt ELSE 0 END) AS n_ell_lines
+ FROM pl GROUP BY doc_id),
+j AS (SELECT w.doc_id, n_words, tot_wlen, n_alpha, n_sym,
+  CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(n_dup_lines, 0) AS BIGINT) AS n_dup_lines,
+  CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+  CAST(coalesce(tot_chars, 0) AS BIGINT) AS tot_chars,
+  CAST(coalesce(n_bullet, 0) AS BIGINT) AS n_bullet,
+  CAST(coalesce(n_ell_lines, 0) AS BIGINT) AS n_ell_lines
+ FROM ws w LEFT JOIN ls USING (doc_id))
+SELECT doc_id, n_words, n_lines,
+ round(CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE) / n_lines ELSE 0 END, 4) AS dup_line_frac,
+ round(CASE WHEN tot_chars > 0 THEN CAST(dup_chars AS DOUBLE) / tot_chars ELSE 0 END, 4) AS dup_char_frac,
+ round(CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0 END, 4) AS bullet_frac,
+ round(CASE WHEN n_lines > 0 THEN CAST(n_ell_lines AS DOUBLE) / n_lines ELSE 0 END, 4) AS ellipsis_frac,
+ round(CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words ELSE 0 END, 4) AS symbol_ratio,
+ (n_words >= 50 AND n_words <= 100000
+  AND 3 * n_words <= tot_wlen AND tot_wlen <= 10 * n_words
+  AND 5 * n_alpha >= 4 * n_words
+  AND 10 * n_sym <= n_words
+  AND 10 * n_bullet <= 9 * n_lines
+  AND 10 * n_ell_lines <= 3 * n_lines
+  AND 10 * n_dup_lines <= 3 * n_lines
+  AND 5 * dup_chars <= tot_chars) AS keep
+FROM j
+"""
+
+    o["t_para_dedup"] = f"""
+WITH m AS (SELECT doc_id, {_mtext} AS mtext FROM documents),
+ex0 AS (SELECT doc_id, {_mlines} AS l FROM m),
+ex AS (SELECT doc_id, unnest(l) AS para,
+       unnest(range(1, len(l) + 1)) AS pos FROM ex0),
+fl AS (SELECT doc_id, pos, para,
+       row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1 AS kept
+       FROM ex)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+ CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+ coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE kept), '')
+   AS dedup_text
+FROM fl GROUP BY doc_id
+"""
+
+    # PageRank: unrolled power iteration, identical recurrence to
+    # operators/graph.py:pagerank (damping forced to DOUBLE so DuckDB
+    # doesn't route the arithmetic through DECIMAL)
+    _d85 = "CAST(0.85 AS DOUBLE)"
+    _nq = "(SELECT n FROM nc)"
+    pr_sql = (
+        "WITH e0 AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id * {m} + {off}) % "
+            "(SELECT count(*) FROM documents) AS dst FROM documents"
+            for m, off in _PR_EDGE_GENS
+        )
+        + "), e AS (SELECT DISTINCT src, dst FROM e0 "
+        "WHERE src % 11 <> 5 AND src <> dst), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg "
+        "FROM e GROUP BY src), "
+        f"pr0 AS (SELECT node, CAST(1 AS DOUBLE)/{_nq} AS rank FROM nodes)"
+    )
+    for i in range(5):
+        pr_sql += (
+            f", dang{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM pr{i} "
+            "WHERE node NOT IN (SELECT src FROM deg))"
+            f", ctr{i} AS (SELECT e.dst AS node, sum(p.rank / d.outdeg) AS c "
+            f"FROM e JOIN pr{i} p ON p.node = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+            f", pr{i + 1} AS (SELECT n.node, "
+            f"(1 - {_d85})/{_nq} + {_d85} * (coalesce(c.c, 0) + "
+            f"(SELECT dm FROM dang{i})/{_nq}) AS rank "
+            f"FROM nodes n LEFT JOIN ctr{i} c USING (node))"
+        )
+    pr_sql += (
+        " SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM pr5"
+    )
+    o["g1_pagerank"] = pr_sql
+
+    # connected components = transitive closure (recursive CTE) over the
+    # same edge set: MinHash/LSH near-dup pairs UNION 5-chain edges
+    o["g2_neardup_components"] = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({o["t_minhash_lsh_pairs"]}) _mh),
+chain AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id % 5 <> 4
+            AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)),
+e0 AS (SELECT id_a AS u, id_b AS v FROM pairs
+       UNION SELECT id_a, id_b FROM chain),
+e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+nodes AS (SELECT DISTINCT u AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+FROM reach GROUP BY node
+"""
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);
     # n_frames = floor(duration/60000) + 1 (frame_sample_plan every_ms=60s)

@@ -1,0 +1,128 @@
+"""Link-graph operators: connected components (large-star/small-star),
+PageRank power iteration, and frontier priority attachment.
+
+Oracles are tiny pure-Python implementations (union-find, dense power
+iteration) — the Spark results must match them exactly / to 1e-9.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vyntr_spark.operators import graph
+
+
+def _cc_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _pr_oracle(edges, n_iter=5, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += rank[s] / len(ts)
+        rank = {
+            v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in nodes
+        }
+    return rank
+
+
+@pytest.fixture()
+def chain_and_clique_edges():
+    # chain 0-1-2-3, clique {10,11,12}, singleton pair (20,21),
+    # self-loop (30,30) must be ignored, duplicate edges must collapse
+    return [
+        (0, 1), (1, 2), (2, 3),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21), (21, 20),
+        (30, 30),
+        (0, 1),
+    ]
+
+
+def test_connected_components_matches_union_find(spark, chain_and_clique_edges):
+    e = spark.createDataFrame(chain_and_clique_edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(e).collect()
+    }
+    want = _cc_oracle(chain_and_clique_edges)
+    assert got == want
+    # chain collapses to min id 0; clique to 10; pair to 20; 30 to itself
+    assert got[3] == 0 and got[12] == 10 and got[21] == 20 and got[30] == 30
+
+
+def test_connected_components_long_chain(spark):
+    # a 40-node chain: diameter 40, but star-contraction must converge in
+    # far fewer than max_iter rounds (this is the case that kills naive
+    # min-label propagation)
+    edges = [(i, i + 1) for i in range(40)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in graph.connected_components(e).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_neardup_components_canonical_ids(spark):
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (100, 101)], ["id_a", "id_b"]
+    )
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in graph.neardup_components(pairs).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 100: 100, 101: 100}
+
+
+def test_pagerank_matches_dense_oracle(spark):
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2),  # 4→ nothing: 4 dangling
+        (4, 0),
+    ]
+    # make node 5 dangling (appears only as a dst)
+    edges.append((2, 5))
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in graph.pagerank(e, n_iter=5).collect()}
+    want = _pr_oracle(edges, n_iter=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty_graph(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert graph.pagerank(e).count() == 0
+
+
+def test_frontier_priority_broadcast_join(spark):
+    frontier = spark.createDataFrame(
+        [("a.com", "http://a.com/1"), ("b.com", "http://b.com/1"),
+         ("c.com", "http://c.com/1")],
+        ["host", "url"],
+    )
+    ranks = spark.createDataFrame([("a.com", 0.5), ("b.com", 0.2)],
+                                  ["node", "rank"])
+    out = graph.frontier_priority(frontier, ranks)
+    got = {r["host"]: r["priority"] for r in out.collect()}
+    assert got == {"a.com": 0.5, "b.com": 0.2, "c.com": 0.0}
+    # the rank side must broadcast (host-level table << frontier)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()

@@ -331,3 +331,146 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
         ).alias("fingerprint"),
     )
     return out
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition/composition quality filters (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", table A1 — public).
+
+    Per document: word-count/word-shape stats from native expressions,
+    and line-repetition stats from one explode + two hash aggregations
+    (per-(doc,line) counts, then per-doc rollup — shuffles on doc_id,
+    never a self-join). Emits the ratios (4dp) plus a ``keep`` flag.
+
+    Cross-engine determinism: every ``keep`` threshold is evaluated on
+    INTEGER sums (e.g. ``10*dup_lines <= 3*n_lines`` instead of
+    ``dup_frac <= 0.3``) so float summation order can never flip the
+    flag between Spark and the SQL oracle.
+    """
+    words = F.filter(F.split(F.col(text_col), "\\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    # total non-whitespace chars == total word length (single pass)
+    tot_wlen = F.length(F.regexp_replace(F.col(text_col), "\\s", ""))
+    n_alpha = F.size(
+        F.filter(words, lambda w: F.length(F.regexp_replace(w, "[^a-zA-Z]", "")) > 0)
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ell = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "\\.\\.\\.", ""))
+    ) / 3
+    word_stats = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        tot_wlen.cast("long").alias("tot_wlen"),
+        n_alpha.cast("long").alias("n_alpha"),
+        (n_hash + n_ell.cast("long")).cast("long").alias("n_sym"),
+    )
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    per_line = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(lines).alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.length(F.col("line")).alias("llen"))
+    )
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_dup_lines"),
+        F.sum((F.col("cnt") - 1) * F.col("llen")).cast("long").alias("dup_chars"),
+        F.sum(F.col("cnt") * F.col("llen")).cast("long").alias("tot_chars"),
+        F.sum(
+            F.when(
+                F.col("line").startswith("-")
+                | F.col("line").startswith("*")
+                | F.col("line").startswith("•"),
+                F.col("cnt"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("n_bullet"),
+        F.sum(
+            F.when(F.col("line").endswith("..."), F.col("cnt")).otherwise(F.lit(0))
+        ).cast("long").alias("n_ell_lines"),
+    )
+
+    j = word_stats.join(line_stats, "doc_id", "left").na.fill(
+        {c: 0 for c in ["n_lines", "n_dup_lines", "dup_chars", "tot_chars",
+                        "n_bullet", "n_ell_lines"]}
+    )
+    nl = F.col("n_lines")
+    keep = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (3 * F.col("n_words") <= F.col("tot_wlen"))
+        & (F.col("tot_wlen") <= 10 * F.col("n_words"))
+        & (5 * F.col("n_alpha") >= 4 * F.col("n_words"))
+        & (10 * F.col("n_sym") <= F.col("n_words"))
+        & (10 * F.col("n_bullet") <= 9 * nl)
+        & (10 * F.col("n_ell_lines") <= 3 * nl)
+        & (10 * F.col("n_dup_lines") <= 3 * nl)
+        & (5 * F.col("dup_chars") <= F.col("tot_chars"))
+    )
+
+    def _frac(num, den):
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 4
+        )
+
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        _frac(F.col("n_dup_lines"), nl).alias("dup_line_frac"),
+        _frac(F.col("dup_chars"), F.col("tot_chars")).alias("dup_char_frac"),
+        _frac(F.col("n_bullet"), nl).alias("bullet_frac"),
+        _frac(F.col("n_ell_lines"), nl).alias("ellipsis_frac"),
+        _frac(F.col("n_sym"), F.col("n_words")).alias("symbol_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Paragraph/line-level exact dedup across the whole corpus
+    (RefinedWeb/C4-style, public): split each document on ``sep``, keep
+    only the globally FIRST occurrence of each distinct trimmed
+    paragraph (first = smallest (doc_id, position)), and reassemble the
+    surviving text per document.
+
+    Plan: posexplode → one window over md5(paragraph) (partitions are
+    per-distinct-paragraph — tiny, skew-free) → groupBy(doc_id) rebuild.
+    Returns (doc_id, n_paras, n_kept, dedup_text).
+    """
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(paras).alias("pos", "para")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "pos")
+    flagged = exploded.withColumn(
+        "kept", F.row_number().over(w) == 1
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "para")).otherwise(
+                            F.lit(None)
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("dedup_text"),
+    )
