@@ -29,7 +29,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from vyntr_spark.operators import cleaner, graph, pulse, serving, textstats, vectors  # noqa: E402
+from vyntr_spark.operators import cleaner, graph, pulse, sampling, serving, textstats, vectors  # noqa: E402
 from vyntr_spark.operators.vectors import projection_planes  # noqa: E402
 
 NSFW_SET = ["src1", "src13"]
@@ -938,6 +938,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["g2_neardup_components"] = g2
+
+    # ---- decontamination + deterministic sampling + domain gate ---------
+    def t_decon(s, sf):
+        d = _docs(s, sf)
+        bench = d.filter(F.col("doc_id") % 41 == 0).select("text")
+        return textstats.decontaminate(d, bench, k=3)
+
+    q["t_decontaminate"] = t_decon
+
+    q["t_sample_det"] = lambda s, sf: sampling.sample_deterministic(
+        _docs(s, sf), 0.25
+    ).select("doc_id", "lang")
+
+    q["t_stratified_topn"] = lambda s, sf: sampling.stratified_topn(
+        _docs(s, sf), "lang", 5
+    ).select("doc_id", "lang")
+
+    q["t_domain_rollup"] = lambda s, sf: textstats.domain_quality_rollup(
+        _docs(s, sf), domain_col="source"
+    )
 
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
@@ -2002,6 +2022,55 @@ reach(node, r) AS (
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
 FROM reach GROUP BY node
 """
+
+    # ---- decontamination: benchmark = docs with doc_id % 41 = 0; a doc is
+    # contaminated iff it shares a distinct 3-gram (60-bit md5-prefix hash)
+    # with any benchmark text. sh0 is per-doc distinct already (_SHINGLES
+    # has list_distinct), mirroring textstats.shingles exactly
+    o["t_decontaminate"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM tk
+        WHERE len(toks) >= 3),
+dsh AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS gh
+        FROM sh0),
+bsh AS (SELECT DISTINCT gh FROM dsh WHERE doc_id % 41 = 0),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM dsh JOIN bsh USING (gh) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+    # deterministic hash sampling: keep iff 60-bit md5(key) prefix below
+    # fraction*16^15 (integer compare, no floats in the keep decision)
+    _KEYH = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+             "AS BIGINT)")
+    o["t_sample_det"] = (
+        f"SELECT doc_id, lang FROM documents WHERE {_KEYH} < "
+        f"{int(0.25 * 16 ** 15)}"
+    )
+
+    o["t_stratified_topn"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang ORDER BY {_KEYH}, doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+    # domain gate over the per-doc quality score (reuses the t_quality
+    # oracle verbatim as a CTE); keep rule on integers — see
+    # textstats.domain_quality_rollup
+    o["t_domain_rollup"] = f"""
+WITH q AS ({{Q}}),
+j AS (SELECT d.source AS domain, q.quality
+      FROM documents d JOIN q ON q.doc_id = d.doc_id)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) FILTER (WHERE quality >= 0.5) AS BIGINT) AS n_good,
+  round(avg(quality), 4) AS avg_quality,
+  2 * count(*) FILTER (WHERE quality >= 0.5) >= count(*) AS domain_keep
+FROM j GROUP BY domain
+""".replace("{Q}", o["t_quality"])
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);
     # n_frames = floor(duration/60000) + 1 (frame_sample_plan every_ms=60s)

@@ -75,3 +75,47 @@ def test_paragraph_dedup_within_doc(spark):
     row = textstats.paragraph_dedup(df).collect()[0]
     assert row["dedup_text"] == "x\ny\nz"
     assert row["n_paras"] == 5 and row["n_kept"] == 3
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in this one"),
+            (3, "quick brown fox somewhere else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark says the quick brown fox runs",)], "text string"
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.decontaminate(docs, bench, k=3).collect()}
+    # docs 1 and 3 share the 3-gram "quick brown fox" with the benchmark
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 2  # "the quick brown" too
+    assert out[3]["contaminated"] and out[3]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    plan = (textstats.decontaminate(docs, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_quality_rollup_integer_gate(spark):
+    good = "the and for are with this that from " * 20
+    docs = spark.createDataFrame(
+        [
+            (1, "siteA", good), (2, "siteA", good), (3, "siteA", "x,,,;;;"),
+            (4, "siteB", "!!!"), (5, "siteB", ",,,"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["domain"]: r.asDict()
+           for r in textstats.domain_quality_rollup(docs).collect()}
+    assert out["siteA"]["n_docs"] == 3 and out["siteA"]["n_good"] == 2
+    assert out["siteA"]["domain_keep"] is True  # 2*2 >= 3
+    assert out["siteB"]["n_good"] == 0 and out["siteB"]["domain_keep"] is False

@@ -474,3 +474,88 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
             sep,
         ).alias("dedup_text"),
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 3,
+                  text_col: str = "text",
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Training-set decontamination (GPT-3 appendix C style, public):
+    flag every training document that shares at least one word ``k``-gram
+    with an eval/benchmark text, so eval answers can be anti-joined out
+    of the training corpus before a run.
+
+    Plan: shingle both sides with the same tokenizer as the dedup family,
+    reduce each shingle to its 60-bit md5-prefix integer (one md5 per
+    shingle — same trick as MinHash; shrinks the join key from a string
+    to a long), semi-join docs→benchmark on that hash, count distinct
+    matching shingles per doc.
+
+    Scale: the benchmark side is eval sets — thousands of rows, MBs — so
+    its distinct gram hashes BROADCAST and the 100-TB docs side streams
+    through an unshuffled BroadcastHashJoin + partial-aggregated groupBy
+    on doc_id. Set ``broadcast_benchmark=False`` for an oversized
+    benchmark side and the same plan becomes a hash-partitioned equi-join
+    on the gram hash (still never all-pairs).
+
+    Returns (doc_id, n_hits, contaminated) for EVERY input doc —
+    n_hits = number of distinct shared k-grams (shingles() dedups
+    per-doc), contaminated = n_hits > 0.
+    """
+    gh = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    dsh = shingles(docs, text_col, k).select("doc_id", gh.alias("gh"))
+    bsh = (
+        shingles(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col(text_col),
+            ),
+            text_col,
+            k,
+        )
+        .select(gh.alias("gh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    hits = dsh.join(bsh, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def domain_quality_rollup(df: DataFrame, domain_col: str = "source",
+                          text_col: str = "text",
+                          min_quality: float = 0.5) -> DataFrame:
+    """Domain-level quality gate (the C4/RefinedWeb move of judging a
+    SITE, not a page): roll the per-doc ``quality_score`` up per domain
+    and keep a domain when at least half its docs clear ``min_quality``.
+
+    The keep rule compares INTEGERS (2*n_good >= n_docs) so float
+    summation order can't flip it cross-engine; avg_quality is reported
+    at 4dp for humans. One shuffle (groupBy domain); domains are
+    heavy-hitter-skewed at 100 TB but the aggregation is partial
+    (map-side combine), so a hot domain costs one reducer one long row
+    stream, not memory.
+
+    Returns (domain, n_docs, n_good, avg_quality, domain_keep).
+    """
+    q = quality_score(df, text_col)
+    joined = df.select("doc_id", F.col(domain_col).alias("domain")).join(q, "doc_id")
+    return (
+        joined.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("quality") >= min_quality).cast("long"))
+            .cast("long").alias("n_good"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .withColumn("domain_keep", 2 * F.col("n_good") >= F.col("n_docs"))
+    )
