@@ -29,7 +29,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from vyntr_spark.operators import cleaner, graph, pulse, sampling, serving, textstats, vectors  # noqa: E402
+from vyntr_spark.operators import cleaner, graph, pulse, sampling, serving, temporal, textstats, vectors  # noqa: E402
 from vyntr_spark.operators.vectors import projection_planes  # noqa: E402
 
 NSFW_SET = ["src1", "src13"]
@@ -958,6 +958,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t_domain_rollup"] = lambda s, sf: textstats.domain_quality_rollup(
         _docs(s, sf), domain_col="source"
     )
+
+    # ---- temporal/event ops: sessionization + point-in-time as-of join --
+    q["t_sessionize"] = lambda s, sf: temporal.sessionize(
+        _events(s, sf), gap_minutes=30
+    )
+
+    def t_asof(s, sf):
+        ev = _events(s, sf)
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        return temporal.asof_join(
+            clicks, views, key="user_id", value_cols=("event_id", "value")
+        )
+
+    q["t_asof_join"] = t_asof
 
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
@@ -2071,6 +2090,37 @@ SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
   2 * count(*) FILTER (WHERE quality >= 0.5) >= count(*) AS domain_keep
 FROM j GROUP BY domain
 """.replace("{Q}", o["t_quality"])
+
+    # gap-based sessionization: strictly-more-than-30min gap starts a new
+    # session; all time math on epoch-microsecond INTEGERS (matches
+    # temporal.sessionize's unix_micros contract)
+    o["t_sessionize"] = """
+WITH x AS (SELECT user_id, ts, event_id, value,
+  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+       THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_idx FROM x)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  min(ts) AS session_start, max(ts) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 4) AS sum_value
+FROM y GROUP BY user_id, session_idx
+"""
+
+    # backward as-of join: DuckDB's native ASOF LEFT JOIN is the oracle
+    # for temporal.asof_join's union+carry-forward plan
+    o["t_asof_join"] = """
+WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'),
+views AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       v.event_id AS event_id_asof, v.value AS value_asof
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);
     # n_frames = floor(duration/60000) + 1 (frame_sample_plan every_ms=60s)

@@ -1,0 +1,126 @@
+"""Temporal/event operators: gap-based sessionization and as-of join.
+
+Event analytics a web-scale pipeline needs next to the crawl: grouping a
+user's clickstream into sessions, and enriching events with the most
+recent state row at-or-before each event time (the classic point-in-time
+/ as-of join Spark has no built-in for).
+
+Determinism contract (these feed the DuckDB oracle gate): every time
+comparison happens on ``unix_micros`` INTEGERS, never on floats or
+truncated seconds, and every window order has a total tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _micros(col):
+    """Epoch-microsecond integer for TIMESTAMP or TIMESTAMP_NTZ input.
+    unix_micros only accepts LTZ; the session timezone is pinned to UTC
+    (session.py), so the NTZ→LTZ cast is deterministic and agrees with
+    DuckDB's epoch_us on the same wall-clock value."""
+    return F.unix_micros(col.cast("timestamp_ltz"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id",
+               value_col: str = "value") -> DataFrame:
+    """Gap-based sessionization: a user's event starts a NEW session when
+    it arrives strictly more than ``gap_minutes`` after their previous
+    event. Returns one row per session:
+    (user_id, session_idx, session_start, session_end, n_events,
+    sum_value) with session_idx numbered 1..k per user in time order.
+
+    Plan: one shuffle on ``user_col`` shared by both windows (lag →
+    session-start flag, running sum → session index) and the final
+    groupBy — Catalyst reuses the single hash partitioning, so the whole
+    operator is ONE exchange. Skew note: partitions are per-user; at
+    100 TB a single pathological user (a bot) bounds one task at that
+    user's event count — cap upstream or pre-split bots by (user, day)
+    if that ever dominates.
+
+    Spark's native ``F.session_window`` implements the same gap
+    semantics for streaming aggregation (see streaming/frontier_stream);
+    this window-function form is used on the batch/oracle path because
+    its boundary rule (strictly-greater-than-gap starts a session) is
+    bit-reproducible in ANSI SQL.
+    """
+    gap_us = gap_minutes * 60_000_000
+    us = _micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(us).over(w)
+    new_s = (prev.isNull() | (us - prev > gap_us)).cast("long")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_idx = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.col(value_col).alias("value"),
+    ).withColumn("session_idx", F.sum(new_s).over(wsum))
+    return with_idx.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: tuple[str, ...] = ("value",),
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join: to each ``left`` row attach ``value_cols``
+    from the most recent ``right`` row of the same ``key`` with
+    ``right_ts <= left_ts`` (nulls when no such row) — the point-in-time
+    enrichment DuckDB spells ``ASOF LEFT JOIN`` and Spark lacks.
+
+    NOT a range join: a range/inequality join on (key, ts) is a
+    BroadcastNestedLoop or O(n*m) range-bucket explosion at scale. This
+    is the union + last-value-carry-forward plan: tag both inputs, union
+    on (key, ts, side, payload), ONE window partitioned by key ordered
+    by (ts, side) carrying the last non-null right payload forward, keep
+    the left rows. One shuffle on the key, linear work, AQE-splittable
+    partitions. Right rows at ts == left_ts DO match (right sorts before
+    left on the tiebreak), matching ASOF's <= contract.
+    """
+    lcols = list(left.columns)
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        )
+        + ">"
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        _micros(F.col(left_ts)).alias("_us"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        _micros(F.col(right_ts)).alias("_us"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l.schema["_l"].dataType.simpleString()).alias("_l"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    )
+    # `_r` as the final key makes the pick among right rows sharing an
+    # identical (key, ts) deterministic (max payload struct wins); ASOF
+    # leaves that pathological tie engine-defined, so fixtures must not
+    # rely on it — real event streams don't collide at the microsecond
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_us", "_side", "_r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "_rv", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_rv.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out
