@@ -978,6 +978,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_asof_join"] = t_asof
 
+    # ---- PII scrub / domain boilerplate strip / unigram fluency ---------
+    def t_pii(s, sf):
+        # deterministic PII injection (same fixture on the oracle side):
+        # email (%3), dotted-quad IP (%4), +international phone (%5)
+        d = _docs(s, sf)
+        pii = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" at 10.0."), F.col("doc_id") % 200,
+                            F.lit("."), F.col("doc_id") % 250)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call +1 555 "),
+                            F.lit(1000) + F.col("doc_id") % 9000)).otherwise(F.lit("")),
+        )
+        return textstats.pii_scrub(d.select("doc_id", pii.alias("text")))
+
+    q["t_pii_scrub"] = t_pii
+
+    q["t_boiler_strip"] = lambda s, sf: textstats.boilerplate_strip(
+        _docs(s, sf).select("doc_id", "source", _mtext_col().alias("text")),
+        domain_col="source", max_df=0.5,
+    )
+
+    q["t_unigram_nll"] = lambda s, sf: textstats.unigram_logprob(_docs(s, sf))
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -2120,6 +2148,75 @@ SELECT c.event_id, c.user_id, c.ts, c.value,
        v.event_id AS event_id_asof, v.value AS value_asof
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+    # PII scrub: same injection fixture as the Spark side (email %3,
+    # IP %4, phone %5); counts chained in the same replace order
+    _pii_text = (
+        "text || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || "
+        "'@example.com now' ELSE '' END) || "
+        "(CASE WHEN doc_id % 4 = 0 THEN ' at 10.0.' || (doc_id % 200) || "
+        "'.' || (doc_id % 250) ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 ' || "
+        "(1000 + doc_id % 9000) ELSE '' END)"
+    )
+    _re_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _re_ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    _re_phone = r"\+\d[\d ()-]{7,14}\d"
+    o["t_pii_scrub"] = f"""
+WITH p AS (SELECT doc_id, {_pii_text} AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0,
+  CAST(len(regexp_extract_all(t0, '{_re_email}')) AS BIGINT) AS n_emails,
+  regexp_replace(t0, '{_re_email}', '<EMAIL>', 'g') AS t1 FROM p),
+s2 AS (SELECT doc_id, n_emails,
+  CAST(len(regexp_extract_all(t1, '{_re_ip}')) AS BIGINT) AS n_ips,
+  regexp_replace(t1, '{_re_ip}', '<IP>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t2, '{_re_phone}')) AS BIGINT) AS n_phones,
+  regexp_replace(t2, '{_re_phone}', '<PHONE>', 'g') AS scrubbed FROM s2)
+SELECT doc_id, scrubbed, n_emails, n_ips, n_phones FROM s3
+"""
+
+    # domain boilerplate strip over the line-structured fixture: a line in
+    # > 50% of a domain's docs (domain = source) is boilerplate
+    o["t_boiler_strip"] = f"""
+WITH m AS (SELECT doc_id, source AS domain, {_mtext} AS mtext FROM documents),
+ex0 AS (SELECT doc_id, domain, {_mlines} AS l FROM m),
+ex AS (SELECT doc_id, domain, unnest(l) AS line,
+       unnest(range(1, len(l) + 1)) AS pos FROM ex0),
+dd AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY domain),
+ldf AS (SELECT domain, line,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS df_count
+        FROM ex GROUP BY domain, line),
+boiler AS (SELECT domain, line FROM ldf JOIN dd USING (domain)
+           WHERE df_count * 1000000 > n_docs * 500000 AND n_docs >= 2),
+kept AS (SELECT ex.doc_id, ex.pos, ex.line FROM ex
+         ANTI JOIN boiler ON ex.domain = boiler.domain
+                         AND ex.line = boiler.line),
+stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+          FROM ex GROUP BY doc_id),
+rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       FROM kept GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(s.n_lines, 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(r.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN stats s ON s.doc_id = d.doc_id
+LEFT JOIN rb r ON r.doc_id = d.doc_id
+"""
+
+    # corpus-unigram mean negative log-likelihood per doc
+    o["t_unigram_nll"] = f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))), 4) AS nll
+       FROM tk JOIN uni USING (tok) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.nll
+FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
 """
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);

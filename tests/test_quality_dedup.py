@@ -119,3 +119,66 @@ def test_domain_quality_rollup_integer_gate(spark):
     assert out["siteA"]["n_docs"] == 3 and out["siteA"]["n_good"] == 2
     assert out["siteA"]["domain_keep"] is True  # 2*2 >= 3
     assert out["siteB"]["n_good"] == 0 and out["siteB"]["domain_keep"] is False
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.co.uk or visit 192.168.1.254 "
+                "or call +44 (0) 20-7946 058 thanks"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.org and ip 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in textstats.pii_scrub(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["scrubbed"] and "<IP>" in out[1]["scrubbed"]
+    assert "<PHONE>" in out[1]["scrubbed"]
+    assert "jo.doe" not in out[1]["scrubbed"] and "192.168" not in out[1]["scrubbed"]
+    assert out[2]["scrubbed"] == "no pii here at all"
+    assert out[2]["n_emails"] == out[2]["n_ips"] == out[2]["n_phones"] == 0
+    assert out[3]["n_emails"] == 2 and out[3]["n_ips"] == 1
+
+
+def test_boilerplate_strip_domain_frequency(spark):
+    footer = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            # domain A: footer in 3/4 docs (> 0.5 → stripped); "rare line"
+            # in 1/4 (kept)
+            (1, "A", f"content one\n{footer}"),
+            (2, "A", f"content two\n{footer}\nrare line"),
+            (3, "A", f"{footer}\ncontent three"),
+            (4, "A", "content four"),
+            # domain B: same footer but only 1/2 docs → NOT > 0.5 → kept
+            (5, "B", f"{footer}\nb content"),
+            (6, "B", "other b content"),
+            # domain C: single doc → min_docs guard, nothing stripped
+            (7, "C", f"{footer}"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.boilerplate_strip(df).collect()}
+    assert out[1]["clean_text"] == "content one" and out[1]["n_kept"] == 1
+    assert out[2]["clean_text"] == "content two\nrare line"
+    assert out[3]["clean_text"] == "content three"
+    assert out[4]["clean_text"] == "content four"
+    assert footer in out[5]["clean_text"]  # 1/2 is not > 0.5
+    assert out[7]["clean_text"] == footer  # single-doc domain untouched
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    # "common" appears 12x, "rare" once → the rare-token doc scores a
+    # strictly higher mean NLL
+    rows = [(i, "common " * 4) for i in range(3)] + [(9, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.unigram_logprob(df).collect()}
+    import math
+    assert out[0]["nll"] == round(-math.log(12 / 13), 4)
+    assert out[9]["nll"] == round(-math.log(1 / 13), 4)
+    assert out[9]["nll"] > out[0]["nll"]
+    assert out[9]["n_tokens"] == 1 and out[0]["n_tokens"] == 4

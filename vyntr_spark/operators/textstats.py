@@ -559,3 +559,147 @@ def domain_quality_rollup(df: DataFrame, domain_col: str = "source",
         )
         .withColumn("domain_keep", 2 * F.col("n_good") >= F.col("n_docs"))
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, unambiguous quantifiers
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d ()-]{7,14}\d"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / international-format phone numbers with
+    typed placeholder tokens (the standard pre-training privacy pass).
+
+    All native regexp expressions — JVM-side, whole-stage codegen, zero
+    shuffle; order matters (emails first, so an address is never half
+    eaten by the phone pattern; IPv4 before phone, so a dotted quad is
+    not mistaken for digits-and-punctuation).
+
+    Returns (doc_id, scrubbed, n_emails, n_ips, n_phones).
+    """
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        t3.alias("scrubbed"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )
+
+
+def boilerplate_strip(df: DataFrame, domain_col: str = "source",
+                      text_col: str = "text", max_df: float = 0.5,
+                      min_docs: int = 2) -> DataFrame:
+    """Domain-level boilerplate removal (CCNet/RefinedWeb-style): a line
+    is boilerplate within a domain when it appears in MORE than
+    ``max_df`` of that domain's documents (and the domain has at least
+    ``min_docs`` docs — a one-page domain has no frequency signal).
+    Nav bars, cookie banners and footers hit every page of a site; real
+    content doesn't.
+
+    Plan: posexplode trimmed lines → per-(domain, line) distinct-doc
+    count (two hash aggs, partial/map-side combined) → integer-compare
+    gate (count * 1/max_df > n_docs avoids float df ratios) → anti-join
+    lines on (domain, line) → reassemble per doc in original order.
+    Shuffles on (domain, line) — fine-grained keys, skew-free; never a
+    per-domain single partition.
+
+    Returns (doc_id, n_lines, n_kept, clean_text).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    ex = df.select(
+        "doc_id",
+        F.col(domain_col).alias("domain"),
+        F.posexplode(lines).alias("pos", "line"),
+    )
+    domain_docs = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    line_df = (
+        ex.select("domain", "line", "doc_id").distinct()
+        .groupBy("domain", "line")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_count"))
+    )
+    # integer gate: df_count/n_docs > max_df  ⇔  df_count * k > n_docs * j
+    # with max_df = j/k rational; use scaled-by-1e6 longs for generality
+    scale = 1_000_000
+    boiler = (
+        line_df.join(domain_docs, "domain")
+        .filter(
+            (F.col("df_count") * scale > F.col("n_docs") * int(max_df * scale))
+            & (F.col("n_docs") >= min_docs)
+        )
+        .select("domain", "line")
+    )
+    kept = ex.join(boiler, ["domain", "line"], "left_anti")
+    stats = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style fluency signal without a model download: score each
+    document by the mean negative log-probability of its tokens under
+    the CORPUS's own unigram distribution. Gibberish and rare-token spam
+    score high (bad); common fluent text scores low.
+
+    Two hash aggregations (corpus unigram counts, then per-doc mean over
+    the token→count join); the unigram table is vocabulary-sized —
+    broadcastable at any corpus size that fits a language (word vocab
+    grows ~ O(corpus^0.5), Heaps' law).
+
+    Returns (doc_id, n_tokens, nll) with nll = round(avg(-ln(c/N)), 4),
+    null for empty docs.
+    """
+    toks = df.select(
+        "doc_id", F.explode(_token_array(F.col(text_col))).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = uni.agg(F.sum("c")).first()[0] or 1
+    scored = toks.join(F.broadcast(uni), "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            F.avg(-F.log(F.col("c").cast("double") / float(total))), 4
+        ).alias("nll"),
+    )
+    return (
+        df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("nll"),
+        )
+    )
