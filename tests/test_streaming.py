@@ -159,3 +159,59 @@ def test_stream_index_build_bucketed(spark, tmp_path):
         F.col("term") == "spark"
     )
     assert {r["url"] for r in one.collect()} == {"u1", "u3"}
+
+
+def test_stream_sessionize_gap_merge(spark, tmp_path):
+    from vyntr_spark.streaming.frontier_stream import stream_sessionize
+
+    events_dir = str(tmp_path / "sev")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sck")
+    df = spark.createDataFrame(
+        [
+            # user 1: 00:00 and 00:10 merge (gap 30m); 01:00 is a new
+            # session; a far-future event closes all watermarks
+            ("2024-01-01 00:00:00", 1, 1.0),
+            ("2024-01-01 00:10:00", 1, 2.0),
+            ("2024-01-01 01:00:00", 1, 4.0),
+            ("2024-01-02 00:00:00", 2, 8.0),
+        ],
+        "ts string, user_id long, value double",
+    ).select(F.col("ts").cast("timestamp"), "user_id", "value")
+    df.write.mode("append").parquet(events_dir)
+    stream_sessionize(spark, events_dir, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    u1 = sorted([r for r in rows if r["user_id"] == 1],
+                key=lambda r: r["session_start"])
+    # the first (closed) session emitted: 2 events, sum 3.0
+    assert u1 and u1[0]["n_events"] == 2 and u1[0]["sum_value"] == 3.0
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    from vyntr_spark.streaming.frontier_stream import stream_exact_dedup
+
+    docs_dir = str(tmp_path / "ddocs")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dck")
+    b1 = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, "fpA", "hello"),
+         ("2024-01-01 00:01:00", 2, "fpB", "world")],
+        "ts string, doc_id long, fingerprint string, text string",
+    ).select(F.col("ts").cast("timestamp"), "doc_id", "fingerprint", "text")
+    b1.write.mode("append").parquet(docs_dir)
+    stream_exact_dedup(spark, docs_dir, out, ckpt)
+
+    # second batch: fpA is a re-crawl within the watermark → dropped;
+    # fpC is new → kept
+    b2 = spark.createDataFrame(
+        [("2024-01-01 00:05:00", 3, "fpA", "hello again"),
+         ("2024-01-01 00:06:00", 4, "fpC", "fresh")],
+        "ts string, doc_id long, fingerprint string, text string",
+    ).select(F.col("ts").cast("timestamp"), "doc_id", "fingerprint", "text")
+    b2.write.mode("append").parquet(docs_dir)
+    stream_exact_dedup(spark, docs_dir, out, ckpt)
+
+    got = sorted(r["fingerprint"] for r in spark.read.parquet(out).collect())
+    assert got == ["fpA", "fpB", "fpC"]
+    ids = {r["fingerprint"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids["fpA"] == 1  # the FIRST occurrence won

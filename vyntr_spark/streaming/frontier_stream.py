@@ -176,3 +176,86 @@ def stream_host_cap(spark: SparkSession, frontier_dir: str, out_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+def stream_sessionize(spark: SparkSession, events_dir: str, out_dir: str,
+                      checkpoint_dir: str, gap: str = "30 minutes",
+                      watermark: str = "2 hours"):
+    """Streaming gap-based sessionization with Spark's native
+    ``session_window`` — the event-time analog of
+    operators/temporal.sessionize (same gap semantics; the batch form is
+    the oracle-checkable one, this is the production stream). Sessions
+    merge across micro-batches until the watermark passes their end,
+    then emit exactly once (append mode).
+
+    Scale: state is one (user, open-session) row keyed by user_id — the
+    same hash layout as the batch window; the watermark bounds state
+    lifetime so an idle user's session closes and leaves memory.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_exact_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
+                       checkpoint_dir: str, watermark: str = "1 hour"):
+    """Streaming exact dedup: first occurrence of each fingerprint wins,
+    duplicates dropped ACROSS micro-batches —
+    ``dropDuplicatesWithinWatermark`` keys state by (fingerprint) and
+    the watermark bounds how long a fingerprint is remembered, so state
+    is O(unique keys within the watermark horizon), not O(stream).
+
+    The batch analog is textstats.exact_dups; this is the ingest-time
+    guard that keeps re-crawled pages from ever landing in the corpus.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("fingerprint", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(docs_dir)
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
