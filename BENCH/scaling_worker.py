@@ -32,7 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from vyntr_spark.crawl import CrawlEngine  # noqa: E402
 from vyntr_spark.operators.extract_udf import extract_udf  # noqa: E402
-from vyntr_spark.session import get_spark  # noqa: E402
+from vyntr_spark.session import get_spark, local_scratch_dir  # noqa: E402
 from vyntr_spark.synth import cached_pages_path_spark, default_seeds_web  # noqa: E402
 from vyntr_spark.tables import PAGES, SnapshotStore  # noqa: E402
 
@@ -72,7 +72,14 @@ def main() -> None:
         return
     pages = spark.read.schema(PAGES).parquet(pages_path)
 
-    whdir = tempfile.mkdtemp(prefix=f"scal_wh_{cpus}_")
+    # warehouse on the same local scratch bench.py uses (tmpfs when
+    # present): snapshot commits are the phase whose writes otherwise
+    # funnel all executor threads through the ONE shared virtio disk
+    # queue — a single-host artifact a real cluster (object-store
+    # commits) does not have; measured as multi-core system-time
+    # storms in the host telemetry
+    whdir = tempfile.mkdtemp(prefix=f"scal_wh_{cpus}_",
+                             dir=local_scratch_dir())
     store = SnapshotStore(spark, whdir)
     frontier_mode = os.environ.get("VYNTR_FRONTIER_MODE", "log")
     io_coalesce_env = os.environ.get("VYNTR_IO_COALESCE", "")
@@ -108,7 +115,8 @@ def main() -> None:
     # warehouse warm JIT/codegen paths for every round-stage shape (the
     # first-ever round otherwise pays a ~30 s one-time JVM transient that
     # a steady-state cluster never sees)
-    warm_dir = tempfile.mkdtemp(prefix=f"scal_warm_{cpus}_")
+    warm_dir = tempfile.mkdtemp(prefix=f"scal_warm_{cpus}_",
+                                dir=local_scratch_dir())
     warm_eng = CrawlEngine(spark, SnapshotStore(spark, warm_dir), pages,
                            max_pages=3000, seed=42, salt_buckets=32,
                            io_coalesce=cpus)

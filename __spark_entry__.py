@@ -888,6 +888,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h5_nation_revenue"] = h5
 
+    # TPC-H Q6 shape: pure scan + pushed filters + single agg (the
+    # whole query should compile to one codegen stage over the scan)
+    def h6(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01"))
+                & (F.col("l_discount") >= 0.02)
+                & (F.col("l_discount") <= 0.06)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+                ).alias("revenue"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+        )
+
+    q["h6_forecast_revenue"] = h6
+
+    # TPC-H Q4 shape: priority histogram over orders having at least one
+    # late-shipped lineitem — LEFT SEMI join (exists), then group
+    def h4(s, sf):
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        late = li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        ).filter(
+            # timestamp + interval (NOT date_add, which would truncate
+            # the time-of-day that DuckDB's + INTERVAL keeps)
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).select(F.col("l_orderkey").alias("k")).distinct()
+        return (
+            o.join(late, o["o_orderkey"] == late["k"], "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        )
+
+    q["h4_priority_late"] = h4
+
+    # TPC-H Q12 shape: join + conditional (CASE) aggregation by a
+    # lineitem attribute over a ship-date year
+    def h12(s, sf):
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            )
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
+                F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+            )
+        )
+
+    q["h12_priority_lines"] = h12
+
     # ---- line-level quality + paragraph dedup (Gopher / RefinedWeb-style
     # training-data filters over the line-structured fixture) -------------
     q["t_gopher_quality"] = lambda s, sf: textstats.gopher_quality(
@@ -1005,6 +1070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["t_unigram_nll"] = lambda s, sf: textstats.unigram_logprob(_docs(s, sf))
+
+    q["t_gopher_rep"] = lambda s, sf: textstats.gopher_repetition(_docs(s, sf))
 
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
@@ -1843,6 +1910,32 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
         "GROUP BY n_name"
     )
 
+    o["h6_forecast_revenue"] = (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n_items FROM lineitem "
+        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"
+    )
+
+    o["h4_priority_late"] = (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+        "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority"
+    )
+
+    o["h12_priority_lines"] = (
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
+        "GROUP BY l_returnflag"
+    )
+
     o["w9_math_eval"] = (
         # same arithmetic the shunting-yard evaluator performs on
         # "(d + 3) * 2 - sqrt((d%10)^2) + 2 ^ (d%5)"
@@ -2217,6 +2310,70 @@ sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        FROM tk JOIN uni USING (tok) GROUP BY doc_id)
 SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.nll
 FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+"""
+
+    # Gopher n-gram repetition: positional (non-deduped) n-grams; gram
+    # char weight = word chars (gram length minus n-1 separators);
+    # thresholds as integer rationals (.20=1/5 .18=9/50 .16=4/25
+    # .15=3/20 .10=1/10) — mirrors textstats.gopher_repetition
+    _grams_n = (
+        "SELECT doc_id, {n} AS n, unnest([array_to_string(toks[i:i+{n}-1], ' ') "
+        "for i in range(1, greatest(len(toks) - {n} + 1, 0) + 1)]) AS gram "
+        "FROM tk"
+    )
+    _g_union = " UNION ALL ".join(_grams_n.format(n=n) for n in (2, 3, 4, 5, 10))
+    o["t_gopher_rep"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tw AS (SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+            AS BIGINT) AS wchars FROM tk),
+g AS ({_g_union}),
+pg AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(length(gram) - (n - 1) AS BIGINT) AS glen
+       FROM g GROUP BY doc_id, n, gram),
+pn AS (SELECT doc_id, n,
+       CAST(max(cnt * glen) AS BIGINT) AS top_chars,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS BIGINT)
+         AS dup_chars
+       FROM pg GROUP BY doc_id, n),
+rolled AS (SELECT doc_id,
+  CAST(coalesce(max(CASE WHEN n = 2 THEN top_chars END), 0) AS BIGINT) AS t2,
+  CAST(coalesce(max(CASE WHEN n = 3 THEN top_chars END), 0) AS BIGINT) AS t3,
+  CAST(coalesce(max(CASE WHEN n = 4 THEN top_chars END), 0) AS BIGINT) AS t4,
+  CAST(coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0) AS BIGINT) AS d5,
+  CAST(coalesce(max(CASE WHEN n = 10 THEN dup_chars END), 0) AS BIGINT) AS d10
+  FROM pn GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(CASE WHEN r.doc_id IS NULL THEN 0 ELSE w.wchars END AS BIGINT)
+    AS tot_wchars,
+  round(CASE WHEN r.doc_id IS NOT NULL AND w.wchars > 0
+        THEN CAST(coalesce(r.t2, 0) AS DOUBLE) / w.wchars ELSE 0 END, 4)
+    AS top2_frac,
+  round(CASE WHEN r.doc_id IS NOT NULL AND w.wchars > 0
+        THEN CAST(coalesce(r.t3, 0) AS DOUBLE) / w.wchars ELSE 0 END, 4)
+    AS top3_frac,
+  round(CASE WHEN r.doc_id IS NOT NULL AND w.wchars > 0
+        THEN CAST(coalesce(r.t4, 0) AS DOUBLE) / w.wchars ELSE 0 END, 4)
+    AS top4_frac,
+  round(CASE WHEN r.doc_id IS NOT NULL AND w.wchars > 0
+        THEN CAST(coalesce(r.d5, 0) AS DOUBLE) / w.wchars ELSE 0 END, 4)
+    AS dup5_frac,
+  round(CASE WHEN r.doc_id IS NOT NULL AND w.wchars > 0
+        THEN CAST(coalesce(r.d10, 0) AS DOUBLE) / w.wchars ELSE 0 END, 4)
+    AS dup10_frac,
+  (5 * coalesce(r.t2, 0) <= 1 * (CASE WHEN r.doc_id IS NULL THEN 0
+     ELSE w.wchars END)
+   AND 50 * coalesce(r.t3, 0) <= 9 * (CASE WHEN r.doc_id IS NULL THEN 0
+     ELSE w.wchars END)
+   AND 25 * coalesce(r.t4, 0) <= 4 * (CASE WHEN r.doc_id IS NULL THEN 0
+     ELSE w.wchars END)
+   AND 20 * coalesce(r.d5, 0) <= 3 * (CASE WHEN r.doc_id IS NULL THEN 0
+     ELSE w.wchars END)
+   AND 10 * coalesce(r.d10, 0) <= 1 * (CASE WHEN r.doc_id IS NULL THEN 0
+     ELSE w.wchars END)) AS keep
+FROM documents d
+LEFT JOIN tw w ON w.doc_id = d.doc_id
+LEFT JOIN rolled r ON r.doc_id = d.doc_id
 """
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);

@@ -182,3 +182,36 @@ def test_unigram_logprob_orders_rarity(spark):
     assert out[9]["nll"] == round(-math.log(1 / 13), 4)
     assert out[9]["nll"] > out[0]["nll"]
     assert out[9]["n_tokens"] == 1 and out[0]["n_tokens"] == 4
+
+
+def test_gopher_repetition_fracs(spark):
+    df = spark.createDataFrame(
+        [
+            # "ab cd" bigram occurs 3x out of 5 positional bigrams;
+            # tokens: ab cd ab cd ab cd → 18 word chars... use exact:
+            (1, "ab cd ab cd ab cd"),
+            # long enough that any single bigram is well under 20% of
+            # the doc's characters (Gopher thresholds assume real docs)
+            (2, " ".join(f"unique{i:02d}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.gopher_repetition(df).collect()}
+    # doc 1: toks = [ab,cd,ab,cd,ab,cd], tot_wchars=12; bigrams (5):
+    # "ab cd"x3 (glen 4) + "cd ab"x2 (glen 4) → top2 = 12/12 = 1.0
+    assert out[1]["tot_wchars"] == 12
+    assert out[1]["top2_frac"] == 1.0
+    # dup5: the single 5-gram occurs once → 0
+    assert out[1]["dup5_frac"] == 0.0
+    assert out[1]["keep"] is False  # top2 1.0 > 0.20
+    # doc 2: every bigram unique → top2 = max single bigram chars / tot
+    assert out[2]["keep"] is True
+    assert out[2]["dup5_frac"] == 0.0 and out[2]["top2_frac"] < 0.5
+
+
+def test_gopher_repetition_short_doc(spark):
+    df = spark.createDataFrame([(1, "single")], "doc_id long, text string")
+    row = textstats.gopher_repetition(df).collect()[0]
+    # fewer than 2 tokens → no grams → zeros, keep (vacuous) true
+    assert row["tot_wchars"] == 0 and row["keep"] is True

@@ -703,3 +703,106 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("nll"),
         )
     )
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      top_ns: tuple[int, ...] = (2, 3, 4),
+                      dup_ns: tuple[int, ...] = (5, 10)) -> DataFrame:
+    """The n-gram half of Gopher's repetition filters (Rae et al. 2021
+    table A1, public): per document, the fraction of characters taken by
+    the single most frequent word n-gram (n in ``top_ns``) and by all
+    n-grams occurring more than once (n in ``dup_ns``).
+
+    Occurrences are POSITIONAL (not deduped — a gram occurring 5 times
+    contributes 5×); a gram's character weight is the total length of
+    its words (separators excluded), and the denominator is the doc's
+    total word-character count — the common convention in public Gopher
+    replications (overlap regions are summed, not unioned).
+
+    Plan: ONE explode over all requested n values (grams tagged by n) →
+    one (doc, n, gram) hash agg → one per-(doc, n) rollup → pivot to
+    columns via conditional aggregation. Two shuffles total regardless
+    of how many n values are requested.
+
+    ``keep`` uses Gopher's thresholds (top2 ≤ .20, top3 ≤ .18,
+    top4 ≤ .16, dup5 ≤ .15, dup10 ≤ .10) as INTEGER char-count compares
+    so float order can't flip the flag cross-engine. Fractions reported
+    at 4dp.
+    """
+    arr = _token_array(F.col(text_col))
+    tot = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def grams_for(n: int):
+        idx = F.when(F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)
+                     ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(arr, i + 1, n), " ").alias("gram"),
+            ),
+        )
+
+    base = df.select("doc_id", tot.alias("tot_wchars"),
+                     F.concat(*[grams_for(n) for n in all_ns]).alias("gs"))
+    per_gram = (
+        base.select("doc_id", "tot_wchars", F.explode("gs").alias("g"))
+        .groupBy("doc_id", "tot_wchars", F.col("g.n").alias("n"),
+                 F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # word chars of one occurrence = gram length minus the n-1 spaces
+        .withColumn("glen", F.length("gram") - (F.col("n") - 1))
+    )
+    per_n = per_gram.groupBy("doc_id", "tot_wchars", "n").agg(
+        F.max(F.col("cnt") * F.col("glen")).cast("long").alias("top_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.col("glen"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("dup_chars"),
+    )
+
+    def pick(n: int, col: str):
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0)
+        ).cast("long")
+
+    def frac(chars):
+        return F.round(
+            F.when(F.col("tot_wchars") > 0,
+                   chars.cast("double") / F.col("tot_wchars"))
+            .otherwise(F.lit(0.0)), 4)
+
+    # Gopher thresholds as integer j/k rationals: .20=1/5 .18=9/50
+    # .16=4/25 .15=3/20 .10=1/10
+    thresholds = {("top", 2): (1, 5), ("top", 3): (9, 50),
+                  ("top", 4): (4, 25), ("dup", 5): (3, 20),
+                  ("dup", 10): (1, 10)}
+    rolled = per_n.groupBy("doc_id", "tot_wchars").agg(
+        *[pick(n, "top_chars").alias(f"top{n}_chars") for n in top_ns],
+        *[pick(n, "dup_chars").alias(f"dup{n}_chars") for n in dup_ns],
+    )
+    keep = F.lit(True)
+    for n in top_ns:
+        j, k = thresholds[("top", n)]
+        keep = keep & (k * F.col(f"top{n}_chars") <= j * F.col("tot_wchars"))
+    for n in dup_ns:
+        j, k = thresholds[("dup", n)]
+        keep = keep & (k * F.col(f"dup{n}_chars") <= j * F.col("tot_wchars"))
+    out = (
+        df.select("doc_id")
+        .join(rolled, "doc_id", "left")
+        .na.fill(0)
+        .select(
+            "doc_id",
+            F.col("tot_wchars").cast("long").alias("tot_wchars"),
+            *[frac(F.col(f"top{n}_chars")).alias(f"top{n}_frac")
+              for n in top_ns],
+            *[frac(F.col(f"dup{n}_chars")).alias(f"dup{n}_frac")
+              for n in dup_ns],
+            keep.alias("keep"),
+        )
+    )
+    return out
