@@ -1073,6 +1073,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_gopher_rep"] = lambda s, sf: textstats.gopher_repetition(_docs(s, sf))
 
+    # ---- embedding-store ops: int8 quantization + IVF coarse k-means ----
+    q["t_quantize_int8"] = lambda s, sf: vectors.quantize_int8(_emb(s, sf))
+
+    q["t_kmeans_ivf"] = lambda s, sf: vectors.kmeans_assign(
+        _emb(s, sf), k=8, n_iter=2
+    )
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -2375,6 +2382,57 @@ FROM documents d
 LEFT JOIN tw w ON w.doc_id = d.doc_id
 LEFT JOIN rolled r ON r.doc_id = d.doc_id
 """
+
+    # symmetric per-vector int8 quantization (qhash = md5 of the int
+    # codes so the surface stays scalar — same trick as mm_decode_meta)
+    o["t_quantize_int8"] = """
+WITH m AS (SELECT vec_id, embedding,
+  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings)
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+  round(mx / 127.0, 6) AS scale,
+  md5(array_to_string(
+    CASE WHEN mx > 0 THEN list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127.0)) AS INTEGER))
+    ELSE list_transform(embedding, x -> 0) END, ',')) AS qhash
+FROM m
+"""
+
+    # deterministic k-means (k=8, 2 Lloyd iterations, 64 dims):
+    # hash-minimal seeds, argmin with (dist, cluster) tie-break, 6dp
+    # centroid rounding, empty clusters keep the previous centroid —
+    # mirrors vectors.kmeans_assign exactly
+    _km_dist = ("list_sum(list_transform(range(1, 65), "
+                "i -> (v[i] - c[i]) * (v[i] - c[i])))")
+    km_sql = """
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+seeds AS (SELECT row_number() OVER
+    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster, v AS c
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+c0 AS (SELECT cluster, c FROM seeds)"""
+    for it in range(2):
+        km_sql += f""",
+d{it} AS (SELECT vec_id, v, cluster, {_km_dist} AS d
+  FROM v CROSS JOIN c{it}),
+a{it} AS (SELECT vec_id, v, cluster FROM (
+  SELECT vec_id, v, cluster,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM d{it}) WHERE rn = 1),
+m{it} AS (SELECT cluster, i, round(avg(v[i + 1]), 6) AS mx
+  FROM a{it}, range(64) t(i) GROUP BY cluster, i),
+n{it} AS (SELECT cluster, list(mx ORDER BY i) AS c FROM m{it}
+  GROUP BY cluster),
+c{it + 1} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c
+  FROM c{it} p LEFT JOIN n{it} n USING (cluster))"""
+    km_sql += f"""
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, round(d, 4) AS dist
+FROM (SELECT vec_id, cluster, d,
+  row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM (SELECT vec_id, v, cluster, {_km_dist} AS d FROM v CROSS JOIN c2))
+WHERE rn = 1
+"""
+    o["t_kmeans_ivf"] = km_sql
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);
     # n_frames = floor(duration/60000) + 1 (frame_sample_plan every_ms=60s)

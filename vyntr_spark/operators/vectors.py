@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dot(a, b):
@@ -283,3 +283,129 @@ def stub_embed(chunks: DataFrame, dim: int = 8,
     return wide.select(
         *chunks.columns, F.posexplode(arr).alias("dim", "val")
     )
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization (the standard 4× shrink
+    applied to an embedding store before ANN serving): scale =
+    max|x|/127, q_i = round(x_i / scale). Pure array expressions — zero
+    shuffle, rides the scan.
+
+    Returns (vec_id, n_dims, scale 6dp, qhash) with qhash =
+    md5(comma-joined int codes) — the array itself stays internal so the
+    surface is driver-canonicalizable (scalar columns only).
+    """
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(
+        mx > 0,
+        F.transform(xs, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(xs, lambda x: F.lit(0)))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(F.col(vec_col)).cast("long").alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.md5(F.array_join(q, ",")).alias("qhash"),
+    )
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Deterministic k-means (the IVF coarse-quantizer training step
+    that turns the LSH-bucketed ANN path into a true IVF index): Lloyd
+    iterations with
+
+      * seeds = the k vectors with the smallest (md5(vec_id), vec_id) —
+        a hash-uniform, engine-independent sample (NOT kmeans||; the
+        point is bit-reproducibility, the hash sample is
+        distribution-equivalent to uniform);
+      * assignment by squared L2 in double precision, ties broken by
+        the smaller cluster id (min over (dist, cluster) structs);
+      * centroid update = per-dimension mean ROUNDED to 6dp — the
+        rounding pins the centroid bits across engines and float
+        summation orders, so the next assignment is deterministic;
+      * an empty cluster keeps its previous centroid.
+
+    Plan (MLlib's own shape): centroids live in a k-row DataFrame that
+    BROADCASTS into the assignment join — the n-row side never shuffles;
+    the update is one posexplode + (cluster, dim) hash agg. Centroid
+    lineage is localCheckpoint-truncated per iteration (see
+    operators/graph.py for why that is load-bearing on iterative plans).
+
+    Returns (vec_id, cluster, dist) — dist = squared L2 to the final
+    centroid, 4dp.
+    """
+    xs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+
+    cent = (
+        xs.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1
+             ).alias("cluster"),
+            F.col("v").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    assigned = None
+    for _ in range(n_iter):
+        assigned = (
+            xs.join(F.broadcast(cent))
+            .select(
+                "vec_id", "v", "cluster",
+                sqdist(F.col("v"), F.col("c")).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d", "cluster")).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "v", F.col("m.cluster").alias("cluster"))
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("mx"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("c_new")
+            )
+        )
+        # empty cluster keeps its previous centroid
+        cent = (
+            cent.join(means, "cluster", "left")
+            .select("cluster", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        xs.join(F.broadcast(cent))
+        .select("vec_id", "cluster", sqdist(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cluster")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster").cast("int").alias("cluster"),
+            F.round("m.d", 4).alias("dist"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    xs.unpersist()
+    return out
