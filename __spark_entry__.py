@@ -1080,6 +1080,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, sf), k=8, n_iter=2
     )
 
+    def t_ann_km(s, sf):
+        qvec = (
+            _emb(s, sf).filter(F.col("vec_id") == 0).select("embedding").collect()
+        )[0]["embedding"]
+        return vectors.ann_kmeans_topk(
+            _emb(s, sf), [float(x) for x in qvec], k=10,
+            n_clusters=8, n_iter=2, nprobe=2,
+        )
+
+    q["t_ann_kmeans"] = t_ann_km
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -2425,14 +2436,38 @@ n{it} AS (SELECT cluster, list(mx ORDER BY i) AS c FROM m{it}
   GROUP BY cluster),
 c{it + 1} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c
   FROM c{it} p LEFT JOIN n{it} n USING (cluster))"""
-    km_sql += f"""
+    o["t_kmeans_ivf"] = km_sql + f"""
 SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, round(d, 4) AS dist
 FROM (SELECT vec_id, cluster, d,
   row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
   FROM (SELECT vec_id, v, cluster, {_km_dist} AS d FROM v CROSS JOIN c2))
 WHERE rn = 1
 """
-    o["t_kmeans_ivf"] = km_sql
+
+    # IVF probe on the trained lists: rank centroids by distance to the
+    # query (vec_id = 0), probe the 2 nearest, exact cosine top-10 within
+    o["t_ann_kmeans"] = km_sql + f""",
+fin AS (SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM (SELECT vec_id, v, cluster, {_km_dist} AS d FROM v CROSS JOIN c2))
+  WHERE rn = 1),
+qv AS (SELECT v FROM v WHERE vec_id = 0),
+probe AS (SELECT cluster FROM (
+  SELECT c2.cluster,
+    list_sum(list_transform(range(1, 65),
+      i -> (qv.v[i] - c2.c[i]) * (qv.v[i] - c2.c[i]))) AS d
+  FROM c2, qv) ORDER BY d, cluster LIMIT 2),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN fin USING (vec_id) JOIN probe ON fin.cluster = probe.cluster),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(
+  sum(CAST(c.embedding[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE))
+  / (sqrt(sum(CAST(c.embedding[i + 1] AS DOUBLE) * CAST(c.embedding[i + 1] AS DOUBLE)))
+     * sqrt(sum(CAST(q.e[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
+FROM cand c, q, range(64) t(i)
+GROUP BY vec_id ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);
     # n_frames = floor(duration/60000) + 1 (frame_sample_plan every_ms=60s)

@@ -148,3 +148,24 @@ def test_kmeans_broadcasts_centroids(spark):
     rows = out.collect()
     assert sorted(r["vec_id"] for r in rows) == list(range(10))
     assert all(r["cluster"] in (0, 1) for r in rows)
+
+
+def test_ann_kmeans_topk_probe(spark):
+    import random
+
+    from vyntr_spark.operators.vectors import ann_kmeans_topk, cosine_topk
+
+    rng = random.Random(11)
+    # two well-separated blobs → the probe list containing the query's
+    # blob holds ALL its true neighbors, so nprobe=1 recall is exact
+    vecs = [(i, [rng.gauss(5.0, 0.1), rng.gauss(5.0, 0.1)]) for i in range(20)]
+    vecs += [(100 + i, [rng.gauss(-5.0, 0.1), rng.gauss(-5.0, 0.1)])
+             for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = [5.0, 5.0]
+    approx = {r["vec_id"] for r in
+              ann_kmeans_topk(df, q, k=5, n_clusters=2, n_iter=2,
+                              nprobe=1).collect()}
+    exact = {r["vec_id"] for r in cosine_topk(df, q, 5).collect()}
+    assert approx == exact
+    assert all(v < 100 for v in approx)  # all from the query's blob

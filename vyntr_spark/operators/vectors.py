@@ -311,9 +311,17 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
     )
 
 
-def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
-                  vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 2,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> tuple[DataFrame, DataFrame]:
     """Deterministic k-means (the IVF coarse-quantizer training step
     that turns the LSH-bucketed ANN path into a true IVF index): Lloyd
     iterations with
@@ -335,8 +343,9 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
     lineage is localCheckpoint-truncated per iteration (see
     operators/graph.py for why that is load-bearing on iterative plans).
 
-    Returns (vec_id, cluster, dist) — dist = squared L2 to the final
-    centroid, 4dp.
+    Returns (xs, centroids): xs = the persisted (vec_id, v double[])
+    working frame (caller unpersists), centroids = the k-row
+    (cluster, c double[]) frame after ``n_iter`` Lloyd rounds.
     """
     xs = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -355,20 +364,13 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
         .localCheckpoint(eager=True)
     )
 
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
     assigned = None
     for _ in range(n_iter):
         assigned = (
             xs.join(F.broadcast(cent))
             .select(
                 "vec_id", "v", "cluster",
-                sqdist(F.col("v"), F.col("c")).alias("d"),
+                _sqdist(F.col("v"), F.col("c")).alias("d"),
             )
             .groupBy("vec_id")
             .agg(
@@ -395,9 +397,18 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
             .select("cluster", F.coalesce("c_new", "c").alias("c"))
             .localCheckpoint(eager=True)
         )
+    return xs, cent
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Final cluster assignment after ``kmeans_fit`` — see that
+    docstring. Returns (vec_id, cluster, dist 4dp)."""
+    xs, cent = kmeans_fit(emb, k, n_iter, vec_col, id_col)
     out = (
         xs.join(F.broadcast(cent))
-        .select("vec_id", "cluster", sqdist(F.col("v"), F.col("c")).alias("d"))
+        .select("vec_id", "cluster", _sqdist(F.col("v"), F.col("c")).alias("d"))
         .groupBy("vec_id")
         .agg(F.min(F.struct("d", "cluster")).alias("m"))
         .select(
@@ -407,5 +418,44 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 2,
         )
     )
     out = out.localCheckpoint(eager=True)
+    xs.unpersist()
+    return out
+
+
+def ann_kmeans_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                    n_clusters: int = 8, n_iter: int = 2, nprobe: int = 2,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """True IVF search closing the loop on ``kmeans_fit``: rank the
+    trained centroids by squared L2 to the query, probe only the
+    ``nprobe`` nearest inverted lists, exact cosine top-k within them.
+
+    At scale the assignment is materialized once (cluster = partition
+    key), so a query reads ~nprobe/n_clusters of the store — the
+    centroid ranking is k rows on the driver (a query-time constant,
+    same as the query vector itself). Recall/nprobe trades off exactly
+    as in FAISS-style IVF-Flat."""
+    xs, cent = kmeans_fit(emb, n_clusters, n_iter, vec_col, id_col)
+    assigned = (
+        xs.join(F.broadcast(cent))
+        .select("vec_id", _sqdist(F.col("v"), F.col("c")).alias("d"), "cluster")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"))
+    )
+    q = [float(x) for x in query_vec]
+    crows = cent.collect()  # k rows — a query-time constant
+    ranked = sorted(
+        ((sum((float(v) - q[i]) ** 2 for i, v in enumerate(r["c"])),
+          r["cluster"]) for r in crows)
+    )
+    probe = [c for _, c in ranked[:nprobe]]
+    probe_ids = assigned.filter(F.col("cluster").isin(probe)).select(
+        F.col("vec_id").alias("_probe_id")
+    )
+    cand = emb.join(
+        probe_ids, F.col(id_col) == F.col("_probe_id"), "left_semi"
+    )
+    out = cosine_topk(cand, q, k, id_col=id_col, vec_col=vec_col)
     xs.unpersist()
     return out
