@@ -79,6 +79,39 @@ def _mtext_col():
     )
 
 
+def _c4text_col():
+    """Deterministic C4-filter fixture: the synthetic corpus is one
+    unpunctuated line, so the line rules need injected structure —
+    newline every 8th word (those lines have no terminal punctuation →
+    dropped), two always-kept sentences, a third kept sentence (%3), a
+    too-short line (%2), a javascript line (%9), a cookie-policy line
+    (%6), page-level lorem-ipsum (%13) and curly-brace (%17) poison.
+    Mirrored verbatim in the DuckDB oracle."""
+    lineified = F.regexp_replace(F.col("text"), "((\\S+ ){8})", "$1\n")
+    return F.concat(
+        lineified,
+        F.lit("\nthe first synthetic sentence is here today."),
+        F.lit("\na second good sentence follows right after that!"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\na third sentence appears in every third document.")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\nshort line.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit("\nplease enable javascript to view this page.")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("\nwe use cookies see our cookie policy.")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("\nlorem ipsum dolor sit amet consectetur.")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("\nthis line has a { curly brace inside.")
+               ).otherwise(F.lit("")),
+    )
+
+
 def _ensure_pyfiles(spark: SparkSession) -> None:
     """Ship vyntr_spark to executors once per session (needed only for
     UDF-bearing queries; native-expr queries run without it)."""
@@ -953,8 +986,149 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h12_priority_lines"] = h12
 
+    # TPC-H Q10 shape: returned-item revenue per customer — fact filter,
+    # two dim joins (customer broadcastable at any realistic dim size),
+    # top 20 by revenue
+    def h10(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        c = s.read.parquet(f"{sf}/customer.parquet")
+        na = s.read.parquet(f"{sf}/nation.parquet")
+        return (
+            li.filter(F.col("l_returnflag") == "R")
+            .join(
+                o.filter(
+                    (F.col("o_orderdate") >= F.lit("1997-01-01"))
+                    & (F.col("o_orderdate") < F.lit("1997-07-01"))
+                ),
+                li["l_orderkey"] == o["o_orderkey"],
+            )
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(na), c["c_nationkey"] == na["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20)
+        )
+
+    q["h10_returned_items"] = h10
+
+    # TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    # join with a join-side predicate, two-level aggregation
+    def h13(s, sf):
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        c = s.read.parquet(f"{sf}/customer.parquet")
+        per_cust = (
+            c.join(
+                o.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+                c["c_custkey"] == o["o_custkey"],
+                "left",
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        )
+        return (
+            per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        )
+
+    q["h13_order_distribution"] = h13
+
+    # TPC-H Q14 shape: promo revenue share — fact filter + broadcast dim
+    # join + two conditional sums folded into one ratio (single row)
+    def h14(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        p = s.read.parquet(f"{sf}/part.parquet")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1997-03-01"))
+                & (F.col("l_shipdate") < F.lit("1997-09-01"))
+            )
+            .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .agg(
+                F.round(
+                    100.0
+                    * F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+                    )
+                    / F.sum(rev),
+                    4,
+                ).alias("promo_revenue_pct"),
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+            )
+        )
+
+    q["h14_promo_revenue"] = h14
+
+    # TPC-H Q18 shape: large-volume customers — HAVING on a grouped fact,
+    # then join back to orders/customer (the classic agg-then-join)
+    def h18(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        c = s.read.parquet(f"{sf}/customer.parquet")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .filter(F.col("total_qty") > 250)
+        )
+        return (
+            big.join(o, big["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .select(
+                "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+            )
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100)
+        )
+
+    q["h18_large_volume"] = h18
+
+    # TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    # predicates across a broadcast dim join (tests OR-pushdown planning)
+    def h19(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        p = s.read.parquet(f"{sf}/part.parquet")
+        j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        cond = (
+            (
+                (F.col("p_brand") == "Brand#1")
+                & (F.col("p_size").between(1, 15))
+                & (F.col("l_quantity").between(1, 20))
+            )
+            | (
+                (F.col("p_brand") == "Brand#2")
+                & (F.col("p_size").between(1, 25))
+                & (F.col("l_quantity").between(10, 30))
+            )
+            | (
+                (F.col("p_brand") == "Brand#3")
+                & (F.col("p_size").between(1, 35))
+                & (F.col("l_quantity").between(20, 40))
+            )
+        )
+        return j.filter(cond).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+
+    q["h19_disjunctive_parts"] = h19
+
     # ---- line-level quality + paragraph dedup (Gopher / RefinedWeb-style
     # training-data filters over the line-structured fixture) -------------
+    q["t_c4_filters"] = lambda s, sf: textstats.c4_line_filters(
+        _docs(s, sf).select("doc_id", _c4text_col().alias("text"))
+    )
+
+    q["t_ccnet_buckets"] = lambda s, sf: textstats.ccnet_buckets(_docs(s, sf))
+
     q["t_gopher_quality"] = lambda s, sf: textstats.gopher_quality(
         _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
     )
@@ -1954,6 +2128,60 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
         "GROUP BY l_returnflag"
     )
 
+    o["h10_returned_items"] = (
+        "SELECT c_custkey, c_name, n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' AND o_orderdate >= '1997-01-01' "
+        "AND o_orderdate < '1997-07-01' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey ASC LIMIT 20"
+    )
+
+    o["h13_order_distribution"] = (
+        "WITH pc AS (SELECT c_custkey, "
+        "CAST(count(o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '4-NOT SPECIFIED' "
+        "GROUP BY c_custkey) "
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+        "FROM pc GROUP BY c_count"
+    )
+
+    o["h14_promo_revenue"] = (
+        "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct, "
+        "CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-09-01'"
+    )
+
+    o["h18_large_volume"] = (
+        "WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) "
+        "AS total_qty FROM lineitem GROUP BY l_orderkey "
+        "HAVING round(sum(l_quantity), 2) > 250) "
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+        "round(o_totalprice, 2) AS o_totalprice, total_qty "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+    )
+
+    o["h19_disjunctive_parts"] = (
+        "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 30) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+        "AND l_quantity BETWEEN 20 AND 40)"
+    )
+
     o["w9_math_eval"] = (
         # same arithmetic the shunting-yard evaluator performs on
         # "(d + 3) * 2 - sqrt((d%10)^2) + 2 ^ (d%5)"
@@ -2063,6 +2291,65 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
         "x -> trim(x)), x -> x <> '')"
     )
     _mwords = r"list_filter(string_split_regex(mtext, '\s+'), x -> x <> '')"
+
+    # the same deterministic C4 fixture as the Spark side (_c4text_col)
+    _c4text = (
+        f"{_lineified} || chr(10) || "
+        "'the first synthetic sentence is here today.' || chr(10) || "
+        "'a second good sentence follows right after that!' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+        "'a third sentence appears in every third document.' ELSE '' END) || "
+        "(CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'short line.' "
+        "ELSE '' END) || "
+        "(CASE WHEN doc_id % 9 = 0 THEN chr(10) || "
+        "'please enable javascript to view this page.' ELSE '' END) || "
+        "(CASE WHEN doc_id % 6 = 0 THEN chr(10) || "
+        "'we use cookies see our cookie policy.' ELSE '' END) || "
+        "(CASE WHEN doc_id % 13 = 0 THEN chr(10) || "
+        "'lorem ipsum dolor sit amet consectetur.' ELSE '' END) || "
+        "(CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
+        "'this line has a { curly brace inside.' ELSE '' END)"
+    )
+    _c4_line_ok = (
+        "x -> regexp_matches(x, '[.!?\"]$') "
+        r"AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(x), 'javascript') "
+        "AND NOT contains(lower(x), 'cookie policy') "
+        "AND NOT contains(lower(x), 'privacy policy') "
+        "AND NOT contains(lower(x), 'terms of use') "
+        "AND NOT contains(lower(x), 'uses cookies')"
+    )
+    o["t_c4_filters"] = f"""
+WITH m AS (SELECT doc_id, {_c4text} AS mtext FROM documents),
+lx AS (SELECT doc_id, {_mlines} AS lns FROM m),
+kx AS (SELECT doc_id, lns, list_filter(lns, {_c4_line_ok}) AS kept FROM lx),
+pg AS (SELECT doc_id, contains(lower(mtext), 'lorem ipsum') AS has_lorem,
+       contains(mtext, '{{') AS has_brace FROM m)
+SELECT k.doc_id,
+ CAST(len(lns) AS BIGINT) AS n_lines,
+ CAST(len(kept) AS BIGINT) AS n_kept,
+ round(CASE WHEN len(lns) > 0
+   THEN CAST(len(kept) AS DOUBLE) / len(lns) ELSE 0 END, 4) AS kept_frac,
+ has_lorem, has_brace,
+ (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS keep,
+ md5(array_to_string(kept, chr(10))) AS clean_hash
+FROM kx k JOIN pg USING (doc_id)
+"""
+
+    o["t_ccnet_buckets"] = f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+sc AS (SELECT doc_id,
+       round(avg(-ln(CAST(c AS DOUBLE) / (SELECT n FROM tot))), 4) AS nll
+       FROM tk JOIN uni USING (tok) GROUP BY doc_id),
+j AS (SELECT d.doc_id, d.lang, s.nll
+      FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id)
+SELECT doc_id, lang, nll,
+ CASE (ntile(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC))
+  WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM j
+"""
 
     o["t_gopher_quality"] = rf"""
 WITH m AS (SELECT doc_id, {_mtext} AS mtext FROM documents),

@@ -215,3 +215,93 @@ def test_gopher_repetition_short_doc(spark):
     row = textstats.gopher_repetition(df).collect()[0]
     # fewer than 2 tokens → no grams → zeros, keep (vacuous) true
     assert row["tot_wchars"] == 0 and row["keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# C4 line + page filters
+# ---------------------------------------------------------------------------
+
+
+def test_c4_line_filters(spark):
+    rows = [
+        # 0: three good sentences -> keep
+        (0, "this sentence is long enough to survive.\n"
+            "another proper sentence with terminal punctuation!\n"
+            'a third one ends with a quote so it stays."'),
+        # 1: good lines but only two -> page dropped (< 3 sentences)
+        (1, "this sentence is long enough to survive.\n"
+            "another proper sentence with terminal punctuation!"),
+        # 2: line-level drops: no terminal punct / short / javascript /
+        #    cookie policy — all four lines die, page dropped
+        (2, "no terminal punctuation on this line\n"
+            "too short.\n"
+            "please enable javascript to continue reading this.\n"
+            "we updated our cookie policy again today folks."),
+        # 3: lorem ipsum poison -> page dropped despite 3 good lines
+        (3, "this sentence is long enough to survive.\n"
+            "another proper sentence with terminal punctuation!\n"
+            "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        # 4: curly brace poison -> page dropped
+        (4, "this sentence is long enough to survive.\n"
+            "another proper sentence with terminal punctuation!\n"
+            "function f() { return this sentence anyway. }"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.c4_line_filters(df).collect()}
+    assert out[0]["keep"] is True and out[0]["n_kept"] == 3
+    assert out[1]["keep"] is False and out[1]["n_kept"] == 2
+    assert out[2]["keep"] is False and out[2]["n_kept"] == 0
+    assert out[2]["n_lines"] == 4
+    assert out[3]["keep"] is False and out[3]["has_lorem"] is True
+    assert out[4]["keep"] is False and out[4]["has_brace"] is True
+    # kept_frac reflects the line survival rate, not the page verdict
+    assert out[2]["kept_frac"] == 0.0
+    assert out[0]["kept_frac"] == 1.0
+
+
+def test_c4_clean_hash_is_joined_survivors(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(0, "good sentence number one stays right here.\n"
+             "dropped line\n"
+             "good sentence number two stays right here too.")],
+        "doc_id long, text string",
+    )
+    row = textstats.c4_line_filters(df).collect()[0]
+    expect = hashlib.md5(
+        ("good sentence number one stays right here.\n"
+         "good sentence number two stays right here too.").encode()
+    ).hexdigest()
+    assert row["clean_hash"] == expect
+
+
+# ---------------------------------------------------------------------------
+# CCNet per-language perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_per_language_thirds(spark):
+    # 6 docs per language; within a language, docs built from rarer
+    # tokens score a higher unigram NLL and must land in later buckets
+    common = "alpha " * 12
+    rows = []
+    for li, lang in enumerate(["en", "de"]):
+        for i in range(6):
+            # doc i mixes the common token with i distinct rare tokens
+            rare = " ".join(f"rare{lang}{i}x{j}" for j in range(i))
+            rows.append((li * 10 + i, lang, (common + rare).strip()))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = textstats.ccnet_buckets(df).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert sorted(r["bucket"] for r in rs) == sorted(
+            ["head", "head", "middle", "middle", "tail", "tail"]
+        )
+        # monotone: nll order matches bucket order
+        rs.sort(key=lambda r: (r["nll"], r["doc_id"]))
+        assert [r["bucket"] for r in rs] == [
+            "head", "head", "middle", "middle", "tail", "tail"]

@@ -806,3 +806,108 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
         )
     )
     return out
+
+
+# C4's line-drop phrase list (Raffel et al. 2020 §2.2, public): lines
+# mentioning javascript or boilerplate cookie/policy notices are removed
+# before the page-level rules run.
+C4_POLICY_PHRASES = (
+    "javascript",
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "uses cookies",
+)
+
+
+def c4_line_filters(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_words: int = 5,
+                    min_sentences: int = 3) -> DataFrame:
+    """C4-style line + page filters (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer" §2.2 — public).
+
+    Line rules (a line survives iff ALL hold):
+      * ends with terminal punctuation (``. ! ? "``);
+      * has at least ``min_words`` whitespace words;
+      * does not contain (case-insensitive) any ``C4_POLICY_PHRASES``
+        entry ("javascript", cookie/policy boilerplate).
+
+    Page rules: drop the page if it contains "lorem ipsum" (any case),
+    a ``{`` (code), or fewer than ``min_sentences`` surviving lines.
+
+    Entirely native expressions over the line array — zero shuffle,
+    zero Python; at 100 TB this is a map-only pass that rides the
+    parquet scan. ``clean_hash`` is md5 of the surviving lines joined
+    by newline, so the oracle compares the reassembled text exactly
+    without hauling long strings through the hash gate.
+    """
+    col = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+    def _line_ok(x):
+        words = F.filter(F.split(x, "\\s+"), lambda w: w != "")
+        ok = x.rlike('[.!?"]$') & (F.size(words) >= min_words)
+        low = F.lower(x)
+        for p in C4_POLICY_PHRASES:
+            ok = ok & ~low.contains(p)
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    has_lorem = F.lower(col).contains("lorem ipsum")
+    has_brace = col.contains("{")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.round(
+            F.when(n_lines > 0, n_kept.cast("double") / n_lines)
+            .otherwise(F.lit(0.0)), 4
+        ).alias("kept_frac"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace & (n_kept >= min_sentences)).alias("keep"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_hash"),
+    )
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data" — public): score each document with the corpus
+    unigram NLL (:func:`unigram_logprob`, the model-free stand-in for
+    the KenLM perplexity) and split EACH LANGUAGE into equal thirds —
+    head (most fluent) / middle / tail — via ``ntile(3)`` ordered by
+    (nll, doc_id).
+
+    One window shuffle keyed on language; the NLL itself is two hash
+    aggregations with a broadcast vocabulary join. Per-language ntile
+    is exactly CCNet's design (buckets are defined within a language,
+    never across), and the (nll, doc_id) order pins ties cross-engine.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, text_col)
+    joined = df.select("doc_id", F.col(lang_col).alias("lang")).join(
+        scored, "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("nll").asc_nulls_last(), F.col("doc_id")
+    )
+    tert = F.ntile(3).over(w)
+    return joined.select(
+        "doc_id",
+        "lang",
+        "nll",
+        F.when(tert == 1, F.lit("head"))
+        .when(tert == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
