@@ -1129,6 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_ccnet_buckets"] = lambda s, sf: textstats.ccnet_buckets(_docs(s, sf))
 
+    q["e10b_bpe_tokens"] = lambda s, sf: textstats.bpe_token_count(_docs(s, sf))
+
     q["t_gopher_quality"] = lambda s, sf: textstats.gopher_quality(
         _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
     )
@@ -2334,6 +2336,16 @@ SELECT k.doc_id,
  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS keep,
  md5(array_to_string(kept, chr(10))) AS clean_hash
 FROM kx k JOIN pg USING (doc_id)
+"""
+
+    _bpe = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+|[ \t\n]+"
+    o["e10b_bpe_tokens"] = f"""
+WITH p AS (SELECT doc_id,
+  regexp_extract_all(coalesce(text, ''), '{_bpe}') AS pieces FROM documents)
+SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+ CAST(len(list_filter(pieces, x -> NOT regexp_matches(x, '^[ \t\n]+$')))
+      AS BIGINT) AS n_tokens
+FROM p
 """
 
     o["t_ccnet_buckets"] = f"""

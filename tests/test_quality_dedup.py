@@ -305,3 +305,22 @@ def test_ccnet_buckets_per_language_thirds(spark):
         rs.sort(key=lambda r: (r["nll"], r["doc_id"]))
         assert [r["bucket"] for r in rs] == [
             "head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_bpe_token_count_pieces(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "it's 2026!  multi  space"),
+         (2, "a1b2"), (3, None), (4, "x...y, z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_pieces"], r["n_tokens"])
+           for r in textstats.bpe_token_count(df).collect()}
+    # "hello" + " world" — the leading space glues to the word piece
+    assert out[0] == (2, 2)
+    # it / ' / s / " 2026" / ! / "  " / multi / "  " / space
+    assert out[1] == (9, 7)
+    # letter-run and digit-run alternate: a / 1 / b / 2
+    assert out[2] == (4, 4)
+    assert out[3] == (0, 0)
+    # x / ... / y / , / " z"
+    assert out[4] == (5, 5)

@@ -911,3 +911,35 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# GPT-2-family pretokenizer shape without the RE2-incompatible lookahead
+# (`\s+(?!\S)`) so the same pattern runs verbatim in Spark (Java regex)
+# and the DuckDB oracle (RE2): an optional leading space glued to a
+# letter-run or digit-run or punctuation-run, else a whitespace run.
+BPE_SPLIT_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+|[ \t\n]+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-pretokenizer-style token counting (the regex half of the
+    GPT-2/tiktoken pipeline — Radford et al. 2019, public; the merges
+    table needs a model download this environment doesn't have, so the
+    count is over pretokenizer pieces, the exact upper bound BPE merges
+    start from).
+
+    Counts whole-pattern matches of :data:`BPE_SPLIT_PATTERN` — native
+    ``regexp_extract_all`` inside codegen, zero shuffle, rides the scan.
+    Complements :func:`token_count` (whitespace+punct tokenizer): that
+    one prices words, this one prices sub-word pieces.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+    return df.select(
+        "doc_id",
+        F.coalesce(F.size(pieces), F.lit(0)).cast("long").alias("n_pieces"),
+        # whitespace runs are glue, not billable tokens: count the
+        # pieces whose first char is not whitespace (the " ?x" forms)
+        F.coalesce(
+            F.size(F.filter(pieces, lambda p: ~p.rlike("^[ \t\n]+$"))),
+            F.lit(0),
+        ).cast("long").alias("n_tokens"),
+    )
