@@ -863,6 +863,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c2_canonicalize"] = c2
 
+    # ---- frontier scheduling & crawl hygiene (operators/scheduling.py;
+    # deterministic fixtures built from doc_id on both engines) -----------
+    def c24(s, sf):
+        from vyntr_spark.operators import scheduling
+
+        xml = F.concat(
+            F.lit("<urlset><url>\n<loc> "),
+            F.format_string("https://host%d.example/s%da.html",
+                            F.col("doc_id") % 50, F.col("doc_id")),
+            F.lit(" </loc>\n<lastmod>2026-0"),
+            (F.col("doc_id") % 9 + 1).cast("string"),
+            F.lit("-15</lastmod><priority>0."),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("</priority></url><url><loc>"),
+            F.format_string("https://host%d.example/s%db.html",
+                            F.col("doc_id") % 50, F.col("doc_id")),
+            F.lit("</loc></url><url><nav>x</nav></url></urlset>"),
+        )
+        fx = _docs(s, sf).select(
+            F.format_string("host%d.example", F.col("doc_id") % 50)
+            .alias("host"),
+            xml.alias("sitemap_xml"),
+        )
+        return scheduling.parse_sitemap(fx).select(
+            "host", "url",
+            # date → string at the comparison surface: the driver's
+            # pandas canonicalizer prints python date and numpy
+            # datetime64 differently
+            F.col("lastmod").cast("string").alias("lastmod"),
+            "priority",
+        )
+
+    q["c24_sitemap_parse"] = c24
+
+    def c25(s, sf):
+        from vyntr_spark.operators import scheduling
+
+        ev = _events(s, sf)
+        fx = ev.select(
+            F.format_string("https://h%d.example/p%d",
+                            F.col("event_id") % 40, F.col("event_id"))
+            .alias("url"),
+            F.col("ts").alias("fetched_ts"),
+            F.when(F.col("event_id") % 4 == 0, F.lit("max-age=86400, public"))
+            .when(F.col("event_id") % 4 == 1, F.lit("no-cache"))
+            .when(F.col("event_id") % 4 == 3, F.lit("public, max-age=100"))
+            .alias("cache_control"),
+            F.when(
+                F.col("event_id") % 3 != 0,
+                F.col("ts") - F.expr(
+                    "make_interval(0, 0, 0, CAST(event_id % 30 AS INT), 0, 0, 0)"
+                ),
+            ).alias("last_modified"),
+        )
+        return scheduling.recrawl_schedule(fx)
+
+    q["c25_recrawl_schedule"] = c25
+
+    def c26(s, sf):
+        from vyntr_spark.operators import scheduling
+
+        d = F.col("doc_id")
+        edges = (
+            _docs(s, sf)
+            .filter(d % 8 != 7)
+            .select(
+                F.concat(F.lit("u"), d.cast("string")).alias("src"),
+                F.concat(
+                    F.lit("u"),
+                    F.when(
+                        (d % 8 == 6) & ((d / 8).cast("long") % 13 == 0),
+                        d - 6,
+                    ).otherwise(d + 1).cast("string"),
+                ).alias("dst"),
+            )
+        )
+        return scheduling.resolve_redirects(edges, max_hops=8)
+
+    q["c26_redirect_resolve"] = c26
+
+    def c27(s, sf):
+        from vyntr_spark.operators import scheduling
+
+        d = F.col("doc_id")
+        path = (
+            F.when(d % 5 == 0, F.lit("/a/b"))
+            .when(d % 5 == 1, F.lit("/a/b/c/d/e/f/g/h"))
+            .when(d % 5 == 2, F.concat(F.lit("/p?q="), d.cast("string")))
+            .when(d % 5 == 3, F.lit("/x/y/x/y/x/y/x"))
+            .otherwise(F.lit("/"))
+        )
+        fx = _docs(s, sf).select(
+            F.format_string("host%d.example", d % 20).alias("host"),
+            F.concat(
+                F.lit("https://"),
+                F.format_string("host%d.example", d % 20),
+                path,
+            ).alias("url"),
+        )
+        return scheduling.trap_score(fx)
+
+    q["c27_trap_hosts"] = c27
+
     # ---- generic relational (TPC-H-ish over lineitem/orders) -----------------
     def h1(s, sf):
         li = s.read.parquet(f"{sf}/lineitem.parquet")
@@ -2129,6 +2232,109 @@ ORDER BY exact DESC, sim DESC, word ASC LIMIT 10
         "WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01' "
         "GROUP BY l_returnflag"
     )
+
+    # ---- frontier scheduling & crawl hygiene (same doc_id fixtures) ------
+    o["c24_sitemap_parse"] = r"""
+WITH fx AS (SELECT
+  'host' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+  '<urlset><url>' || chr(10) || '<loc> https://host' ||
+  CAST(doc_id % 50 AS VARCHAR) || '.example/s' || CAST(doc_id AS VARCHAR) ||
+  'a.html </loc>' || chr(10) || '<lastmod>2026-0' ||
+  CAST(doc_id % 9 + 1 AS VARCHAR) || '-15</lastmod><priority>0.' ||
+  CAST(doc_id % 10 AS VARCHAR) || '</priority></url><url><loc>https://host' ||
+  CAST(doc_id % 50 AS VARCHAR) || '.example/s' || CAST(doc_id AS VARCHAR) ||
+  'b.html</loc></url><url><nav>x</nav></url></urlset>' AS xml
+ FROM documents),
+ex AS (SELECT host,
+       unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS block
+       FROM fx),
+f AS (SELECT host,
+  regexp_extract(block, '(?s)<loc>\s*(.*?)\s*</loc>', 1) AS url,
+  regexp_extract(block, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1) AS lm,
+  regexp_extract(block, '(?s)<priority>\s*(.*?)\s*</priority>', 1) AS pr
+ FROM ex)
+SELECT host, url,
+ CASE WHEN lm <> '' THEN CAST(CAST(lm AS DATE) AS VARCHAR) END AS lastmod,
+ round(CASE WHEN pr <> '' THEN CAST(pr AS DOUBLE) ELSE 0.5 END, 4) AS priority
+FROM f WHERE url <> ''
+"""
+
+    o["c25_recrawl_schedule"] = r"""
+WITH fx AS (SELECT
+  'https://h' || CAST(event_id % 40 AS VARCHAR) || '.example/p' ||
+  CAST(event_id AS VARCHAR) AS url,
+  CAST(floor(epoch(ts)) AS BIGINT) AS fetched,
+  CASE WHEN event_id % 4 = 0 THEN 'max-age=86400, public'
+       WHEN event_id % 4 = 1 THEN 'no-cache'
+       WHEN event_id % 4 = 3 THEN 'public, max-age=100' END AS cc,
+  CASE WHEN event_id % 3 <> 0 THEN CAST(floor(epoch(
+    ts - to_days(CAST(event_id % 30 AS INT)))) AS BIGINT) END AS lastmod
+ FROM events),
+p AS (SELECT url, fetched,
+  CASE WHEN regexp_extract(lower(cc), 'max-age\s*=\s*(\d+)', 1) <> ''
+   THEN CAST(regexp_extract(lower(cc), 'max-age\s*=\s*(\d+)', 1) AS BIGINT)
+  END AS ma,
+  CASE WHEN lastmod IS NOT NULL AND fetched - lastmod > 0
+   THEN CAST(floor((fetched - lastmod) / 10.0) AS BIGINT) END AS heur
+ FROM fx)
+SELECT url,
+ least(greatest(coalesce(ma, heur, 3600), 3600),
+       CAST(30 * 86400 AS BIGINT)) AS interval_s,
+ fetched + least(greatest(coalesce(ma, heur, 3600), 3600),
+                 CAST(30 * 86400 AS BIGINT)) AS next_fetch_epoch
+FROM p
+"""
+
+    o["c26_redirect_resolve"] = """
+WITH RECURSIVE e AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+         'u' || CAST(CASE WHEN doc_id % 8 = 6 AND (doc_id // 8) % 13 = 0
+                     THEN doc_id - 6 ELSE doc_id + 1 END AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 8 <> 7),
+walk(src, cur, step) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT w.src, e2.dst, w.step + 1
+  FROM walk w JOIN e e2 ON w.cur = e2.src WHERE w.step < 8),
+fin AS (SELECT src, max_by(cur, step) AS cur FROM walk GROUP BY src),
+outs AS (SELECT DISTINCT src AS t_src FROM e)
+SELECT f.src,
+ CASE WHEN o.t_src IS NULL THEN f.cur END AS terminal,
+ (o.t_src IS NOT NULL) AS cycle
+FROM fin f LEFT JOIN outs o ON f.cur = o.t_src
+"""
+
+    o["c27_trap_hosts"] = r"""
+WITH fx AS (SELECT
+  'host' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example' ||
+  CASE WHEN doc_id % 5 = 0 THEN '/a/b'
+       WHEN doc_id % 5 = 1 THEN '/a/b/c/d/e/f/g/h'
+       WHEN doc_id % 5 = 2 THEN '/p?q=' || CAST(doc_id AS VARCHAR)
+       WHEN doc_id % 5 = 3 THEN '/x/y/x/y/x/y/x'
+       ELSE '/' END AS url
+ FROM documents),
+pu AS (SELECT host,
+  list_filter(string_split(
+    regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)?', 1), '/'),
+    s -> s <> '') AS segs,
+  CAST(contains(url, '?') AS BIGINT) AS has_q
+ FROM fx),
+pv AS (SELECT host, CAST(len(segs) AS BIGINT) AS depth, has_q,
+  CAST(coalesce(list_max(list_transform(list_distinct(segs),
+    d -> len(list_filter(segs, s -> s = d)))), 0) AS BIGINT) AS seg_rep
+ FROM pu),
+ag AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(max(depth) AS BIGINT) AS max_depth,
+  CAST(sum(has_q) AS BIGINT) AS n_query,
+  CAST(max(seg_rep) AS BIGINT) AS max_seg_repeat
+ FROM pv GROUP BY host)
+SELECT host, n_urls, max_depth,
+ round(CAST(n_query AS DOUBLE) / n_urls, 4) AS query_frac,
+ max_seg_repeat,
+ (max_depth > 6 OR 2 * n_query > n_urls OR max_seg_repeat > 3) AS trap
+FROM ag
+"""
 
     o["h10_returned_items"] = (
         "SELECT c_custkey, c_name, n_name, "

@@ -1,0 +1,101 @@
+"""Frontier scheduling & crawl hygiene (operators/scheduling.py):
+sitemap ingestion, freshness recrawl scheduling, redirect-chain
+resolution, crawler-trap detection.
+"""
+
+from vyntr_spark.operators import scheduling
+
+
+def test_parse_sitemap_fields_and_malformed_blocks(spark):
+    xml = (
+        "<urlset>"
+        "<url>\n  <loc> https://a.example/1 </loc>\n"
+        "<lastmod>2026-03-15</lastmod><priority>0.8</priority></url>"
+        "<url><loc>https://a.example/2</loc></url>"
+        "<url><nav>no loc here</nav></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a.example", xml)],
+                               "host string, sitemap_xml string")
+    rows = {r["url"]: r.asDict()
+            for r in scheduling.parse_sitemap(df).collect()}
+    assert set(rows) == {"https://a.example/1", "https://a.example/2"}
+    r1 = rows["https://a.example/1"]
+    assert str(r1["lastmod"]) == "2026-03-15" and r1["priority"] == 0.8
+    r2 = rows["https://a.example/2"]
+    assert r2["lastmod"] is None and r2["priority"] == 0.5  # protocol default
+
+
+def test_recrawl_schedule_sources_and_clamps(spark):
+    rows = [
+        # max-age wins over lastmod heuristic
+        ("u1", 1_000_000, "public, max-age=7200", 1_000_000 - 864_000),
+        # no cc -> 10% of age = 86400
+        ("u2", 1_000_000, None, 1_000_000 - 864_000),
+        # tiny max-age clamps up to the 3600 floor
+        ("u3", 1_000_000, "max-age=5", None),
+        # nothing known -> floor
+        ("u4", 1_000_000, "no-store", None),
+        # huge age clamps down to the 30-day ceiling
+        ("u5", 1_000_000_000, None, 1_000_000_000 - 900_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, fetched_ts long, cache_control string, "
+              "last_modified long")
+    out = {r["url"]: r for r in scheduling.recrawl_schedule(df).collect()}
+    assert out["u1"]["interval_s"] == 7200
+    assert out["u2"]["interval_s"] == 86400
+    assert out["u3"]["interval_s"] == 3600
+    assert out["u4"]["interval_s"] == 3600
+    assert out["u5"]["interval_s"] == 30 * 86400
+    assert out["u1"]["next_fetch_epoch"] == 1_000_000 + 7200
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    edges = [
+        # chain a -> b -> c -> d (terminal)
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        # 2-cycle x <-> y
+        ("x", "y"), ("y", "x"),
+        # self-loop
+        ("z", "z"),
+        # chain feeding INTO the cycle is also unresolvable
+        ("w", "x"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["src"]: r for r in
+           scheduling.resolve_redirects(df, max_hops=8).collect()}
+    for s in ["a", "b", "c"]:
+        assert out[s]["terminal"] == "d" and out[s]["cycle"] is False
+    for s in ["x", "y", "z", "w"]:
+        assert out[s]["terminal"] is None and out[s]["cycle"] is True
+
+
+def test_resolve_redirects_long_chain_within_hop_cap(spark):
+    # 8-hop chain resolves with max_hops=8 (2^ceil(log2(7)) = 8 steps)
+    edges = [(f"n{i}", f"n{i + 1}") for i in range(8)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["src"]: r for r in
+           scheduling.resolve_redirects(df, max_hops=8).collect()}
+    assert out["n0"]["terminal"] == "n8" and out["n0"]["cycle"] is False
+
+
+def test_trap_score_signals(spark):
+    rows = (
+        # depth trap
+        [("deep.ex", "https://deep.ex/a/b/c/d/e/f/g")]
+        # query explosion: 3 of 4 urls carry queries
+        + [("q.ex", f"https://q.ex/p?s={i}") for i in range(3)]
+        + [("q.ex", "https://q.ex/about")]
+        # segment loop a/b/a/b/a/b/a
+        + [("loop.ex", "https://loop.ex/a/b/a/b/a/b/a")]
+        # healthy host
+        + [("ok.ex", "https://ok.ex/x/y"), ("ok.ex", "https://ok.ex/")]
+    )
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = {r["host"]: r.asDict() for r in scheduling.trap_score(df).collect()}
+    assert out["deep.ex"]["trap"] is True and out["deep.ex"]["max_depth"] == 7
+    assert out["q.ex"]["trap"] is True and out["q.ex"]["query_frac"] == 0.75
+    assert out["loop.ex"]["trap"] is True
+    assert out["loop.ex"]["max_seg_repeat"] == 4
+    assert out["ok.ex"]["trap"] is False and out["ok.ex"]["query_frac"] == 0.0

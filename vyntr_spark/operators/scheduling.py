@@ -1,0 +1,235 @@
+"""Frontier scheduling & crawl hygiene: sitemap ingestion, freshness-
+driven recrawl scheduling, redirect-chain resolution, and crawler-trap
+detection.
+
+These complete the crawl tier around the round engine (crawl.py): the
+reference crawler (genesis) discovers URLs only by link expansion and
+refetches on a fixed cadence; a production frontier at 10^10 URLs also
+ingests sitemaps, schedules revisits from HTTP freshness metadata,
+collapses redirect aliases before the seen-filter, and demotes
+crawler-trap hosts. All four are public, spec-level behaviors
+(sitemaps.org protocol, RFC 9111 Cache-Control, RFC 9110 3xx,
+the IRLbot trap heuristics — Lee et al. 2009, public).
+
+Everything here is native-expression DataFrame code (zero Python in the
+row path) except nothing: even the sitemap XML is sliced with RE2-safe
+regexes so the identical pattern runs in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (?s) so '.' crosses newlines inside a <url> block — supported by both
+# Java regex (Spark) and RE2 (DuckDB oracle)
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_LOC = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+_PRIORITY = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml",
+                  host_col: str = "host") -> DataFrame:
+    """Parse sitemaps.org ``<urlset>`` documents into frontier-add rows.
+
+    One ``regexp_extract_all`` slices the ``<url>`` blocks, an explode
+    fans them out, and per-field ``regexp_extract`` pulls loc / lastmod
+    / priority (priority defaults to 0.5 per the protocol; lastmod null
+    when absent). Malformed blocks (no ``<loc>``) are dropped.
+
+    Scale shape: map-side explode only — no shuffle; the output unions
+    straight into the frontier-add path where the seen anti-join
+    dedups it against crawled URLs.
+    """
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(_URL_BLOCK), 1)
+    ex = df.select(
+        F.col(host_col).alias("host"), F.explode(blocks).alias("block")
+    )
+    loc = F.regexp_extract(F.col("block"), _LOC, 1)
+    lastmod = F.regexp_extract(F.col("block"), _LASTMOD, 1)
+    prio = F.regexp_extract(F.col("block"), _PRIORITY, 1)
+    return (
+        ex.select(
+            "host",
+            loc.alias("url"),
+            F.when(lastmod != "", F.to_date(lastmod)).alias("lastmod"),
+            F.round(
+                F.when(prio != "", prio.cast("double")).otherwise(F.lit(0.5)),
+                4,
+            ).alias("priority"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
+def _max_age_seconds(cache_control: Column) -> Column:
+    """``max-age=N`` from a Cache-Control header (RFC 9111 §5.2.2.1);
+    null when absent or unparseable."""
+    raw = F.regexp_extract(F.lower(cache_control), r"max-age\s*=\s*(\d+)", 1)
+    return F.when(raw != "", raw.cast("long"))
+
+
+def recrawl_schedule(df: DataFrame, url_col: str = "url",
+                     fetched_col: str = "fetched_ts",
+                     cc_col: str = "cache_control",
+                     lastmod_col: str = "last_modified",
+                     min_interval_s: int = 3600,
+                     max_interval_s: int = 30 * 86400) -> DataFrame:
+    """Freshness-driven revisit scheduling (RFC 9111 + the classic
+    age-heuristic): the revisit interval is
+
+    * ``max-age`` when Cache-Control carries one, else
+    * 10% of the document's age at fetch time
+      (``fetched_ts - last_modified``) — the LM-factor heuristic
+      public in every HTTP cache (squid's refresh_pattern), else
+    * ``min_interval_s``,
+
+    clamped to [min_interval_s, max_interval_s]. Emits
+    ``next_fetch_epoch = fetched + interval``. Pure column arithmetic
+    on epoch seconds — integer end-to-end, so the oracle matches
+    exactly; no shuffle. Timestamp columns convert via unix_micros on
+    an LTZ cast (session tz pinned UTC in session.py — same rule as
+    operators/temporal.py); numeric columns pass through.
+    """
+
+    def _epoch_s(col: Column, dtype: str) -> Column:
+        if dtype.startswith("timestamp"):
+            return F.floor(
+                F.unix_micros(col.cast("timestamp_ltz")) / F.lit(1_000_000)
+            ).cast("long")
+        return col.cast("long")
+
+    dtypes = dict(df.dtypes)
+    fetched = _epoch_s(F.col(fetched_col), dtypes[fetched_col])
+    ma = _max_age_seconds(F.col(cc_col))
+    lm_age = fetched - _epoch_s(F.col(lastmod_col), dtypes[lastmod_col])
+    heur = F.when(
+        F.col(lastmod_col).isNotNull() & (lm_age > 0),
+        F.floor(lm_age / F.lit(10)),
+    ).cast("long")
+    interval = F.least(
+        F.greatest(
+            F.coalesce(ma, heur, F.lit(min_interval_s)),
+            F.lit(min_interval_s).cast("long"),
+        ),
+        F.lit(max_interval_s).cast("long"),
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        interval.alias("interval_s"),
+        (fetched + interval).alias("next_fetch_epoch"),
+    )
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Collapse redirect chains: given ``(src, dst)`` 3xx edges, map
+    every src to its terminal URL (a URL with no outgoing edge), so the
+    seen-filter and frontier dedup on canonical targets instead of
+    recrawling every alias.
+
+    Pointer-doubling over the edge set: each round joins the current
+    mapping to itself (``terminal = mapping[terminal]`` where one
+    exists), so ``max_hops``-long chains resolve in ``ceil(log2)``
+    rounds — 3 joins for 8 hops, not 8. After ``r`` rounds the mapping
+    equals following exactly ``2^r`` single redirect steps (with
+    absorption at terminals), which is what the oracle replays. A src
+    whose endpoint STILL redirects after that many steps is a cycle or
+    an over-long chain — flagged ``cycle = true`` with a null terminal
+    (a crawler abandons both).
+
+    Every round ``localCheckpoint``s the mapping — iterative plans
+    otherwise grow exponentially and hang Catalyst (see
+    operators/graph.py, same rule).
+    """
+    # mapping: src -> (cur, hops, done)
+    m = edges.select(
+        F.col("src"), F.col("dst").alias("cur")
+    ).localCheckpoint(eager=True)
+    targets = edges.select(F.col("src").alias("t_src"),
+                           F.col("dst").alias("t_dst"))
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        # follow cur -> mapping[cur] when cur itself redirects
+        step = (
+            m.alias("a")
+            .join(m.select(F.col("src").alias("b_src"),
+                           F.col("cur").alias("b_cur")).alias("b"),
+                  F.col("a.cur") == F.col("b_src"), "left")
+            .select(
+                F.col("a.src").alias("src"),
+                F.coalesce(F.col("b_cur"), F.col("a.cur")).alias("cur"),
+            )
+        )
+        m = step.localCheckpoint(eager=True)
+    # a chain is cyclic/over-long iff after the doubling rounds its
+    # endpoint still has an outgoing edge
+    return (
+        m.join(targets.select("t_src").distinct(),
+               m["cur"] == F.col("t_src"), "left")
+        .select(
+            "src",
+            F.when(F.col("t_src").isNull(), F.col("cur")).alias("terminal"),
+            F.col("t_src").isNotNull().alias("cycle"),
+        )
+    )
+
+
+def trap_score(urls: DataFrame, url_col: str = "url",
+               host_col: str = "host",
+               depth_limit: int = 6,
+               query_frac_limit: tuple[int, int] = (1, 2),
+               repeat_seg_limit: int = 3) -> DataFrame:
+    """Crawler-trap heuristics per host (IRLbot-style, public): hosts
+    whose URL population shows calendar/session explosion get demoted
+    before they eat the politeness budget.
+
+    Signals, all native expressions over one groupBy(host):
+
+    * ``max_depth`` — path segments of the deepest URL;
+    * ``query_frac`` — fraction of URLs carrying a query string
+      (compared as integers: ``2*n_query > n_urls`` for 1/2);
+    * ``max_seg_repeat`` — the deepest URL's most-repeated path
+      segment count (a/b/a/b/a… loops);
+
+    ``trap`` fires when any signal crosses its limit. The per-host
+    rollup is one hash aggregation — shuffles on host, broadcastable
+    back onto the frontier as a demotion dimension.
+    """
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/[^?#]*)?", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    has_q = F.col(url_col).contains("?").cast("long")
+    # most-repeated segment count within ONE url's path
+    seg_rep = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda d: F.size(F.filter(segs, lambda s: s == d)),
+            )
+        ),
+        F.lit(0),
+    )
+    per_url = urls.select(
+        F.col(host_col).alias("host"),
+        F.size(segs).cast("long").alias("depth"),
+        has_q.alias("has_q"),
+        seg_rep.cast("long").alias("seg_rep"),
+    )
+    qn, qd = query_frac_limit
+    agg = per_url.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum("has_q").cast("long").alias("n_query"),
+        F.max("seg_rep").cast("long").alias("max_seg_repeat"),
+    )
+    return agg.select(
+        "host", "n_urls", "max_depth",
+        F.round(F.col("n_query").cast("double") / F.col("n_urls"), 4)
+        .alias("query_frac"),
+        "max_seg_repeat",
+        (
+            (F.col("max_depth") > depth_limit)
+            | (qd * F.col("n_query") > qn * F.col("n_urls"))
+            | (F.col("max_seg_repeat") > repeat_seg_limit)
+        ).alias("trap"),
+    )
