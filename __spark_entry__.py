@@ -1234,6 +1234,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e10b_bpe_tokens"] = lambda s, sf: textstats.bpe_token_count(_docs(s, sf))
 
+    def t_mixture(s, sf):
+        d = _docs(s, sf)
+        fx = d.select("doc_id", "source").join(
+            textstats.token_count(d), "doc_id"
+        )
+        return sampling.mixture_weights(fx, budget_tokens=1_000_000)
+
+    q["t_mixture_weights"] = t_mixture
+
+    q["t_seq_packing"] = lambda s, sf: sampling.pack_sequences(
+        textstats.token_count(_docs(s, sf)), ctx_len=2048
+    )
+
     q["t_gopher_quality"] = lambda s, sf: textstats.gopher_quality(
         _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
     )
@@ -2542,6 +2555,37 @@ SELECT k.doc_id,
  (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS keep,
  md5(array_to_string(kept, chr(10))) AS clean_hash
 FROM kx k JOIN pg USING (doc_id)
+"""
+
+    o["t_mixture_weights"] = f"""
+WITH tk AS (SELECT doc_id, source,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+per AS (SELECT source AS domain, CAST(sum(n_tokens) AS BIGINT) AS nat_tokens
+        FROM tk GROUP BY source),
+tot AS (SELECT CAST(sum(nat_tokens) AS DOUBLE) AS tot_tokens FROM per),
+j AS (SELECT domain, nat_tokens, tot_tokens,
+      pow(nat_tokens / tot_tokens, 0.5) AS pw FROM per, tot),
+s AS (SELECT sum(pw) AS wsum FROM j)
+SELECT domain, nat_tokens,
+ round(nat_tokens / tot_tokens, 4) AS nat_share,
+ round(pw / wsum, 4) AS target_share,
+ CAST(round(pw / wsum * 1000000.0) AS BIGINT) AS token_quota,
+ round(least(1.0, CAST(round(pw / wsum * 1000000.0) AS BIGINT)
+             / CAST(nat_tokens AS DOUBLE)), 4) AS sample_rate
+FROM j, s
+"""
+
+    o["t_seq_packing"] = f"""
+WITH tk AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
+c AS (SELECT doc_id, n,
+  CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+ FROM tk)
+SELECT doc_id, n AS n_tokens, off AS token_offset,
+ CAST(off // 2048 AS BIGINT) AS start_window,
+ CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS end_window,
+ (off // 2048) <> ((off + greatest(n, 1) - 1) // 2048) AS crosses_boundary
+FROM c
 """
 
     _bpe = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+|[ \t\n]+"

@@ -51,3 +51,46 @@ def test_stratified_topn_exact_quota(spark):
     want_en = sorted((i for i in range(90) if i % 3),
                      key=lambda i: (_keyhash(i), i))[:4]
     assert sorted(by_lang["en"]) == sorted(want_en)
+
+
+# ---------------------------------------------------------------------------
+# mixture planning + sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_weights_temperature_rebalance(spark):
+    # head domain 9x the tail's tokens; alpha=1/2 compresses the gap:
+    # sqrt(0.9)/ (sqrt(0.9)+sqrt(0.1)) ~= 0.75 vs natural 0.9
+    rows = [("head", 900), ("tail", 100)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {r["domain"]: r.asDict()
+           for r in sampling.mixture_weights(df, budget_tokens=1000).collect()}
+    assert out["head"]["nat_share"] == 0.9
+    assert out["head"]["target_share"] == 0.75
+    assert out["tail"]["target_share"] == 0.25
+    # quotas follow the target shares against the budget
+    assert out["head"]["token_quota"] == 750
+    assert out["tail"]["token_quota"] == 250
+    # the tail is upsampled ABOVE its natural rate; head capped below
+    assert out["tail"]["sample_rate"] == 1.0  # 250 > 100 available -> cap
+    assert out["head"]["sample_rate"] == round(750 / 900, 4)
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    # ctx 10: doc0 (4 tok, win 0), doc1 (5, win 0), doc2 (3, crosses
+    # 0->1), doc3 (0-token doc occupies no space but pins to its offset),
+    # doc4 (12, spans windows 1->2)
+    rows = [(0, 4), (1, 5), (2, 3), (3, 0), (4, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r.asDict()
+           for r in sampling.pack_sequences(df, ctx_len=10).collect()}
+    assert out[0]["token_offset"] == 0 and out[0]["start_window"] == 0
+    assert out[0]["crosses_boundary"] is False
+    assert out[1]["token_offset"] == 4 and out[1]["end_window"] == 0
+    assert out[2]["token_offset"] == 9
+    assert out[2]["start_window"] == 0 and out[2]["end_window"] == 1
+    assert out[2]["crosses_boundary"] is True
+    assert out[3]["token_offset"] == 12 and out[3]["start_window"] == 1
+    assert out[3]["end_window"] == 1  # empty doc: greatest(n,1) keeps it sane
+    assert out[4]["token_offset"] == 12
+    assert out[4]["start_window"] == 1 and out[4]["end_window"] == 2

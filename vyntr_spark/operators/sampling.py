@@ -59,3 +59,85 @@ def stratified_topn(df: DataFrame, strata_col: str, n: int,
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def mixture_weights(df: DataFrame, domain_col: str = "source",
+                    token_col: str = "n_tokens",
+                    alpha_num: int = 1, alpha_den: int = 2,
+                    budget_tokens: int = 1_000_000) -> DataFrame:
+    """Training-mixture planning (the public temperature-sampling rule
+    used by multilingual/multi-domain LMs — Conneau & Lample 2019
+    eq. (3); DoReMi's static baseline): reweight each domain's natural
+    share ``p_d`` to ``p_d^alpha / sum(p^alpha)`` with
+    ``alpha = alpha_num/alpha_den`` (default 1/2 — upsample the tail,
+    downsample the head), then turn the target share into a per-domain
+    sampling RATE against a token budget.
+
+    Emits per domain: natural tokens and share, target share, the
+    token quota ``round(budget * target_share)``, and
+    ``sample_rate = min(1, quota / natural_tokens)`` (4dp) — the number
+    a deterministic hash-sampler (:func:`sample_deterministic`) can
+    consume directly.
+
+    One hash aggregation over domains; the domain table is tiny at any
+    corpus size, so the final normalization is a broadcast-size
+    cross-agg, not a shuffle of the corpus.
+    """
+    alpha = alpha_num / alpha_den
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(token_col).cast("long").alias("nat_tokens")
+    )
+    tot = per.agg(F.sum("nat_tokens").alias("t")).select(
+        F.col("t").cast("double").alias("tot_tokens")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pw = F.pow(F.col("nat_tokens") / F.col("tot_tokens"), F.lit(alpha))
+    # sum of p^alpha via a window over the (tiny) domain table
+    wsum = F.sum(pw).over(Window.partitionBy())
+    share = pw / wsum
+    quota = F.round(share * F.lit(float(budget_tokens))).cast("long")
+    return j.select(
+        "domain",
+        "nat_tokens",
+        F.round(F.col("nat_tokens") / F.col("tot_tokens"), 4)
+        .alias("nat_share"),
+        F.round(share, 4).alias("target_share"),
+        quota.alias("token_quota"),
+        F.round(
+            F.least(F.lit(1.0), quota.cast("double") / F.col("nat_tokens")), 4
+        ).alias("sample_rate"),
+    )
+
+
+def pack_sequences(df: DataFrame, ctx_len: int = 2048,
+                   token_col: str = "n_tokens",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Sequential sequence-packing plan (the public concat-and-chunk
+    recipe from GPT/T5 pretraining): lay documents end-to-end in
+    ``id_col`` order and cut context windows of ``ctx_len`` tokens.
+    Emits per document: the running token offset, the window id the
+    document STARTS in (``floor(offset / ctx_len)``), the window it
+    ends in, and whether it crosses a boundary (gets split across
+    training sequences).
+
+    One window over a single global ordering — at corpus scale this is
+    the one intentionally serial pass (prefix sums need a total
+    order); run it per-shard (partitionBy on a shard key) when exact
+    global concatenation order doesn't matter. Integer math
+    end-to-end, so the oracle matches exactly.
+    """
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    n = F.col(token_col).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        offset.alias("token_offset"),
+        F.floor(offset / ctx_len).cast("long").alias("start_window"),
+        F.floor((offset + F.greatest(n, F.lit(1)) - 1) / ctx_len)
+        .cast("long").alias("end_window"),
+        (
+            F.floor(offset / ctx_len)
+            != F.floor((offset + F.greatest(n, F.lit(1)) - 1) / ctx_len)
+        ).alias("crosses_boundary"),
+    )
