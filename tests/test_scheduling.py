@@ -99,3 +99,19 @@ def test_trap_score_signals(spark):
     assert out["loop.ex"]["trap"] is True
     assert out["loop.ex"]["max_seg_repeat"] == 4
     assert out["ok.ex"]["trap"] is False and out["ok.ex"]["query_frac"] == 0.0
+
+
+def test_parse_sitemap_junk_fields_dont_raise(spark):
+    xml = (
+        "<urlset><url><loc>https://a.example/ok</loc>"
+        "<lastmod>not-a-date</lastmod><priority>high</priority></url>"
+        "<url><loc>https://a.example/one</loc>"
+        "<priority>1</priority></url></urlset>"
+    )
+    df = spark.createDataFrame([("a.example", xml)],
+                               "host string, sitemap_xml string")
+    rows = {r["url"]: r.asDict()
+            for r in scheduling.parse_sitemap(df).collect()}
+    junk = rows["https://a.example/ok"]
+    assert junk["lastmod"] is None and junk["priority"] == 0.5
+    assert rows["https://a.example/one"]["priority"] == 1.0

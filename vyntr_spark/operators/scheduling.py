@@ -53,9 +53,14 @@ def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml",
         ex.select(
             "host",
             loc.alias("url"),
-            F.when(lastmod != "", F.to_date(lastmod)).alias("lastmod"),
+            # try_* forms: a junk <lastmod>/<priority> in a real sitemap
+            # yields null/default instead of an ANSI cast error
+            F.when(lastmod != "", F.try_to_date(lastmod)).alias("lastmod"),
             F.round(
-                F.when(prio != "", prio.cast("double")).otherwise(F.lit(0.5)),
+                F.coalesce(
+                    F.when(prio != "", prio.try_cast("double")),
+                    F.lit(0.5),
+                ),
                 4,
             ).alias("priority"),
         )
@@ -141,6 +146,10 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     Every round ``localCheckpoint``s the mapping — iterative plans
     otherwise grow exponentially and hang Catalyst (see
     operators/graph.py, same rule).
+
+    Precondition: ``edges`` is a FUNCTION (one dst per src — HTTP gives
+    one Location per URL); duplicate srcs would make the walk, and
+    therefore the output, ambiguous.
     """
     # mapping: src -> (cur, hops, done)
     m = edges.select(
