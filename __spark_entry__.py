@@ -518,6 +518,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c10b_robots_rules"] = c10b
 
+    def c28(s, sf):
+        # full robots policy dimension: Sitemap lines are
+        # group-independent (both collect, file order); Crawl-delay is
+        # the applicable group's ('*' here — the vyntr group's delay
+        # must NOT leak in); an unparsable delay yields null
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators.robots import robots_meta
+
+        d = F.col("doc_id")
+        fx = _docs(s, sf).filter(d < 120).select(
+            F.format_string("host%d.example", d).alias("host"),
+            F.concat(
+                F.format_string(
+                    "Sitemap: https://host%d.example/sm%d.xml\n"
+                    "User-agent: *\nDisallow: /a%d\n",
+                    d, d % 3, d % 10,
+                ),
+                F.when(d % 5 == 0, F.lit("Crawl-delay: soon\n"))
+                .otherwise(F.format_string("Crawl-delay: %d\n", d % 7 + 1)),
+                F.format_string(
+                    "\nUser-agent: vyntr\nDisallow: /v%d\nCrawl-delay: 1\n"
+                    "Sitemap: https://host%d.example/extra.xml\n",
+                    d, d,
+                ),
+            ).alias("robots_txt"),
+        )
+        return robots_meta(fx).select(
+            "host",
+            F.concat_ws("|", "disallow_prefixes").alias("prefixes"),
+            "crawl_delay",
+            F.concat_ws("|", "sitemaps").alias("sitemaps"),
+        )
+
+    q["c28_robots_meta"] = c28
+
     # rolling-hash document fingerprints (winnowing, SIGMOD'03): the
     # local-similarity key of the training-data dedup family
     q["t_winnow_fp"] = lambda s, sf: textstats.winnow_fingerprints(
@@ -1758,6 +1793,18 @@ FROM w WHERE len(fps) > 0
         "printf('/a%d|/b%d', doc_id % 10, doc_id % 7) AS prefixes "
         "FROM documents WHERE doc_id < 50"
     )
+    # expected values computed arithmetically from the fixture recipe —
+    # an independent re-derivation, not a SQL re-implementation of the
+    # parser
+    o["c28_robots_meta"] = """
+SELECT printf('host%d.example', doc_id) AS host,
+  printf('/a%d', doc_id % 10) AS prefixes,
+  CASE WHEN doc_id % 5 = 0 THEN NULL
+       ELSE CAST(doc_id % 7 + 1 AS DOUBLE) END AS crawl_delay,
+  printf('https://host%d.example/sm%d.xml|https://host%d.example/extra.xml',
+         doc_id, doc_id % 3, doc_id) AS sitemaps
+FROM documents WHERE doc_id < 120
+"""
 
     # index-served P8 must be byte-identical to the ad-hoc form
     o["p8b_bm25_from_index"] = o["p8_bm25_topk"]

@@ -66,3 +66,97 @@ def test_rules_df_feeds_crawl_gate(spark, tmp_path):
     store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7,
                                robots=robots_dict)
     _assert_parity(store, infos, orc, rows)
+
+
+def test_meta_kernel_sitemaps_and_delay():
+    from vyntr_spark.operators.robots import parse_robots_meta
+
+    txt = (
+        "Sitemap: https://h.ex/a.xml\n"
+        "User-agent: *\nDisallow: /p\nCrawl-delay: 10\n\n"
+        "User-agent: vyntr\nDisallow: /v\nCrawl-delay: 2\n"
+        "Sitemap: https://h.ex/b.xml\n"
+    )
+    dis, delay, sm = parse_robots_meta(txt, "*")
+    assert dis == ["/p"] and delay == 10.0
+    # sitemaps collect file-wide regardless of agent, in file order
+    assert sm == ["https://h.ex/a.xml", "https://h.ex/b.xml"]
+    dis_v, delay_v, sm_v = parse_robots_meta(txt, "vyntr")
+    assert dis_v == ["/v"] and delay_v == 2.0 and sm_v == sm
+
+
+def test_meta_kernel_edge_cases():
+    from vyntr_spark.operators.robots import parse_robots, parse_robots_meta
+
+    # invalid / negative delays are ignored; first valid in a group wins;
+    # multiple applicable groups merge to the min (politest)
+    txt = (
+        "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -3\n"
+        "Crawl-delay: 7\nCrawl-delay: 1\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 4\n"
+    )
+    dis, delay, sm = parse_robots_meta(txt, "*")
+    assert dis == ["/x"] and delay == 4.0 and sm == []
+    assert parse_robots_meta(None) == ([], None, [])
+    assert parse_robots_meta("Sitemap: https://h.ex/s.xml") == (
+        [], None, ["https://h.ex/s.xml"])
+    # a Sitemap line between User-agent lines must not split the run
+    run = ("User-agent: a\nSitemap: https://h.ex/s.xml\nUser-agent: b\n"
+           "Disallow: /q\n")
+    assert parse_robots(run, "a") == ["/q"]
+    assert parse_robots(run, "b") == ["/q"]
+
+
+def test_robots_meta_df(spark):
+    from vyntr_spark.operators.robots import robots_meta
+
+    bodies = spark.createDataFrame(
+        [("h0.ex", "Sitemap: https://h0.ex/s.xml\nUser-agent: *\n"
+                   "Disallow: /a\nCrawl-delay: 3\n"),
+         ("h1.ex", None)],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r for r in robots_meta(bodies).collect()}
+    assert list(got["h0.ex"]["disallow_prefixes"]) == ["/a"]
+    assert got["h0.ex"]["crawl_delay"] == 3.0
+    assert list(got["h0.ex"]["sitemaps"]) == ["https://h0.ex/s.xml"]
+    assert got["h1.ex"]["crawl_delay"] is None
+    assert list(got["h1.ex"]["sitemaps"]) == []
+
+
+def test_caps_from_delay_and_politeness_override(spark):
+    """Crawl-delay -> per-host caps -> politeness_select honors them
+    exactly (per-host FIFO prefix), including through the salted phase."""
+    from pyspark.sql import functions as F
+    from vyntr_spark.operators.politeness import (
+        caps_from_delay, politeness_select)
+    from vyntr_spark.operators.robots import robots_meta
+
+    bodies = spark.createDataFrame(
+        [("slow.ex", "User-agent: *\nCrawl-delay: 30\n"),   # cap 2
+         ("glacial.ex", "User-agent: *\nCrawl-delay: 600\n"),  # cap 1 (min)
+         ("greedy.ex", "User-agent: *\nCrawl-delay: 0.01\n"),  # clamped to 5
+         ("plain.ex", "User-agent: *\nDisallow: /x\n")],    # default
+        "host string, robots_txt string",
+    )
+    caps = caps_from_delay(robots_meta(bodies), batch_seconds=60.0,
+                           default_cap=5)
+    got = {r["host"]: r["cap"] for r in caps.collect()}
+    # only exceptions ship (greedy clamps back to the default and drops)
+    assert got == {"slow.ex": 2, "glacial.ex": 1}
+
+    rows = [(h, f"https://{h}/p{i:02d}", 0)
+            for h in ["slow.ex", "glacial.ex", "greedy.ex", "plain.ex"]
+            for i in range(9)]
+    frontier = spark.createDataFrame(rows, "host string, url string, round int")
+    sel = politeness_select(frontier, cap=5, salt_buckets=4, host_caps=caps)
+    per_host = {r["host"]: sorted(r["urls"]) for r in
+                sel.groupBy("host").agg(
+                    F.collect_list("url").alias("urls")).collect()}
+    assert len(per_host["slow.ex"]) == 2
+    assert len(per_host["glacial.ex"]) == 1
+    assert len(per_host["greedy.ex"]) == 5
+    assert len(per_host["plain.ex"]) == 5
+    # FIFO prefix per host, not an arbitrary subset
+    assert per_host["slow.ex"] == ["https://slow.ex/p00",
+                                   "https://slow.ex/p01"]

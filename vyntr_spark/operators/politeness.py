@@ -53,26 +53,85 @@ def politeness_select(
     frontier: DataFrame,
     cap: int = MAX_PER_DOMAIN,
     salt_buckets: int = 32,
+    host_caps: DataFrame | None = None,
 ) -> DataFrame:
     """Select ≤cap URLs per host in (round, url) order.
+
+    ``host_caps`` (host, cap) optionally overrides the cap per host —
+    the Crawl-delay integration point (see caps_from_delay). Hosts
+    absent from it keep the default ``cap``. It is a host-dimension
+    table (≤ one row per host), broadcast onto the frontier; both
+    ranking phases compare against the per-host cap column, so the
+    phase-1-subset-of-phase-2 containment argument holds per host with
+    its own cap.
 
     Returns the frontier columns of the selected rows.
     """
     cols = frontier.columns
+    capped = frontier.withColumn("_cap", F.lit(cap))
+    if host_caps is not None:
+        hc = F.broadcast(
+            host_caps.select(
+                F.col("host").alias("_hc_host"),
+                F.col("cap").cast("int").alias("_hc_cap"),
+            )
+        )
+        capped = (
+            frontier.join(hc, frontier["host"] == hc["_hc_host"], "left")
+            .withColumn("_cap", F.coalesce("_hc_cap", F.lit(cap)))
+            .drop("_hc_host", "_hc_cap")
+        )
     # phase 1: partial top-cap per salted host group (kills hot-host skew)
-    salted = frontier.withColumn(
+    salted = capped.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
     )
     w1 = Window.partitionBy("host", "_salt").orderBy("round", "url")
     survivors = (
         salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= cap)
+        .filter(F.col("_r1") <= F.col("_cap"))
         .drop("_r1", "_salt")
     )
     # phase 2: exact top-cap per host over ≤ cap·salt_buckets survivors
     w2 = Window.partitionBy("host").orderBy("round", "url")
     return (
         survivors.withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= cap)
+        .filter(F.col("_r2") <= F.col("_cap"))
         .select(*cols)
+    )
+
+
+def caps_from_delay(
+    robots: DataFrame,
+    batch_seconds: float = 60.0,
+    default_cap: int = MAX_PER_DOMAIN,
+    max_cap: int | None = None,
+) -> DataFrame:
+    """(host, cap) from a robots_meta table's Crawl-delay column.
+
+    A host declaring Crawl-delay=d seconds admits at most
+    floor(batch_seconds / d) fetches per ``batch_seconds``-long round
+    (min 1 — a delay longer than the round still crawls, one page per
+    round, matching how Bing treats large delays). Hosts with no delay
+    get ``default_cap``; ``max_cap`` (default ``default_cap``) bounds
+    hosts declaring tiny delays so a 'Crawl-delay: 0.01' can't void
+    politeness. Output is a host-dimension table for
+    politeness_select(host_caps=...); rows equal to the default are
+    dropped so the broadcast ships only the exceptions.
+    """
+    if max_cap is None:
+        max_cap = default_cap
+    cap = F.when(
+        F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+        F.greatest(
+            F.lit(1),
+            F.least(
+                F.lit(max_cap),
+                F.floor(F.lit(float(batch_seconds)) / F.col("crawl_delay"))
+                .cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(default_cap))
+    return (
+        robots.select("host", cap.alias("cap"))
+        .filter(F.col("cap") != default_cap)
     )

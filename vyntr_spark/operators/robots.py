@@ -11,8 +11,13 @@ here follow the RFC 9309 group model, reduced to what the gate consumes:
 * the applicable group is the one naming the crawler agent (exact,
   case-insensitive token match), else the ``*`` group;
 * ``Disallow`` values collect as path prefixes; an EMPTY Disallow means
-  allow-all (contributes nothing); ``Allow``/``Crawl-delay``/unknown
-  keys are ignored (the gate is prefix-block only — documented subset).
+  allow-all (contributes nothing); ``Allow``/unknown keys are ignored
+  (the gate is prefix-block only — documented subset);
+* ``Crawl-delay`` is per-group (the de-facto Bing/Yandex extension): the
+  applicable group's first valid value wins; invalid values are ignored;
+* ``Sitemap`` is group-INDEPENDENT (RFC 9309 §2.3 treats unknown
+  records file-wide; sitemaps.org specifies it outside any group), so
+  every Sitemap line collects regardless of agent, in file order.
 
 Spark shape: hosts fan out through an Arrow-batched pandas UDF (one
 Python call per batch of robots bodies), producing the broadcastable
@@ -27,15 +32,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
+# group = (agents, disallow prefixes, crawl_delay | None)
+_Group = tuple[list[str], list[str], "float | None"]
 
-def parse_robots(text: str | None, agent: str = "*") -> list[str]:
-    """Disallow prefixes applicable to ``agent`` (pure kernel)."""
-    if not text:
-        return []
-    agent = agent.lower()
-    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+
+def _parse_groups(text: str) -> tuple[list[_Group], list[str]]:
+    """RFC 9309 group split + file-wide Sitemap lines (pure kernel)."""
+    groups: list[_Group] = []
+    sitemaps: list[str] = []
     cur_agents: list[str] = []
     cur_rules: list[str] = []
+    cur_delay: float | None = None
     in_agent_run = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -44,23 +51,66 @@ def parse_robots(text: str | None, agent: str = "*") -> list[str]:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
+        if key == "sitemap":
+            # group-independent; keep scheme://... intact (the ':' split
+            # above only took the FIRST colon)
+            if val:
+                sitemaps.append(val)
+            continue
         if key == "user-agent":
             if not in_agent_run and cur_agents:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
             cur_agents.append(val.lower())
             in_agent_run = True
         else:
             in_agent_run = False
-            if key == "disallow" and cur_agents and val:
+            if not cur_agents:
+                continue
+            if key == "disallow" and val:
                 cur_rules.append(val)
+            elif key == "crawl-delay" and cur_delay is None:
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    cur_delay = d
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_rules, cur_delay))
+    return groups, sitemaps
 
-    exact = [r for agents, rules in groups if agent in agents for r in rules]
-    if any(agent in agents for agents, _ in groups):
-        return exact
-    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+def _applicable(groups: list[_Group], agent: str) -> list[_Group]:
+    exact = [g for g in groups if agent in g[0]]
+    return exact if exact else [g for g in groups if "*" in g[0]]
+
+
+def parse_robots(text: str | None, agent: str = "*") -> list[str]:
+    """Disallow prefixes applicable to ``agent`` (pure kernel)."""
+    if not text:
+        return []
+    groups, _ = _parse_groups(text)
+    return [r for _, rules, _ in _applicable(groups, agent.lower())
+            for r in rules]
+
+
+def parse_robots_meta(
+    text: str | None, agent: str = "*",
+) -> tuple[list[str], float | None, list[str]]:
+    """(disallow_prefixes, crawl_delay, sitemaps) for ``agent``.
+
+    crawl_delay is the applicable group set's minimum declared value
+    (a multi-group file with several delays for the same agent is rare;
+    min is the conservative — politest — merge).
+    """
+    if not text:
+        return [], None, []
+    groups, sitemaps = _parse_groups(text)
+    app = _applicable(groups, agent.lower())
+    disallows = [r for _, rules, _ in app for r in rules]
+    delays = [d for _, _, d in app if d is not None]
+    return disallows, (min(delays) if delays else None), sitemaps
 
 
 def robots_rules(df: DataFrame, agent: str = "*",
@@ -78,3 +128,32 @@ def robots_rules(df: DataFrame, agent: str = "*",
         F.col(host_col).alias("host"),
         parse(F.col(text_col)).alias("disallow_prefixes"),
     )
+
+
+_META_SCHEMA = T.StructType([
+    T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+    T.StructField("crawl_delay", T.DoubleType()),
+    T.StructField("sitemaps", T.ArrayType(T.StringType())),
+])
+
+
+def robots_meta(df: DataFrame, agent: str = "*",
+                host_col: str = "host",
+                text_col: str = "robots_txt") -> DataFrame:
+    """(host, disallow_prefixes, crawl_delay, sitemaps) — the full
+    per-host crawl-policy dimension. ``sitemaps`` feeds
+    scheduling.parse_sitemap (frontier seeding); ``crawl_delay`` feeds
+    politeness.caps_from_delay (per-host batch caps). Same Arrow-batched
+    scan shape as robots_rules."""
+
+    @pandas_udf(_META_SCHEMA)
+    def parse(texts: pd.Series) -> pd.DataFrame:
+        rows = [parse_robots_meta(t, agent) for t in texts]
+        return pd.DataFrame(
+            rows, columns=["disallow_prefixes", "crawl_delay", "sitemaps"],
+        )
+
+    return df.select(
+        F.col(host_col).alias("host"),
+        parse(F.col(text_col)).alias("_m"),
+    ).select("host", "_m.disallow_prefixes", "_m.crawl_delay", "_m.sitemaps")
