@@ -1331,6 +1331,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g2_neardup_components"] = g2
 
+    def g3(s, sf):
+        # anchor-text aggregation over a deterministic link fixture:
+        # 3 out-links per doc; anchors exercise normalization (tabs,
+        # case), null/blank drops, frequency ties, and the
+        # all-anchors-empty -> null top_anchor path
+        d = F.col("doc_id")
+        j = F.col("j")
+        links = (
+            _docs(s, sf)
+            .select(
+                "doc_id",
+                F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+            )
+            .select(
+                F.format_string("https://host%d.example/p%d", d % 40, d)
+                .alias("src_url"),
+                F.format_string("https://host%d.example/t%d",
+                                (d + j) % 25, (d * 3 + j) % 97)
+                .alias("dst_url"),
+                F.when(j == 0, F.lit("  Click\tHere "))
+                .when(
+                    j == 1,
+                    F.when(d % 4 == 0, F.lit(None).cast("string"))
+                    .when(d % 4 == 1, F.lit(" "))
+                    .otherwise(F.lit("click here")),
+                )
+                .otherwise(F.format_string("t%d", (d * 3 + j) % 97))
+                .alias("anchor"),
+            )
+        )
+        return graph.anchor_text_agg(links, approx_hosts=False)
+
+    q["g3_anchor_text"] = g3
+
     # ---- decontamination + deterministic sampling + domain gate ---------
     def t_decon(s, sf):
         d = _docs(s, sf)
@@ -2775,6 +2809,42 @@ reach(node, r) AS (
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
 FROM reach GROUP BY node
+"""
+
+    # anchor aggregation over the same arithmetic link fixture; top pick
+    # = highest count, ties to the lexicographically smallest anchor
+    o["g3_anchor_text"] = r"""
+WITH l AS (
+  SELECT printf('host%d.example', doc_id % 40) AS src_host,
+         printf('host%d.example', (doc_id + j) % 25) AS dst_host,
+         printf('https://host%d.example/t%d',
+                (doc_id + j) % 25, (doc_id * 3 + j) % 97) AS dst_url,
+         CASE WHEN j = 0 THEN '  Click' || chr(9) || 'Here '
+              WHEN j = 1 THEN CASE WHEN doc_id % 4 = 0 THEN NULL
+                                   WHEN doc_id % 4 = 1 THEN ' '
+                                   ELSE 'click here' END
+              ELSE printf('t%d', (doc_id * 3 + j) % 97) END AS anchor
+  FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+),
+counts AS (
+  SELECT dst_url, count(*) AS n_links,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+         CAST(sum(CASE WHEN src_host <> dst_host THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_offhost
+  FROM l GROUP BY dst_url
+),
+na AS (SELECT dst_url,
+       trim(regexp_replace(lower(coalesce(anchor, '')), '\s+', ' ', 'g'))
+       AS a FROM l),
+ac AS (SELECT dst_url, a, count(*) AS cnt FROM na
+       WHERE a <> '' GROUP BY dst_url, a),
+top AS (SELECT dst_url, a AS top_anchor, cnt,
+        row_number() OVER (PARTITION BY dst_url ORDER BY cnt DESC, a)
+        AS rn FROM ac)
+SELECT c.dst_url, c.n_links, c.n_src_hosts, c.n_offhost, t.top_anchor,
+       CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_anchor_cnt
+FROM counts c LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+USING (dst_url)
 """
 
     # ---- decontamination: benchmark = docs with doc_id % 41 = 0; a doc is

@@ -126,3 +126,37 @@ def test_frontier_priority_broadcast_join(spark):
     assert got == {"a.com": 0.5, "b.com": 0.2, "c.com": 0.0}
     # the rank side must broadcast (host-level table << frontier)
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_anchor_text_agg_known_answer(spark):
+    """Normalization, frequency + lexicographic tie-break, empty/null
+    anchor handling, off-host counting — against a hand-computed set."""
+    rows = [
+        # t1: two 'click here' variants (normalize to same), one 'about'
+        ("https://a.com/1", "https://t.com/t1", "  Click\tHERE "),
+        ("https://b.com/1", "https://t.com/t1", "click here"),
+        ("https://b.com/2", "https://t.com/t1", "about"),
+        # t2: tie 1-1 between 'beta' and 'alpha' -> alpha wins
+        ("https://a.com/3", "https://t.com/t2", "beta"),
+        ("https://c.com/1", "https://t.com/t2", "alpha"),
+        # t3: only empty/null anchors -> null top_anchor, cnt 0
+        ("https://a.com/4", "https://t.com/t3", "   "),
+        ("https://t.com/x", "https://t.com/t3", None),  # on-host link
+    ]
+    links = spark.createDataFrame(
+        rows, "src_url string, dst_url string, anchor string")
+    got = {r["dst_url"]: r.asDict()
+           for r in graph.anchor_text_agg(links, approx_hosts=False)
+           .collect()}
+    t1 = got["https://t.com/t1"]
+    assert (t1["n_links"], t1["n_src_hosts"], t1["n_offhost"]) == (3, 2, 3)
+    assert (t1["top_anchor"], t1["top_anchor_cnt"]) == ("click here", 2)
+    t2 = got["https://t.com/t2"]
+    assert (t2["top_anchor"], t2["top_anchor_cnt"]) == ("alpha", 1)
+    t3 = got["https://t.com/t3"]
+    assert t3["top_anchor"] is None and t3["top_anchor_cnt"] == 0
+    assert (t3["n_links"], t3["n_offhost"]) == (2, 1)  # t.com/x is on-host
+    # aggregate-only plan: a hot dst must never hit a single-task window
+    plan = graph.anchor_text_agg(links)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
