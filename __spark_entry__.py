@@ -1282,6 +1282,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textstats.token_count(_docs(s, sf)), ctx_len=2048
     )
 
+    # deterministic output sharding: 32-shard manifest (doc counts,
+    # char weights, write-order bounds) — checks every doc's hash-shard
+    # assignment through the aggregates
+    q["t_shard_plan"] = lambda s, sf: sampling.shard_manifest(
+        sampling.shard_plan(
+            _docs(s, sf).select(
+                "doc_id",
+                F.length(F.coalesce("text", F.lit(""))).alias("n_chars"),
+            ),
+            n_shards=32,
+        ),
+        weight_col="n_chars",
+    )
+
     q["t_gopher_quality"] = lambda s, sf: textstats.gopher_quality(
         _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
     )
@@ -2667,6 +2681,17 @@ SELECT doc_id, n AS n_tokens, off AS token_offset,
  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS end_window,
  (off // 2048) <> ((off + greatest(n, 1) - 1) // 2048) AS crosses_boundary
 FROM c
+"""
+
+    o["t_shard_plan"] = """
+WITH p AS (SELECT doc_id, length(coalesce(text, '')) AS w,
+  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+  AS h
+ FROM documents)
+SELECT CAST(h % 32 AS INT) AS shard, count(*) AS n_docs,
+ CAST(sum(w) AS BIGINT) AS total_weight,
+ min(h) AS min_key, max(h) AS max_key
+FROM p GROUP BY 1
 """
 
     _bpe = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n]+|[ \t\n]+"

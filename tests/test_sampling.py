@@ -94,3 +94,37 @@ def test_pack_sequences_offsets_and_boundaries(spark):
     assert out[3]["end_window"] == 1  # empty doc: greatest(n,1) keeps it sane
     assert out[4]["token_offset"] == 12
     assert out[4]["start_window"] == 1 and out[4]["end_window"] == 2
+
+
+def test_shard_plan_deterministic_and_shuffle_free(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    plan = sampling.shard_plan(df, n_shards=8)
+    a = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in plan.collect()}
+    b = {r["doc_id"]: (r["shard"], r["sort_key"])
+         for r in sampling.shard_plan(df.repartition(7), n_shards=8)
+         .collect()}
+    assert a == b                      # partitioning-invariant
+    assert all(0 <= s < 8 for s, _ in a.values())
+    assert len({s for s, _ in a.values()}) == 8  # every shard populated
+    # salt re-deals the corpus without touching the data
+    salted = {r["doc_id"]: r["shard"] for r in
+              sampling.shard_plan(df, n_shards=8, salt="ep1").collect()}
+    assert salted != {k: s for k, (s, _) in a.items()}
+    exec_plan = (sampling.shard_plan(df, 8)
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in exec_plan  # rides the scan
+
+
+def test_shard_manifest_totals(spark):
+    df = spark.createDataFrame([(i, 10 + i % 3) for i in range(200)],
+                               "doc_id long, n_tokens int")
+    plan = sampling.shard_plan(df, n_shards=4)
+    man = sampling.shard_manifest(plan, weight_col="n_tokens").collect()
+    assert sum(r["n_docs"] for r in man) == 200
+    assert sum(r["total_weight"] for r in man) == sum(
+        10 + i % 3 for i in range(200))
+    per_shard = {r["shard"]: r for r in man}
+    rows = {r["doc_id"]: r for r in plan.collect()}
+    for s, m in per_shard.items():
+        keys = [r["sort_key"] for r in rows.values() if r["shard"] == s]
+        assert (m["min_key"], m["max_key"]) == (min(keys), max(keys))

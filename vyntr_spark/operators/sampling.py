@@ -141,3 +141,53 @@ def pack_sequences(df: DataFrame, ctx_len: int = 2048,
             != F.floor((offset + F.greatest(n, F.lit(1)) - 1) / ctx_len)
         ).alias("crosses_boundary"),
     )
+
+
+def shard_plan(df: DataFrame, n_shards: int = 1024,
+               key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic output-shard assignment for training data: adds
+    ``shard`` = 60-bit md5 prefix of (salt:)key mod ``n_shards`` and
+    ``sort_key`` = that hash — the within-shard write order. Hash order
+    is a deterministic global shuffle, so every shard is an unbiased
+    sample of the corpus (no domain/time clumping inside a shard —
+    the property sequence packing and data loaders rely on), and the
+    same corpus always produces byte-identical shards on any engine,
+    partitioning, or run. ``salt`` re-deals the corpus (epoch reshuffle)
+    without touching the data.
+
+    Zero shuffle — both columns ride the scan. A writer realizes the
+    plan with ``repartition(n_shards, 'shard')`` +
+    ``sortWithinPartitions('sort_key')`` — the single shuffle of the
+    output stage (Spark's hash partitioner on the shard column sends
+    each shard to exactly one writer task).
+    """
+    if salt:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"),
+                               F.col(key_col).cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+    else:
+        h = _key_hash(key_col)
+    return df.withColumn("sort_key", h).withColumn(
+        "shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_manifest(plan: DataFrame,
+                   weight_col: str | None = None) -> DataFrame:
+    """Per-shard manifest over a shard_plan frame: doc count, total
+    ``weight_col`` (tokens/bytes) if given, and the min/max sort_key —
+    the shard's write-order bounds, which double as a cheap integrity
+    check of a written shard (first/last record). One hash aggregation
+    on ``shard`` with full map-side combine."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("sort_key").alias("min_key"),
+        F.max("sort_key").alias("max_key"),
+    ]
+    if weight_col is not None:
+        aggs.insert(1, F.sum(F.col(weight_col).cast("long"))
+                    .alias("total_weight"))
+    return plan.groupBy("shard").agg(*aggs)
