@@ -1304,6 +1304,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
     )
 
+    # cross-doc duplicated-substring mass: inject full-copy docs
+    # (doc_id % 31) and a shared boilerplate tail (doc_id % 7) so the
+    # pass is non-vacuous at every SF
+    def t_dupspans(s, sf):
+        d = F.col("doc_id")
+        fx = _docs(s, sf).select(
+            "doc_id",
+            F.when(d % 31 == 0, F.lit(_DUP_FIXED))
+            .when(d % 7 == 0,
+                  F.concat(F.coalesce("text", F.lit("")), F.lit(_DUP_TAIL)))
+            .otherwise(F.coalesce("text", F.lit(""))).alias("text"),
+        )
+        return textstats.dup_spans(fx, k=5)
+
+    q["t_dup_spans"] = t_dupspans
+
     # ---- link-graph ops: PageRank frontier priority + near-dup
     # connected components (alternating large-star/small-star) ------------
     def g1(s, sf):
@@ -1515,6 +1531,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# t_dup_spans fixture constants (shared by the Spark query and the
+# oracle): a fixed full-copy body and a boilerplate tail
+_DUP_FIXED = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+_DUP_TAIL = (
+    " common boilerplate footer navigation copyright terms "
+    "privacy contact"
+)
 
 _CLEAN = (
     "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
@@ -2777,6 +2804,39 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
  coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE kept), '')
    AS dedup_text
 FROM fl GROUP BY doc_id
+"""
+
+    # duplicated-substring mass over the same injected fixture; gram
+    # hash = the 60-bit md5-prefix int used engine-side
+    o["t_dup_spans"] = f"""
+WITH fx AS (SELECT doc_id,
+  CASE WHEN doc_id % 31 = 0 THEN '{_DUP_FIXED}'
+       WHEN doc_id % 7 = 0 THEN coalesce(text, '') || '{_DUP_TAIL}'
+       ELSE coalesce(text, '') END AS text
+ FROM documents),
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM fx),
+inst AS (SELECT doc_id,
+  unnest([concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                    toks[i+4])
+          for i in range(1, greatest(len(toks) - 4, 0) + 1)]) AS gram
+ FROM tk),
+pg AS (SELECT doc_id,
+       CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh,
+       count(*) AS c
+ FROM inst GROUP BY 1, 2),
+gd AS (SELECT gh, count(*) AS nd FROM pg GROUP BY gh),
+roll AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(CASE WHEN nd >= 2 THEN c END), 0) AS BIGINT)
+         AS n_dup_grams
+ FROM pg JOIN gd USING (gh) GROUP BY doc_id)
+SELECT t.doc_id,
+ CAST(coalesce(r.n_grams, 0) AS BIGINT) AS n_grams,
+ CAST(coalesce(r.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+ round(CASE WHEN coalesce(r.n_grams, 0) > 0
+            THEN r.n_dup_grams / r.n_grams ELSE 0.0 END, 4) AS dup_frac,
+ (coalesce(r.n_grams, 0) > 0
+  AND r.n_dup_grams / r.n_grams >= 0.5) AS dup_flag
+FROM tk t LEFT JOIN roll r USING (doc_id)
 """
 
     # PageRank: unrolled power iteration, identical recurrence to

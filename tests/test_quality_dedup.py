@@ -324,3 +324,27 @@ def test_bpe_token_count_pieces(spark):
     assert out[3] == (0, 0)
     # x / ... / y / , / " z"
     assert out[4] == (5, 5)
+
+
+def test_dup_spans_hand_computed(spark):
+    """Cross-doc duplicated grams count; within-doc repetition does not;
+    short docs get zero grams and never flag."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),       # grams: abc bcd cde def
+         (2, "a b c d x y"),       # grams: abc bcd cdx dxy -> 2/4 shared
+         (3, "z z z z z z z z"),   # 6x "z z z", all within-doc only
+         (4, "q w")],              # shorter than k
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in textstats.dup_spans(docs, k=3, flag_frac=0.5).collect()}
+    assert (out[1]["n_grams"], out[1]["n_dup_grams"]) == (4, 2)
+    assert out[1]["dup_frac"] == 0.5 and out[1]["dup_flag"] is True
+    assert (out[2]["n_grams"], out[2]["n_dup_grams"]) == (4, 2)
+    assert (out[3]["n_grams"], out[3]["n_dup_grams"]) == (6, 0)
+    assert out[3]["dup_flag"] is False
+    assert (out[4]["n_grams"], out[4]["dup_frac"],
+            out[4]["dup_flag"]) == (0, 0.0, False)
+    # aggregate/join-only plan — no windows, no cross joins
+    plan = (textstats.dup_spans(docs, k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan and "CartesianProduct" not in plan

@@ -943,3 +943,71 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(0),
         ).cast("long").alias("n_tokens"),
     )
+
+
+def dup_spans(df: DataFrame, k: int = 8, text_col: str = "text",
+              flag_frac: float = 0.5) -> DataFrame:
+    """Cross-document duplicated-substring mass (the metric behind exact
+    substring deduplication — Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22, which builds a suffix array
+    to find ≥50-token repeats; a distributed engine gets the same
+    signal from word k-gram doc frequency: a position is inside a
+    duplicated span iff its k-gram occurs in at least one OTHER
+    document).
+
+    Per doc: ``n_grams`` (token k-gram positions), ``n_dup_grams``
+    (positions whose gram also appears in another doc), ``dup_frac``
+    (4dp), ``dup_flag`` (dup_frac ≥ ``flag_frac`` — candidates for
+    dropping or span-trimming). Docs shorter than ``k`` tokens have
+    zero grams and never flag. Within-doc repetition is deliberately
+    NOT counted (that is gopher_repetition's job) — a gram repeated 10×
+    in one doc only counts when some other doc has it too.
+
+    Plan: grams reduce to 60-bit md5-prefix ints immediately (no string
+    shuffles); per-(doc, gram) counts first (map-side combine eats
+    boilerplate repeats), then gram doc-frequency is a count over that
+    table (rows are per-doc distinct already — no expensive
+    count_distinct), then one equi-join on the gram hash and a final
+    per-doc rollup. Two hash aggs + one shuffle join + one hash agg —
+    no windows, no broadcasts of unbounded tables, no driver
+    materialization. At 100 TB the (doc, gram) table is ~tokens-sized;
+    bump ``k`` to shrink it (longer grams → fewer, rarer matches) and
+    bucket both sides of the join on ``gh`` to co-locate.
+    """
+    toks = _token_array(F.col(text_col))
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k),
+                                                    " "))
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    inst = (
+        df.select("doc_id", F.explode_outer(grams).alias("gram"))
+        .select("doc_id", F.when(F.col("gram").isNotNull(), gh).alias("gh"))
+    )
+    per_doc_gram = inst.groupBy("doc_id", "gh").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gram_df = per_doc_gram.filter(F.col("gh").isNotNull()).groupBy("gh").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    joined = per_doc_gram.join(gram_df, "gh", "left")
+    n_grams = F.sum(F.when(F.col("gh").isNotNull(), F.col("c"))
+                    .otherwise(F.lit(0)))
+    n_dup = F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0)))
+    return joined.groupBy("doc_id").agg(
+        n_grams.cast("long").alias("n_grams"),
+        n_dup.cast("long").alias("n_dup_grams"),
+    ).select(
+        "doc_id", "n_grams", "n_dup_grams",
+        F.round(
+            F.when(F.col("n_grams") > 0,
+                   F.col("n_dup_grams") / F.col("n_grams"))
+            .otherwise(F.lit(0.0)), 4
+        ).alias("dup_frac"),
+        (
+            (F.col("n_grams") > 0)
+            & (F.col("n_dup_grams") / F.col("n_grams") >= flag_frac)
+        ).alias("dup_flag"),
+    )
