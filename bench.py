@@ -328,7 +328,7 @@ def main() -> None:
         "d1_clean_regex", "p5_postings", "p8_bm25_topk", "t_minhash_lsh_pairs",
         "t_simhash", "e9_cosine_topk", "e6_vector_mean",
         "c6_politeness_window", "h1_pricing_summary", "t_langid",
-        "t_c4_filters",
+        "t_c4_filters", "t_dup_spans", "g3_anchor_text",
     ]
     for name in heavy:
         if want(name):
