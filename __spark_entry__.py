@@ -1344,6 +1344,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g1_pagerank"] = g1
 
+    def g4(s, sf):
+        # HITS over the SAME generated edge set as g1 (three affine
+        # generators, src%11==5 rows dropped)
+        d = _docs(s, sf).select("doc_id")
+        n = d.count()
+        parts = [
+            d.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * m + o) % n).alias("dst"),
+            )
+            for m, o in _PR_EDGE_GENS
+        ]
+        edges = (
+            parts[0].unionByName(parts[1]).unionByName(parts[2])
+            .filter((F.col("src") % 11 != 5) & (F.col("src") != F.col("dst")))
+        )
+        hz = graph.hits(edges, n_iter=5)
+        return hz.select(
+            F.col("node").cast("long").alias("node"),
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+
+    q["g4_hits"] = g4
+
     def g2(s, sf):
         d = _docs(s, sf)
         pairs = textstats.minhash_lsh_pairs(d, n_hashes=8, bands=4)
@@ -2875,6 +2900,51 @@ FROM tk t LEFT JOIN roll r USING (doc_id)
         " SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM pr5"
     )
     o["g1_pagerank"] = pr_sql
+
+    # HITS: unrolled half-steps with L1 normalization, identical
+    # recurrence to operators/graph.py:hits over the g1 edge set
+    hits_sql = (
+        "WITH e0 AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id * {m} + {off}) % "
+            "(SELECT count(*) FROM documents) AS dst FROM documents"
+            for m, off in _PR_EDGE_GENS
+        )
+        + "), e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 "
+        "WHERE src % 11 <> 5 AND src <> dst), "
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "nc AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "h0 AS (SELECT node, CAST(1 AS DOUBLE)/(SELECT n FROM nc) AS hub "
+        "FROM nodes)"
+    )
+    # every score CTE is referenced 2-3 times downstream; without
+    # MATERIALIZED DuckDB inlines the chain and the scan count grows
+    # 2^iterations (observed: 'Too many open files' on the parquet)
+    for i in range(5):
+        hits_sql += (
+            f", ar{i} AS (SELECT e.dst AS node, sum(h.hub) AS s "
+            f"FROM e JOIN h{i} h ON h.node = e.src GROUP BY e.dst)"
+            f", au{i} AS MATERIALIZED (SELECT n.node, coalesce(s, 0) AS a "
+            f"FROM nodes n LEFT JOIN ar{i} USING (node))"
+            f", at{i} AS (SELECT CASE WHEN coalesce(sum(a), 0) = 0 THEN 1 "
+            f"ELSE sum(a) END AS t FROM au{i})"
+            f", a{i + 1} AS MATERIALIZED "
+            f"(SELECT node, a/(SELECT t FROM at{i}) AS auth FROM au{i})"
+            f", hr{i} AS (SELECT e.src AS node, sum(x.auth) AS s "
+            f"FROM e JOIN a{i + 1} x ON x.node = e.dst GROUP BY e.src)"
+            f", hu{i} AS MATERIALIZED (SELECT n.node, coalesce(s, 0) AS h "
+            f"FROM nodes n LEFT JOIN hr{i} USING (node))"
+            f", ht{i} AS (SELECT CASE WHEN coalesce(sum(h), 0) = 0 THEN 1 "
+            f"ELSE sum(h) END AS t FROM hu{i})"
+            f", h{i + 1} AS MATERIALIZED "
+            f"(SELECT node, h/(SELECT t FROM ht{i}) AS hub FROM hu{i})"
+        )
+    hits_sql += (
+        " SELECT CAST(h5.node AS BIGINT) AS node, round(h5.hub, 6) AS hub, "
+        "round(a5.auth, 6) AS auth FROM h5 JOIN a5 ON a5.node = h5.node"
+    )
+    o["g4_hits"] = hits_sql
 
     # connected components = transitive closure (recursive CTE) over the
     # same edge set: MinHash/LSH near-dup pairs UNION 5-chain edges

@@ -160,3 +160,43 @@ def test_anchor_text_agg_known_answer(spark):
     plan = graph.anchor_text_agg(links)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
+
+
+def _hits_oracle(edges, n_iter=5):
+    e = sorted({(s, t) for s, t in edges if s != t})
+    nodes = sorted({u for p in e for u in p})
+    hub = {v: 1.0 / len(nodes) for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(n_iter):
+        auth = {v: 0.0 for v in nodes}
+        for s, t in e:
+            auth[t] += hub[s]
+        tot = sum(auth.values()) or 1.0
+        auth = {v: a / tot for v, a in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for s, t in e:
+            hub[s] += auth[t]
+        tot = sum(hub.values()) or 1.0
+        hub = {v: h / tot for v, h in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_dense_oracle(spark):
+    edges = [(0, 1), (0, 2), (0, 3), (4, 1), (4, 2), (5, 2),
+             (1, 6), (2, 6), (3, 0), (7, 7), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in graph.hits(df, n_iter=5).collect()}
+    hub, auth = _hits_oracle(edges, n_iter=5)
+    assert set(got) == set(hub)
+    for v in hub:
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-9)
+    # L1-normalized on both axes
+    assert sum(h for h, _ in got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(a for _, a in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_empty_graph(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert graph.hits(e).count() == 0

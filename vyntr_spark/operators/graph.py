@@ -229,6 +229,84 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM'99) by power iteration; returns
+    (node, hub, auth), each score vector L1-normalized (sum = 1).
+
+    Per iteration:  auth'(v) = Σ_{u→v} hub(u), normalized;
+                    hub'(u)  = Σ_{u→v} auth'(v), normalized.
+    L1 instead of the classic L2 norm: no sqrt, so the SQL oracle
+    unrolls the identical recurrence in plain double math, and rankings
+    are unaffected (normalization is a positive scalar). Fixed
+    iteration count keeps it cross-engine reproducible.
+
+    Scale shape mirrors :func:`pagerank`: each half-step is one
+    hash-partitioned join + aggregation on the edge list; the two-row
+    normalization constant is a scalar aggregate; scores are
+    localCheckpoint'ed EVERY iteration (each is referenced by the next
+    half-step and the norm — the same exponential-lineage rule as the
+    star rounds, see module docstring)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    hubs = nodes.select("node", F.lit(1.0 / n).alias("hub")).persist()
+    hubs.count()
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        a_un = nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left").select(
+            "node", F.coalesce("s", F.lit(0.0)).alias("a")
+        ).localCheckpoint(eager=True)
+        a_tot = a_un.agg(F.sum("a")).first()[0] or 1.0
+        new_auths = a_un.select(
+            "node", (F.col("a") / F.lit(a_tot)).alias("auth")
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(new_auths, e["dst"] == new_auths["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        h_un = nodes.join(h_raw, nodes["node"] == h_raw["src"], "left").select(
+            "node", F.coalesce("s", F.lit(0.0)).alias("h")
+        ).localCheckpoint(eager=True)
+        h_tot = h_un.agg(F.sum("h")).first()[0] or 1.0
+        new_hubs = h_un.select(
+            "node", (F.col("h") / F.lit(h_tot)).alias("hub")
+        ).localCheckpoint(eager=True)
+        hubs.unpersist()
+        hubs = new_hubs
+        auths = new_auths
+    out = hubs.join(auths, "node")
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def frontier_priority(
     frontier: DataFrame,
     ranks: DataFrame,
