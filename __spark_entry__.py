@@ -1269,6 +1269,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e10b_bpe_tokens"] = lambda s, sf: textstats.bpe_token_count(_docs(s, sf))
 
+    def t_bpe(s, sf):
+        # corpus-wide round-0 BPE pair counts (the first step of
+        # tokenizer training); total order (cnt desc, left, right) makes
+        # the top-100 cut deterministic on both engines
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators import bpe
+
+        return (
+            bpe.char_pair_counts(_docs(s, sf))
+            .orderBy(F.col("cnt").desc(), "left", "right")
+            .limit(100)
+        )
+
+    q["t_bpe_pairs"] = t_bpe
+
     def t_mixture(s, sf):
         d = _docs(s, sf)
         fx = d.select("doc_id", "source").join(
@@ -2754,6 +2769,22 @@ SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
  CAST(len(list_filter(pieces, x -> NOT regexp_matches(x, '^[ \t\n]+$')))
       AS BIGINT) AS n_tokens
 FROM p
+"""
+
+    # round-0 BPE pair counts over the word histogram (same pretokenizer)
+    o["t_bpe_pairs"] = f"""
+WITH w AS (SELECT
+  unnest(list_filter(regexp_extract_all(coalesce(text, ''), '{_bpe}'),
+         x -> NOT regexp_matches(x, '^[ \t\n]+$'))) AS word
+ FROM documents),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word),
+ix AS (SELECT word, c, unnest(range(1, length(word))) AS i FROM wc),
+pc AS (SELECT substr(word, CAST(i AS INT), 1) AS "left",
+              substr(word, CAST(i AS INT) + 1, 1) AS "right",
+              CAST(sum(c) AS BIGINT) AS cnt
+       FROM ix GROUP BY 1, 2)
+SELECT "left", "right", cnt FROM pc
+ORDER BY cnt DESC, "left", "right" LIMIT 100
 """
 
     o["t_ccnet_buckets"] = f"""

@@ -1,0 +1,87 @@
+"""Distributed BPE training vs an exact pure-Python reference
+(histogram-based Sennrich et al. trainer with the same tie-break:
+highest pair count, then lexicographically smallest pair)."""
+
+import re
+
+from vyntr_spark.operators import bpe
+from vyntr_spark.operators.textstats import BPE_SPLIT_PATTERN
+
+
+def _ref_histogram(texts):
+    hist = {}
+    for t in texts:
+        for w in re.findall(BPE_SPLIT_PATTERN, t or ""):
+            if re.fullmatch(r"[ \t\n]+", w):
+                continue
+            hist[w] = hist.get(w, 0) + 1
+    return hist
+
+
+def _ref_train(texts, n_merges):
+    words = {tuple(w): c for w, c in _ref_histogram(texts).items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((l, r, cnt))
+        new = {}
+        for sym, c in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        words = new
+    return merges
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the catalog, the cathode",
+    "a cattle cart carted carts",
+    "low lower lowest newest newest",
+    None,
+    "",
+]
+
+
+def test_char_pair_counts_hand_checked(spark):
+    docs = spark.createDataFrame([(0, "aa ab aa")], "doc_id long, text string")
+    got = {(r["left"], r["right"]): r["cnt"]
+           for r in bpe.char_pair_counts(docs).collect()}
+    # words: 'aa', ' ab', ' aa' (leading-space pieces are DISTINCT symbols)
+    assert got[("a", "a")] == 2      # 'aa', ' aa'
+    assert got[(" ", "a")] == 2      # ' ab', ' aa'
+    assert got[("a", "b")] == 1
+
+
+def test_bpe_train_matches_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    got = bpe.bpe_train(docs, n_merges=25)
+    want = _ref_train(CORPUS, 25)
+    assert got == want
+    assert len(got) >= 10            # non-vacuous: real merges learned
+    # overlapping-run semantics: leftmost-first, non-overlapping
+    tricky = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    got2 = bpe.bpe_train(tricky, n_merges=3)
+    assert got2 == _ref_train(["aaa aaa"], 3)
+
+
+def test_bpe_train_stops_when_dry(spark):
+    docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    # every pair occurs once -> nothing to merge
+    assert bpe.bpe_train(docs, n_merges=5) == []
