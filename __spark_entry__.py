@@ -1259,6 +1259,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h19_disjunctive_parts"] = h19
 
+    # TPC-H Q7 shape: bidirectional nation-pair volume (two broadcast
+    # nation role-joins + year rollup)
+    def h7(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        c = s.read.parquet(f"{sf}/customer.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        n = s.read.parquet(f"{sf}/nation.parquet")
+        n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                      F.col("n_name").alias("supp_nation"))
+        n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                      F.col("n_name").alias("cust_nation"))
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(
+                (
+                    (F.col("supp_nation") == "NATION_1")
+                    & (F.col("cust_nation") == "NATION_2")
+                )
+                | (
+                    (F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1")
+                )
+            )
+            .filter(F.col("l_shipdate").between("1996-01-01",
+                                                "1997-12-31 23:59:59"))
+        )
+        # exact integer cents per row (floor(x*100+0.5) is identical
+        # IEEE math on both engines — unlike round(), whose Java
+        # shortest-decimal BigDecimal path can differ from DuckDB's by a
+        # cent) summed exactly, so the 2dp surface is order-independent
+        return j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        ).agg(
+            F.round(
+                F.sum(F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + 0.5
+                ).cast("long")) / 100.0, 2
+            ).alias("revenue")
+        )
+
+    q["h7_volume_shipping"] = h7
+
+    # TPC-H Q8 shape: national market share (conditional-sum ratio per
+    # year over a 6-table join)
+    def h8(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        c = s.read.parquet(f"{sf}/customer.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        p = s.read.parquet(f"{sf}/part.parquet")
+        n = s.read.parquet(f"{sf}/nation.parquet")
+        r = s.read.parquet(f"{sf}/region.parquet")
+        nc = n.select(F.col("n_nationkey").alias("c_nk"),
+                      F.col("n_regionkey").alias("c_rk"))
+        ns = n.select(F.col("n_nationkey").alias("s_nk"),
+                      F.col("n_name").alias("nation"))
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = (
+            li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                    li["l_partkey"] == p["p_partkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+            .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                  F.col("c_rk") == F.col("r_regionkey"))
+            .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+            .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+            .filter(F.col("o_orderdate").between("1996-01-01",
+                                                 "1997-12-31 23:59:59"))
+        )
+        return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol)
+                      .otherwise(F.lit(0.0))) / F.sum(vol), 4
+            ).alias("mkt_share")
+        )
+
+    q["h8_market_share"] = h8
+
+    # TPC-H Q9 shape (adapted: no partsupp table in the testdata, so
+    # profit = discounted revenue): per-nation per-year profit on parts
+    # whose name contains 'gear'
+    def h9(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        p = s.read.parquet(f"{sf}/part.parquet")
+        n = s.read.parquet(f"{sf}/nation.parquet")
+        j = (
+            li.join(F.broadcast(p.filter(F.col("p_name").contains("gear"))),
+                    li["l_partkey"] == p["p_partkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+            .join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+        )
+        # exact integer cents: see h7
+        return j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        ).agg(
+            F.round(
+                F.sum(F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + 0.5
+                ).cast("long")) / 100.0, 2
+            ).alias("sum_profit")
+        )
+
+    q["h9_product_profit"] = h9
+
+    # TPC-H Q15 shape: top supplier by windowed revenue (agg + scalar
+    # max + equality join back)
+    def h15(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        rev = (
+            li.filter(F.col("l_shipdate").between("1996-01-01",
+                                                  "1996-03-31 23:59:59"))
+            .groupBy("l_suppkey")
+            .agg(F.round(
+                F.sum(F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + 0.5
+                ).cast("long")) / 100.0, 2
+            ).alias("total_revenue"))
+        )
+        mx = rev.agg(F.max("total_revenue").alias("mx"))
+        return (
+            rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"])
+            .join(F.broadcast(su), rev["l_suppkey"] == su["s_suppkey"])
+            .select("s_suppkey", "s_name", "total_revenue")
+        )
+
+    q["h15_top_supplier"] = h15
+
+    # TPC-H Q17 shape: small-quantity revenue with a per-part correlated
+    # average (decorrelated to an agg-join)
+    def h17(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        p = s.read.parquet(f"{sf}/part.parquet")
+        thr = li.groupBy(F.col("l_partkey").alias("t_pk")).agg(
+            (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+        )
+        j = (
+            li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+                    li["l_partkey"] == p["p_partkey"])
+            .join(thr, li["l_partkey"] == F.col("t_pk"))
+            .filter(F.col("l_quantity") < F.col("thr"))
+        )
+        return j.agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+
+    q["h17_small_qty"] = h17
+
+    # TPC-H Q22 shape (adapted: acctbal threshold + no-RECENT-orders
+    # anti-join — every testdata customer has some order, so 'idle'
+    # means none since 2000 — grouped by market segment instead of
+    # phone prefix)
+    def h22(s, sf):
+        c = s.read.parquet(f"{sf}/customer.parquet")
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
+        avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+            F.avg("c_acctbal").alias("ab")
+        )
+        rich = c.join(F.broadcast(avg_bal),
+                      c["c_acctbal"] > F.col("ab"))
+        idle = rich.join(recent, rich["c_custkey"] == recent["o_custkey"],
+                         "left_anti")
+        return idle.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+
+    q["h22_idle_customers"] = h22
+
     # ---- line-level quality + paragraph dedup (Gopher / RefinedWeb-style
     # training-data filters over the line-structured fixture) -------------
     q["t_c4_filters"] = lambda s, sf: textstats.c4_line_filters(
@@ -2563,6 +2748,82 @@ FROM ag
         "AND l_quantity BETWEEN 10 AND 30) "
         "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
         "AND l_quantity BETWEEN 20 AND 40)"
+    )
+
+    o["h7_volume_shipping"] = (
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        "round(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59' "
+        "GROUP BY 1, 2, 3"
+    )
+
+    o["h8_market_share"] = (
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "round(sum(CASE WHEN ns.n_name = 'NATION_3' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation nc ON c_nationkey = nc.n_nationkey "
+        "JOIN region ON nc.n_regionkey = r_regionkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ns ON s_nationkey = ns.n_nationkey "
+        "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59' "
+        "GROUP BY 1"
+    )
+
+    o["h9_product_profit"] = (
+        "SELECT n_name AS nation, "
+        "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "round(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_profit "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE contains(p_name, 'gear') GROUP BY 1, 2"
+    )
+
+    o["h15_top_supplier"] = (
+        "WITH rev AS (SELECT l_suppkey, "
+        "round(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate <= TIMESTAMP '1996-03-31 23:59:59' "
+        "GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue FROM rev "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"
+    )
+
+    o["h17_small_qty"] = (
+        "WITH thr AS (SELECT l_partkey AS t_pk, "
+        "0.2 * avg(l_quantity) AS thr FROM lineitem GROUP BY l_partkey) "
+        "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN thr ON l_partkey = t_pk "
+        "WHERE p_brand = 'Brand#1' AND l_quantity < thr"
+    )
+
+    o["h22_idle_customers"] = (
+        "WITH ab AS (SELECT avg(c_acctbal) AS ab FROM customer "
+        "WHERE c_acctbal > 0) "
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust, "
+        "round(sum(c_acctbal), 2) AS totacctbal "
+        "FROM customer, ab WHERE c_acctbal > ab "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY c_mktsegment"
     )
 
     o["w9_math_eval"] = (
