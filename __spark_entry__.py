@@ -265,6 +265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "preview"
     )
 
+    # query-aware result snippet around the earliest BM25-term hit
+    q["p2b_snippet"] = lambda s, sf: pulse.snippet(
+        _docs(s, sf), BM25_QUERY, width=120
+    ).select("doc_id", "matched_term", "hit_pos", "snippet")
+
     q["p3_lang_default"] = lambda s, sf: pulse.lang_default(
         _docs(s, sf).withColumn(
             "lang", F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("lang"))
@@ -1882,6 +1887,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CASE WHEN length(trim(text)) <= 500 THEN trim(text) "
         "ELSE substr(trim(text), 1, 500) || '...' END AS preview FROM documents"
     )
+
+    # earliest-hit snippet: struct list_sort = the same (pos, term)
+    # lexicographic tie-break as the Spark array_min
+    o["p2b_snippet"] = """
+WITH b AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+hp AS (SELECT doc_id, t, list_filter([
+   {'pos': strpos(lower(t), 'data'), 'term': 'data'},
+   {'pos': strpos(lower(t), 'spark'), 'term': 'spark'},
+   {'pos': strpos(lower(t), 'window'), 'term': 'window'}
+  ], h -> h.pos > 0) AS hits FROM b),
+sel AS (SELECT doc_id, t, list_sort(hits)[1] AS best FROM hp),
+f AS (SELECT doc_id, t, best.term AS matched_term,
+      CAST(coalesce(best.pos, 0) AS INT) AS hit_pos,
+      greatest(1, coalesce(best.pos, 0) - 30) AS st FROM sel)
+SELECT doc_id, matched_term, hit_pos,
+ (CASE WHEN st > 1 THEN '…' ELSE '' END) || substr(t, CAST(st AS INT), 120)
+ || (CASE WHEN st + 120 <= length(t) THEN '…' ELSE '' END) AS snippet
+FROM f
+"""
 
     o["p3_lang_default"] = (
         "SELECT doc_id, coalesce(nullif(CASE WHEN doc_id % 5 = 0 THEN '' "

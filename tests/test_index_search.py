@@ -157,3 +157,34 @@ def test_bucketed_index_prunes_and_matches(spark, docs, tmp_path):
         for r in one.select(F.input_file_name()).distinct().collect()
     }
     assert fs == {pulse.term_bucket("spark", 8)}
+
+
+def test_snippet_hit_window_and_tiebreak(spark):
+    from vyntr_spark.operators.pulse import snippet
+
+    long_tail = "x" * 300
+    rows = [
+        (1, "alpha beta SPARK gamma " + long_tail),  # case-insensitive hit
+        (2, "data here and spark there"),            # data at 1 wins
+        (3, "nothing relevant at all " + long_tail), # no hit -> preview
+        (4, None),                                   # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in snippet(df, ["spark", "data"], width=40).collect()}
+    r1 = out[1]
+    assert r1["matched_term"] == "spark" and r1["hit_pos"] == 12
+    assert r1["snippet"].startswith("…") and r1["snippet"].endswith("…")
+    assert "SPARK" in r1["snippet"]
+    r2 = out[2]
+    assert r2["matched_term"] == "data" and r2["hit_pos"] == 1
+    assert not r2["snippet"].startswith("…")   # window starts at text head
+    assert not r2["snippet"].endswith("…")     # short text, no tail cut
+    r3 = out[3]
+    assert r3["matched_term"] is None and r3["hit_pos"] == 0
+    assert r3["snippet"] == "nothing relevant at all " + "x" * 16 + "…"
+    assert out[4]["snippet"] == "" and out[4]["hit_pos"] == 0
+    # query-constant plan: no shuffle, no UDF
+    plan = (snippet(df, ["spark"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan

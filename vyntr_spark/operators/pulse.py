@@ -518,3 +518,55 @@ def search_index(index: BM25Index, query: str, k: int = 10,
         index.postings, index.docstats, index.stats, score_terms,
         k=k, id_col=id_col, restrict=restrict,
     )
+
+
+def snippet(df: DataFrame, terms: list[str], width: int = 120,
+            text_col: str = "text") -> DataFrame:
+    """Result-snippet generation (the P9 result projection's missing
+    half — every search page shows a context window around the first
+    query-term hit, e.g. website/src/routes/search's result preview
+    consumes pulse's stored preview; this computes it query-aware).
+
+    Adds, per row:
+      * ``matched_term`` — the term with the EARLIEST case-insensitive
+        occurrence (position ties break to the lexicographically
+        smallest term); null when no term occurs;
+      * ``hit_pos`` — its 1-based char position (0 when no hit);
+      * ``snippet`` — a ``width``-char window starting ``width // 4``
+        chars before the hit (clamped to the text start), with ``…``
+        marking truncation on either side; rows with no hit fall back
+        to the leading ``width`` chars (preview semantics).
+
+    Zero shuffle, native exprs only — the term list is a query-time
+    constant folded into codegen, so this rides whatever scan or join
+    produced the results. Char (not byte) semantics, like P2.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(t)
+    hits = F.filter(
+        F.array(*[
+            F.struct(
+                F.locate(term.lower(), low).alias("pos"),
+                F.lit(term).alias("term"),
+            )
+            for term in sorted(terms)
+        ]),
+        lambda h: h["pos"] > 0,
+    )
+    best = F.array_min(hits)  # struct order: (pos, term) — the tie-break
+    pos = F.coalesce(best["pos"], F.lit(0))
+    start = F.greatest(F.lit(1), pos - F.lit(width // 4))
+    raw = t.substr(start, F.lit(width))
+    return (
+        df.withColumn("matched_term", best["term"])
+        .withColumn("hit_pos", pos)
+        .withColumn(
+            "snippet",
+            F.concat(
+                F.when(start > 1, F.lit("…")).otherwise(F.lit("")),
+                raw,
+                F.when(start + width <= F.length(t), F.lit("…"))
+                .otherwise(F.lit("")),
+            ),
+        )
+    )
