@@ -1006,6 +1006,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c27_trap_hosts"] = c27
 
+    def c29(s, sf):
+        from vyntr_spark.operators import scheduling
+
+        # CDX capture dedup over a deterministic revisit fixture: every
+        # doc yields 2 captures (j=0,1) of the same content at different
+        # times -> the group keeps the j=1 capture with n_captures=2
+        d = _docs(s, sf)
+        caps = d.select(
+            "doc_id", "text",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+        ).select(
+            F.format_string(
+                "https://host%d.example/p%d",
+                F.col("doc_id") % 40, F.col("doc_id") % 97,
+            ).alias("url"),
+            F.md5(F.coalesce("text", F.lit(""))).alias("digest"),
+            (F.lit(1700000000) + F.col("doc_id") * 31 + F.col("j") * 17)
+            .cast("long").alias("ts"),
+            (F.col("doc_id") * 2 + F.col("j")).cast("long").alias("cap_id"),
+        )
+        return scheduling.capture_dedup(caps, id_col="cap_id")
+
+    q["c29_capture_dedup"] = c29
+
     # ---- generic relational (TPC-H-ish over lineitem/orders) -----------------
     def h1(s, sf):
         li = s.read.parquet(f"{sf}/lineitem.parquet")
@@ -1231,6 +1255,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["h18_large_volume"] = h18
+
+    # TPC-H Q21 shape: suppliers who kept orders waiting — the sole LATE
+    # supplier on a multi-supplier finished order (semi-join for "another
+    # supplier exists", anti-join for "no OTHER late supplier"; late =
+    # the h4 convention, shipped > 60 days after the order date, since
+    # the synthetic lineitem has no commit/receipt dates)
+    def h21(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        o = s.read.parquet(f"{sf}/orders.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        na = s.read.parquet(f"{sf}/nation.parquet")
+        late = (
+            li.join(
+                o.filter(F.col("o_orderstatus") == "F"),
+                li["l_orderkey"] == o["o_orderkey"],
+            )
+            .filter(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            )
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+        )
+        alll = li.select("l_orderkey", "l_suppkey").distinct()
+        other = alll.select(
+            F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+        )
+        other_late = late.select(
+            F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+        )
+        w = late.join(
+            other,
+            (late["l_orderkey"] == F.col("ok2"))
+            & (late["l_suppkey"] != F.col("sk2")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        dim = su.join(
+            F.broadcast(na.filter(F.col("n_regionkey") == 0)),
+            su["s_nationkey"] == na["n_nationkey"],
+        ).select("s_suppkey", "s_name")
+        return (
+            w.join(F.broadcast(dim), w["l_suppkey"] == dim["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(100)
+        )
+
+    q["h21_waiting_suppliers"] = h21
 
     # TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
     # predicates across a broadcast dim join (tests OR-pushdown planning)
@@ -1501,6 +1579,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weight_col="n_chars",
     )
 
+    def t_e2e(s, sf):
+        """End-to-end training-data prep: quality gate -> exact dedup
+        (fingerprint keeper) -> temperature mixture rates -> deterministic
+        hash sample -> sequence packing -> output sharding. Every stage is
+        an already-oracled operator; this pins their COMPOSITION."""
+        d = _docs(s, sf)
+        qual = textstats.quality_score(d).select("doc_id", "quality")
+        fp = textstats.fingerprint(d)
+        can = fp.groupBy("fp").agg(F.min("doc_id").alias("m"))
+        keep = (
+            fp.join(can, "fp")
+            .filter(F.col("doc_id") == F.col("m"))
+            .select("doc_id")
+        )
+        tc = textstats.token_count(d)
+        base = (
+            d.select("doc_id", "source")
+            .join(qual, "doc_id")
+            .join(keep, "doc_id", "left_semi")
+            .join(tc, "doc_id")
+            .filter(F.col("quality") >= 0.5)
+            .select("doc_id", "source", "n_tokens")
+        )
+        rates = sampling.mixture_weights(
+            base, domain_col="source", token_col="n_tokens"
+        ).select(F.col("domain").alias("source"), "sample_rate")
+        samp = (
+            base.join(F.broadcast(rates), "source")
+            .filter(
+                sampling._key_hash("doc_id")
+                < F.col("sample_rate") * F.lit(float(16 ** 15))
+            )
+            .select("doc_id", "n_tokens")
+        )
+        pk = sampling.pack_sequences(samp, ctx_len=512)
+        sh = sampling.shard_plan(pk, n_shards=8)
+        return sh.select(
+            "doc_id", "n_tokens", "token_offset", "start_window",
+            "crosses_boundary", "shard", "sort_key",
+        )
+
+    q["t_train_prep_e2e"] = t_e2e
+
+
     q["t_gopher_quality"] = lambda s, sf: textstats.gopher_quality(
         _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
     )
@@ -1524,6 +1646,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.dup_spans(fx, k=5)
 
     q["t_dup_spans"] = t_dupspans
+
+    def t_dupremove(s, sf):
+        # removal stage over the SAME injected-duplicate fixture as
+        # t_dup_spans (k=5); non-owner holders lose the covered tokens
+        d = F.col("doc_id")
+        fx = _docs(s, sf).select(
+            "doc_id",
+            F.when(d % 31 == 0, F.lit(_DUP_FIXED))
+            .when(d % 7 == 0,
+                  F.concat(F.coalesce("text", F.lit("")), F.lit(_DUP_TAIL)))
+            .otherwise(F.coalesce("text", F.lit(""))).alias("text"),
+        )
+        return textstats.dedup_spans_remove(fx, k=5)
+
+    q["t_dup_remove"] = t_dupremove
 
     # ---- link-graph ops: PageRank frontier priority + near-dup
     # connected components (alternating large-star/small-star) ------------
@@ -1590,6 +1727,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["g2_neardup_components"] = g2
+
+    def g2b(s, sf):
+        # keep-list over the WHOLE corpus: same edge fixture as g2, but
+        # the output covers every document (docs in no cluster keep=1)
+        d = _docs(s, sf)
+        pairs = textstats.minhash_lsh_pairs(d, n_hashes=8, bands=4)
+        mx = d.agg(F.max("doc_id")).first()[0]
+        chain = d.filter(
+            (F.col("doc_id") % 5 != 4) & (F.col("doc_id") + 1 <= mx)
+        ).select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        edges = pairs.select("id_a", "id_b").unionByName(chain)
+        return graph.neardup_keep(d, edges)
+
+    q["g2b_dedup_keep"] = g2b
 
     def g3(s, sf):
         # anchor-text aggregation over a deterministic link fixture:
@@ -1694,6 +1847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_gopher_rep"] = lambda s, sf: textstats.gopher_repetition(_docs(s, sf))
 
+    q["t_hash_classifier"] = lambda s, sf: textstats.hashed_linear_score(
+        _docs(s, sf)
+    )
+
     # ---- embedding-store ops: int8 quantization + IVF coarse k-means ----
     q["t_quantize_int8"] = lambda s, sf: vectors.quantize_int8(_emb(s, sf))
 
@@ -1711,6 +1868,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["t_ann_kmeans"] = t_ann_km
+
+    # SemDeDup: k-means clusters -> within-cluster cosine -> keep-list
+    # (threshold 0.4 so the drop set is non-empty on the synthetic
+    # embeddings, same calibration as t_embed_neardup)
+    q["t_semdedup"] = lambda s, sf: vectors.semdedup(
+        _emb(s, sf), k=8, n_iter=2, threshold=0.4
+    )
 
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
@@ -2720,6 +2884,22 @@ SELECT host, n_urls, max_depth,
 FROM ag
 """
 
+
+    o["c29_capture_dedup"] = """
+WITH caps AS (SELECT
+  printf('https://host%d.example/p%d', doc_id % 40, doc_id % 97) AS url,
+  md5(coalesce(text, '')) AS digest,
+  CAST(1700000000 + doc_id * 31 + j * 17 AS BIGINT) AS ts,
+  CAST(doc_id * 2 + j AS BIGINT) AS cap_id
+ FROM documents, (SELECT unnest([0, 1]) AS j))
+SELECT url, digest, cap_id, ts, n_captures FROM (
+ SELECT url, digest, cap_id, ts,
+  CAST(count(*) OVER (PARTITION BY url, digest) AS BIGINT) AS n_captures,
+  row_number() OVER (PARTITION BY url, digest
+                     ORDER BY ts DESC, cap_id DESC) AS rn
+ FROM caps) WHERE rn = 1
+"""
+
     o["h10_returned_items"] = (
         "SELECT c_custkey, c_name, n_name, "
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
@@ -2760,6 +2940,24 @@ FROM ag
         "FROM big JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+    )
+
+    o["h21_waiting_suppliers"] = (
+        "WITH late AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderstatus = 'F' "
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY), "
+        "al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) "
+        "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey "
+        "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+        "WHERE n.n_regionkey = 0 "
+        "AND EXISTS (SELECT 1 FROM al l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM late l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey) "
+        "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100"
     )
 
     o["h19_disjunctive_parts"] = (
@@ -3022,6 +3220,47 @@ SELECT domain, nat_tokens,
 FROM j, s
 """
 
+    # composition of the quality/fingerprint/mixture/sample/pack/shard
+    # oracles — every stage reuses the exact expressions proven above
+    o["t_train_prep_e2e"] = f"""
+WITH qual AS (SELECT doc_id, quality FROM ({o["t_quality"]}) _q),
+fpx AS (SELECT * FROM ({o["t_fingerprint"]}) _f),
+keepers AS (SELECT f.doc_id FROM fpx f
+  JOIN (SELECT fp, min(doc_id) AS m FROM fpx GROUP BY fp) g
+    ON f.fp = g.fp AND f.doc_id = g.m),
+tk AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens, source
+       FROM documents),
+base AS (SELECT t.doc_id, t.source, t.n_tokens
+  FROM tk t JOIN qual USING (doc_id) JOIN keepers USING (doc_id)
+  WHERE qual.quality >= 0.5),
+per AS (SELECT source AS domain, CAST(sum(n_tokens) AS BIGINT) AS nat
+        FROM base GROUP BY source),
+tot AS (SELECT CAST(sum(nat) AS DOUBLE) AS t FROM per),
+jx AS (SELECT domain, nat, pow(nat / t, 0.5) AS pw FROM per, tot),
+sx AS (SELECT sum(pw) AS wsum FROM jx),
+rates AS (SELECT domain,
+  round(least(1.0, CAST(round(pw / wsum * 1000000.0) AS BIGINT)
+              / CAST(nat AS DOUBLE)), 4) AS rate FROM jx, sx),
+samp AS (SELECT b.doc_id, b.n_tokens FROM base b
+  JOIN rates r ON b.source = r.domain
+  WHERE CAST(concat('0x', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) < r.rate * 1152921504606846976.0),
+pk AS (SELECT doc_id, n_tokens,
+  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS token_offset FROM samp),
+shp AS (SELECT doc_id, n_tokens, token_offset,
+  CAST(floor(token_offset / 512.0) AS BIGINT) AS start_window,
+  floor(token_offset / 512.0)
+    <> floor((token_offset + greatest(n_tokens, 1) - 1) / 512.0)
+    AS crosses_boundary,
+  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+    AS sort_key FROM pk)
+SELECT doc_id, n_tokens, token_offset, start_window, crosses_boundary,
+  CAST(sort_key % 8 AS INTEGER) AS shard, sort_key
+FROM shp
+"""
+
     o["t_seq_packing"] = f"""
 WITH tk AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
 c AS (SELECT doc_id, n,
@@ -3180,6 +3419,46 @@ SELECT t.doc_id,
 FROM tk t LEFT JOIN roll r USING (doc_id)
 """
 
+    # removal stage: same fixture/tokenization; a position is covered iff
+    # some duplicated 5-gram (doc-frequency >= 2, this doc not the
+    # min-doc_id owner) starts within the last 5 positions
+    o["t_dup_remove"] = f"""
+WITH fx AS (SELECT doc_id,
+  CASE WHEN doc_id % 31 = 0 THEN '{_DUP_FIXED}'
+       WHEN doc_id % 7 = 0 THEN coalesce(text, '') || '{_DUP_TAIL}'
+       ELSE coalesce(text, '') END AS text
+ FROM documents),
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM fx),
+s0 AS (SELECT doc_id,
+  unnest([{{i: i, gram: concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3], toks[i+4])}}
+          for i in range(1, greatest(len(toks) - 4, 0) + 1)]) AS s
+ FROM tk),
+starts AS (SELECT doc_id, s.i AS i,
+  CAST(concat('0x', substr(md5(s.gram), 1, 15)) AS BIGINT) AS gh FROM s0),
+st AS (SELECT gh, count(*) AS nd, min(doc_id) AS owner
+ FROM (SELECT DISTINCT doc_id, gh FROM starts) GROUP BY gh),
+ds AS (SELECT s.doc_id, s.i FROM starts s JOIN st USING (gh)
+ WHERE st.nd >= 2 AND s.doc_id <> st.owner),
+cov AS (SELECT DISTINCT doc_id, i + j AS p FROM ds, range(5) r(j)),
+p0 AS (SELECT doc_id,
+  unnest([{{p: i, tok: toks[i]}} for i in range(1, len(toks) + 1)]) AS s
+ FROM tk),
+pos AS (SELECT doc_id, s.p AS p, s.tok AS tok FROM p0),
+kept AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+         ANTI JOIN cov USING (doc_id, p)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+        md5(string_agg(tok, ' ' ORDER BY p)) AS clean_hash
+ FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+  round(CASE WHEN len(t.toks) > 0
+             THEN coalesce(a.n_kept, 0) / len(t.toks) ELSE 1.0 END, 4)
+    AS kept_frac,
+  coalesce(a.clean_hash, md5('')) AS clean_hash
+FROM tk t LEFT JOIN agg a USING (doc_id)
+"""
+
     # PageRank: unrolled power iteration, identical recurrence to
     # operators/graph.py:pagerank (damping forced to DOUBLE so DuckDB
     # doesn't route the arithmetic through DECIMAL)
@@ -3280,6 +3559,17 @@ reach(node, r) AS (
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
 FROM reach GROUP BY node
+"""
+
+    # keep-list over the whole corpus: wrap the g2 component labeling,
+    # LEFT JOIN back onto documents, keeper = canonical (min-id) member
+    o["g2b_dedup_keep"] = f"""
+WITH comp AS (SELECT * FROM ({o["g2_neardup_components"]}) _g2)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(c.canonical_id, d.doc_id) AS BIGINT) AS canonical_id,
+  CASE WHEN coalesce(c.canonical_id, d.doc_id) = d.doc_id
+       THEN 1 ELSE 0 END AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
     # anchor aggregation over the same arithmetic link fixture; top pick
@@ -3533,6 +3823,25 @@ LEFT JOIN rolled r ON r.doc_id = d.doc_id
 
     # symmetric per-vector int8 quantization (qhash = md5 of the int
     # codes so the surface stays scalar — same trick as mm_decode_meta)
+
+    o["t_hash_classifier"] = f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+w AS (SELECT CAST(i AS INTEGER) AS fid,
+  (CAST(concat('0x', substr(md5('w' || CAST(i AS VARCHAR)), 1, 15))
+        AS BIGINT) % 2001) - 1000 AS wt_milli
+ FROM range(1024) r(i)),
+f AS (SELECT doc_id,
+  CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024
+       AS INTEGER) AS fid FROM tk),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(CAST(sum(wt_milli) AS DOUBLE) / (count(*) * 1000.0), 4) + 0.0
+    AS score
+ FROM f JOIN w USING (fid) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+  coalesce(a.score, 0.0) AS score, coalesce(a.score, 0.0) >= 0 AS label
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
     o["t_quantize_int8"] = """
 WITH m AS (SELECT vec_id, embedding,
   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
@@ -3604,6 +3913,31 @@ SELECT vec_id, round(
      * sqrt(sum(CAST(q.e[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
 FROM cand c, q, range(64) t(i)
 GROUP BY vec_id ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+    # SemDeDup keep-list: kmeans assignment (fin) -> within-cluster
+    # pairwise cosine (4dp-pinned, same as t_embed_neardup) -> drop any
+    # vec_id similar to a lower id in its cluster
+    o["t_semdedup"] = km_sql + f""",
+fin AS (SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM (SELECT vec_id, v, cluster, {_km_dist} AS d FROM v CROSS JOIN c2))
+  WHERE rn = 1),
+prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM fin a
+        JOIN fin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+cs AS (SELECT p.id_a, p.id_b, round(
+    sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
+    / (sqrt(sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(ea.embedding[i + 1] AS DOUBLE)))
+       * sqrt(sum(CAST(eb.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
+  FROM prs p JOIN embeddings ea ON ea.vec_id = p.id_a
+       JOIN embeddings eb ON eb.vec_id = p.id_b, range(64) t(i)
+  GROUP BY p.id_a, p.id_b),
+dups AS (SELECT DISTINCT id_b FROM cs WHERE cos_sim >= 0.4)
+SELECT f.vec_id, CAST(f.cluster AS INTEGER) AS cluster,
+  CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS keep
+FROM fin f LEFT JOIN dups d ON f.vec_id = d.id_b
 """
 
     # duration_ms = 1000 + int(md5[2:5]) % 600000 (multimodal._fake_decode);

@@ -200,3 +200,22 @@ def test_hits_matches_dense_oracle(spark):
 def test_hits_empty_graph(spark):
     e = spark.createDataFrame([], "src long, dst long")
     assert graph.hits(e).count() == 0
+
+
+def test_neardup_keep_full_corpus(spark):
+    # docs 1..12; clusters {1,2,3} and {10,11}; 4..9,12 untouched
+    docs = spark.createDataFrame([(i,) for i in range(1, 13)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = graph.neardup_keep(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 12  # every doc gets a row
+    assert by_id[1]["keep"] == 1 and by_id[1]["canonical_id"] == 1
+    assert by_id[2]["keep"] == 0 and by_id[2]["canonical_id"] == 1
+    assert by_id[3]["keep"] == 0 and by_id[3]["canonical_id"] == 1
+    assert by_id[10]["keep"] == 1 and by_id[11]["keep"] == 0
+    for i in (4, 5, 6, 7, 8, 9, 12):  # untouched docs keep themselves
+        assert by_id[i]["keep"] == 1 and by_id[i]["canonical_id"] == i
+    # exactly one keeper per canonical cluster
+    assert sum(r["keep"] for r in out) == 12 - 3

@@ -348,3 +348,52 @@ def test_dup_spans_hand_computed(spark):
     plan = (textstats.dup_spans(docs, k=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+def test_dedup_spans_remove_hand_computed(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),   # owner of the shared 3-grams
+            (2, "q r a b c d e w"),   # loses the covered middle
+            (3, "a b c"),             # fully covered -> empty survivor
+            (4, "m n"),               # shorter than k: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           textstats.dedup_spans_remove(docs, k=3).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["n_removed"] == 0 and out[1]["n_tokens"] == 8
+    assert out[1]["clean_hash"] == md5("a b c d e x y z")
+    # doc 2: dup starts at p=2,3,4 cover p=2..6 -> "q r w" survives
+    assert out[2]["n_removed"] == 5
+    assert out[2]["clean_hash"] == md5("q r w")
+    assert out[2]["kept_frac"] == pytest.approx(3 / 8, abs=1e-4)
+    assert out[3]["n_removed"] == 3 and out[3]["clean_hash"] == md5("")
+    assert out[4]["n_removed"] == 0 and out[4]["clean_hash"] == md5("m n")
+
+
+def test_hash_classifier_known_weights(spark):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def wt(tok):
+        fid = h60(tok) % 1024
+        return (h60(f"w{fid}") % 2001) - 1000
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in
+           textstats.hashed_linear_score(docs).collect()}
+    exp = round((2 * wt("hello") + wt("world")) / 3000.0, 4) + 0.0
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["score"] == pytest.approx(exp, abs=1e-9)
+    assert out[1]["label"] == (exp >= 0)
+    for d in (2, 3):  # empty/null docs: neutral score, positive label
+        assert out[d]["n_tokens"] == 0 and out[d]["score"] == 0.0
+        assert out[d]["label"] is True

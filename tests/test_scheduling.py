@@ -115,3 +115,29 @@ def test_parse_sitemap_junk_fields_dont_raise(spark):
     junk = rows["https://a.example/ok"]
     assert junk["lastmod"] is None and junk["priority"] == 0.5
     assert rows["https://a.example/one"]["priority"] == 1.0
+
+
+def test_capture_dedup_keeps_latest(spark):
+    from vyntr_spark.operators.scheduling import capture_dedup
+
+    caps = spark.createDataFrame(
+        [
+            # two captures of identical content -> keep ts=20 capture
+            ("u1", "d1", 10, 100),
+            ("u1", "d1", 20, 101),
+            # content changed -> separate group survives alongside
+            ("u1", "d2", 30, 102),
+            # tie on ts -> larger capture id wins (total rule)
+            ("u2", "d3", 5, 200),
+            ("u2", "d3", 5, 201),
+        ],
+        ["url", "digest", "ts", "cap_id"],
+    )
+    out = {(r["url"], r["digest"]): r
+           for r in capture_dedup(caps, id_col="cap_id").collect()}
+    assert len(out) == 3
+    assert out[("u1", "d1")]["cap_id"] == 101
+    assert out[("u1", "d1")]["ts"] == 20
+    assert out[("u1", "d1")]["n_captures"] == 2
+    assert out[("u1", "d2")]["n_captures"] == 1
+    assert out[("u2", "d3")]["cap_id"] == 201

@@ -169,3 +169,21 @@ def test_ann_kmeans_topk_probe(spark):
     exact = {r["vec_id"] for r in cosine_topk(df, q, 5).collect()}
     assert approx == exact
     assert all(v < 100 for v in approx)  # all from the query's blob
+
+
+def test_semdedup_drops_higher_id_duplicates(spark):
+    # 3 exact duplicates (ids 0,1,2), 1 near-orthogonal (id 3), plus a
+    # far-away duplicate pair (ids 4,5) — k=2 separates the two groups
+    from vyntr_spark.operators import vectors
+
+    a = [1.0, 0.0, 0.0, 0.0] + [0.0] * 60
+    b = [0.0, 1.0, 0.0, 0.0] + [0.0] * 60
+    far = [100.0, 100.0, 0.0, 0.0] + [0.0] * 60
+    rows = [(0, a), (1, a), (2, a), (3, b), (4, far), (5, far)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = vectors.semdedup(emb, k=2, n_iter=2, threshold=0.95)
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert len(got) == 6  # every vector gets a verdict
+    assert got[0] == 1 and got[1] == 0 and got[2] == 0  # lowest id kept
+    assert got[3] == 1  # orthogonal survivor (cos 0 to the a-dups)
+    assert got[4] == 1 and got[5] == 0  # second cluster keeps its min id

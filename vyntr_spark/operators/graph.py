@@ -159,6 +159,46 @@ def neardup_components(
     )
 
 
+def neardup_keep(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Dedup KEEP-LIST: close the near-dup loop over the WHOLE corpus.
+    ``neardup_components`` labels only docs that appear in a candidate
+    pair; this joins the labels back onto every document and emits the
+    final keep/drop decision a training-data writer consumes:
+
+      (doc_id, canonical_id, keep∈{0,1})
+
+    keep = 1 iff the doc is its cluster's canonical (minimum-id) member
+    or belongs to no cluster at all. Exactly one keeper per cluster, so
+    ``sum(keep)`` = corpus size − removable duplicates.
+
+    Scale: components output is ≪ corpus (only docs in pairs); the
+    label join is a plain key-shuffle left join (broadcastable when the
+    dup set is small, which it usually is after LSH banding)."""
+    comp = neardup_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(
+            comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("canonical_id"), F.col(id_col))
+            .cast("long")
+            .alias("canonical_id"),
+            F.when(
+                F.coalesce(F.col("canonical_id"), F.col(id_col))
+                == F.col(id_col),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 5,

@@ -242,3 +242,35 @@ def trap_score(urls: DataFrame, url_col: str = "url",
             | (F.col("max_seg_repeat") > repeat_seg_limit)
         ).alias("trap"),
     )
+
+
+def capture_dedup(df: DataFrame, url_col: str = "url",
+                  ts_col: str = "ts", digest_col: str = "digest",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Common-Crawl CDX-style capture dedup: a crawler that revisits a
+    URL stores a new capture per fetch; identical content is recorded as
+    a revisit, and the index serves one canonical capture per
+    (url, content-digest) — the LATEST one (ties broken by the larger
+    capture id, so the rule is total and engine-independent).
+
+    Returns one row per (url, digest) group: the canonical capture's id
+    and timestamp plus ``n_captures`` (the revisit count + 1 — the
+    dedup-savings signal CC publishes in its index stats).
+
+    Plan: ONE hash aggregation — max over a (ts, id) struct picks the
+    canonical row and count rides the same agg, so there is no window,
+    no self-join, and map-side combine collapses per-partition revisits
+    before the shuffle on (url, digest)."""
+    g = df.groupBy(url_col, digest_col).agg(
+        F.max(
+            F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"))
+        ).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+    )
+    return g.select(
+        url_col,
+        digest_col,
+        F.col("m.id").alias(id_col),
+        F.col("m.ts").alias(ts_col),
+        "n_captures",
+    )

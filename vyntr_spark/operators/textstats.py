@@ -1011,3 +1011,164 @@ def dup_spans(df: DataFrame, k: int = 8, text_col: str = "text",
             & (F.col("n_dup_grams") / F.col("n_grams") >= flag_frac)
         ).alias("dup_flag"),
     )
+
+
+def dedup_spans_remove(df: DataFrame, k: int = 8,
+                       text_col: str = "text") -> DataFrame:
+    """Exact-substring dedup REMOVAL — the acting stage behind the
+    ``dup_spans`` metric (Lee et al., ACL'22: all but one occurrence of
+    a duplicated span is deleted from the corpus; their suffix array
+    becomes a distributed k-gram doc-frequency join here).
+
+    Rule (deterministic, engine-independent): a token k-gram is a
+    duplicated span iff it occurs in ≥ 2 documents; every holder EXCEPT
+    the minimum-doc_id owner deletes the tokens its duplicated spans
+    cover. The owner keeps its copy, so every span survives exactly
+    once corpus-wide (the paper's semantics; within-doc repeats are
+    gopher_repetition's job).
+
+    Returns one row per input doc, scalar surface only:
+    (doc_id, n_tokens, n_removed, kept_frac 4dp, clean_hash =
+    md5 of the space-joined surviving tokens — md5('') when everything
+    was covered).
+
+    Plan: token- and gram-position explodes (both ~token-count rows,
+    int payloads), the same per-doc-distinct → doc-frequency aggs as
+    ``dup_spans`` (map-side combine eats boilerplate), one equi-join
+    back on the gram hash, interval cover via an explode(sequence) +
+    distinct + anti-join (linear in covered tokens — NO per-doc
+    quadratic membership scans, no windows), and a final
+    sort-struct-collect per doc to reassemble the cleaned text. At
+    100 TB: everything shuffles on doc_id or gh; bucket both sides of
+    the gh join to co-locate, and bump k to shrink the gram table.
+    """
+    toks = _token_array(F.col(text_col))
+    base = df.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    pos = base.select(
+        "doc_id", F.posexplode_outer("toks").alias("p", "tok")
+    ).filter(F.col("tok").isNotNull())
+    gstruct = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.array_join(F.slice("toks", i + 1, k), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,gram:string>>"))
+    gh = F.conv(
+        F.substring(F.md5(F.col("g.gram")), 1, 15), 16, 10
+    ).cast("long")
+    starts = base.select("doc_id", F.explode(gstruct).alias("g")).select(
+        "doc_id", F.col("g.i").alias("i"), gh.alias("gh")
+    )
+    st = (
+        starts.select("doc_id", "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min("doc_id").alias("owner"))
+    )
+    ds = (
+        starts.join(st, "gh")
+        .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("owner")))
+        .select("doc_id", "i")
+    )
+    cov = ds.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("p"),
+    ).distinct()
+    kept = pos.join(cov, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    nk = F.coalesce(F.col("n_kept"), F.lit(0))
+    return (
+        base.select("doc_id", n.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - nk).cast("long").alias("n_removed"),
+            F.round(
+                F.when(F.col("n_tokens") > 0, nk / F.col("n_tokens"))
+                .otherwise(F.lit(1.0)),
+                4,
+            ).alias("kept_frac"),
+            F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias(
+                "clean_hash"
+            ),
+        )
+    )
+
+
+def hashed_linear_score(df: DataFrame, n_features: int = 1024,
+                        text_col: str = "text") -> DataFrame:
+    """Hashed bag-of-words linear classifier SCORING — the serving plan
+    of the fastText-style quality filters used to curate web corpora
+    (GPT-3's LR-over-CommonCrawl filter; the hashing trick of
+    Weinberger et al., ICML'09): tokens hash to ``n_features`` feature
+    ids, a (feature, weight) table joins in by BROADCAST, and one hash
+    aggregation emits the per-doc mean weight as the score.
+
+    Weights are a deterministic synthetic stand-in for a trained
+    artifact (no model downloads in this env):
+    ``w(f) = ((md5int('w'||f) mod 2001) - 1000) / 1000 ∈ [-1, 1]``.
+    Swap the generated frame for a real coefficient table and the plan
+    is unchanged — that is the point: at 100 TB the corpus side only
+    explodes tokens and never shuffles; the weight table (KBs–MBs) is
+    the broadcast side; the only shuffle is the final groupBy(doc_id),
+    which map-side combines.
+
+    Returns (doc_id, n_tokens, score 4dp, label = score ≥ 0).
+    """
+    spark = df.sparkSession
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w"), F.col("id").cast("string"))),
+                    1, 15), 16, 10
+    ).cast("long")
+    # integer milli-weights: the per-doc accumulation stays in int64 so
+    # the score is independent of addition order (float sums are not —
+    # the same discipline as the TPC-H integer-cent revenue queries)
+    weights = spark.range(n_features).select(
+        F.col("id").cast("int").alias("fid"),
+        (F.pmod(h, F.lit(2001)) - 1000).cast("long").alias("wt_milli"),
+    )
+    fid = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_features),
+    ).cast("int")
+    feats = (
+        df.select("doc_id", F.explode(_token_array(F.col(text_col)))
+                  .alias("tok"))
+        .select("doc_id", fid.alias("fid"))
+        .join(F.broadcast(weights), "fid")
+    )
+    agg = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.round(
+            F.sum("wt_milli").cast("double")
+            / (F.count(F.lit(1)) * 1000.0), 4
+        ) + F.lit(0.0)).alias("score"),
+    )
+    return (
+        df.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+            .alias("n_tokens"),
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            (F.coalesce(F.col("score"), F.lit(0.0)) >= 0).alias("label"),
+        )
+    )

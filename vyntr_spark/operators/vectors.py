@@ -459,3 +459,65 @@ def ann_kmeans_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     out = cosine_topk(cand, q, k, id_col=id_col, vec_col=vec_col)
     xs.unpersist()
     return out
+
+
+def semdedup(emb: DataFrame, k: int = 8, n_iter: int = 2,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication for training data — k-means cluster the embedding
+    space, then compare pairs ONLY within a cluster and drop every
+    vector whose cosine similarity to a lower-id vector in the same
+    cluster reaches ``threshold``.
+
+    Determinism deviation from the paper, on purpose: the paper keeps
+    the member with the lowest cosine to the cluster centroid; we keep
+    the lowest-id member of each duplicate set so the Spark plan and the
+    DuckDB oracle agree bit-for-bit (the paper's rule is
+    float-tie-fragile across engines). The clustering is the
+    deterministic Lloyd of ``kmeans_fit``.
+
+    Scale: this is the whole point of SemDeDup's design — the quadratic
+    compare is confined within clusters, so with k scaled ∝ N (cluster
+    size held ~constant, same contract as ``n_bits_for``) total pair
+    work stays ~N·cluster_size, never N². Assignment is one broadcast
+    join; the within-cluster join shuffles on `cluster` (hot-cluster
+    guard = raise k; cluster sizes are one groupBy count to audit).
+
+    Returns (vec_id, cluster, keep∈{0,1}) for every input vector.
+    """
+    assign = kmeans_assign(
+        emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    ).select(id_col, "cluster")
+    ea = emb.select(id_col, vec_col).join(assign, id_col)
+    left = ea.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster"
+    )
+    right = ea.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster"
+    )
+    score = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    # same 4dp-pinned compare as cosine_neardup_pairs: both engines
+    # round the double cosine before the threshold test
+    dups = (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b", (F.round(score, 4) + F.lit(0.0)).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dups, F.col(id_col) == F.col("_dup_id"), "left")
+        .select(
+            id_col,
+            "cluster",
+            F.when(F.col("_dup_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
