@@ -1030,6 +1030,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c29_capture_dedup"] = c29
 
+    # shared RFC 9309 fixture for the full robots evaluation (host ->
+    # (allow, pattern)); regexes derive from pattern_to_regex on BOTH
+    # engines so one translation is under test, not two
+    _ROBOTS_FIX = [
+        ("host0.example", False, "/p1*"),
+        ("host0.example", True, "/p12"),
+        ("host0.example", False, "/*3$"),
+        ("host1.example", False, "/p"),
+        ("host1.example", True, "/p2*"),
+        ("host2.example", False, "/*"),
+    ]
+
+    def c10d(s, sf):
+        from vyntr_spark.operators import robots as rb
+
+        per_host: dict = {}
+        for h, al, pat in _ROBOTS_FIX:
+            per_host.setdefault(h, []).append(
+                (al, pat, rb.pattern_to_regex(pat))
+            )
+        rules = s.createDataFrame(
+            [(h, v) for h, v in sorted(per_host.items())],
+            "host string, "
+            "rules array<struct<allow:boolean,pattern:string,rx:string>>",
+        )
+        d = F.col("doc_id")
+        urls = _docs(s, sf).select(
+            F.format_string("https://host%d.example/p%d", d % 40, d % 97)
+            .alias("url"),
+            F.format_string("host%d.example", d % 40).alias("host"),
+            F.format_string("/p%d", d % 97).alias("path"),
+        )
+        return rb.robots_decision(urls, rules).select(
+            "url", "host", "path", "matched_pattern", "allowed"
+        )
+
+    q["c10d_robots_eval"] = c10d
+
     # ---- generic relational (TPC-H-ish over lineitem/orders) -----------------
     def h1(s, sf):
         li = s.read.parquet(f"{sf}/lineitem.parquet")
@@ -2898,6 +2936,40 @@ SELECT url, digest, cap_id, ts, n_captures FROM (
   row_number() OVER (PARTITION BY url, digest
                      ORDER BY ts DESC, cap_id DESC) AS rn
  FROM caps) WHERE rn = 1
+"""
+
+    from vyntr_spark.operators.robots import pattern_to_regex as _p2rx
+
+    _rb_fix = [
+        ("host0.example", False, "/p1*"),
+        ("host0.example", True, "/p12"),
+        ("host0.example", False, "/*3$"),
+        ("host1.example", False, "/p"),
+        ("host1.example", True, "/p2*"),
+        ("host2.example", False, "/*"),
+    ]
+    _rb_vals = ", ".join(
+        "('{0}', {1}, '{2}', '{3}')".format(
+            h, "true" if al else "false", pat,
+            _p2rx(pat).replace("'", "''"),  # DuckDB strings are
+            # escape-free: backslashes pass through literally
+        )
+        for h, al, pat in _rb_fix
+    )
+    o["c10d_robots_eval"] = f"""
+WITH urls AS (SELECT
+  printf('https://host%d.example/p%d', doc_id % 40, doc_id % 97) AS url,
+  printf('host%d.example', doc_id % 40) AS host,
+  printf('/p%d', doc_id % 97) AS path FROM documents),
+rules(host, allow, pattern, rx) AS (VALUES {_rb_vals}),
+m AS (SELECT u.url, r.allow, r.pattern,
+  row_number() OVER (PARTITION BY u.url
+    ORDER BY length(r.pattern) DESC, r.allow DESC, r.pattern DESC) AS rn
+ FROM urls u JOIN rules r
+   ON u.host = r.host AND regexp_matches(u.path, r.rx))
+SELECT u.url, u.host, u.path, m.pattern AS matched_pattern,
+  coalesce(m.allow, true) AS allowed
+FROM urls u LEFT JOIN m ON m.url = u.url AND m.rn = 1
 """
 
     o["h10_returned_items"] = (

@@ -160,3 +160,65 @@ def test_caps_from_delay_and_politeness_override(spark):
     # FIFO prefix per host, not an arbitrary subset
     assert per_host["slow.ex"] == ["https://slow.ex/p00",
                                    "https://slow.ex/p01"]
+
+
+def test_pattern_to_regex_rfc_examples():
+    import re
+
+    from vyntr_spark.operators.robots import pattern_to_regex
+
+    # RFC 9309 §2.2.3 / §5.2 example shapes
+    assert re.search(pattern_to_regex("/fish*"), "/fish/salmon")
+    assert re.search(pattern_to_regex("/fish*"), "/fishheads.html")
+    assert not re.search(pattern_to_regex("/fish*"), "/catfish")
+    assert re.search(pattern_to_regex("/*.php$"), "/folder/file.php")
+    assert not re.search(pattern_to_regex("/*.php$"), "/file.php5")
+    assert re.search(pattern_to_regex("/p"), "/page")
+    # regex metachars in paths stay literal
+    assert re.search(pattern_to_regex("/a+b.c"), "/a+b.c")
+    assert not re.search(pattern_to_regex("/a+b.c"), "/aab_c")
+
+
+def test_parse_robots_patterns_allow_groups():
+    from vyntr_spark.operators.robots import parse_robots_patterns
+
+    txt = (
+        "User-agent: vyntr\nDisallow: /private*\nAllow: /private/ok$\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    got = parse_robots_patterns(txt, agent="Vyntr")
+    assert got == [
+        (False, "/private*", "^/private.*"),
+        (True, "/private/ok$", "^/private/ok$"),
+    ]
+    assert parse_robots_patterns(txt, agent="other") == [(False, "/", "^/")]
+    assert parse_robots_patterns(None) == []
+
+
+def test_robots_decision_precedence(spark):
+    from pyspark.sql import functions as F
+
+    from vyntr_spark.operators.robots import (
+        pattern_to_regex, robots_decision,
+    )
+
+    rules_py = [
+        (False, "/p1*"), (True, "/p12"), (False, "/*3$"),
+    ]
+    rules = spark.createDataFrame(
+        [("h.ex", [(al, p, pattern_to_regex(p)) for al, p in rules_py])],
+        "host string, "
+        "rules array<struct<allow:boolean,pattern:string,rx:string>>",
+    )
+    urls = spark.createDataFrame(
+        [("h.ex", "/p12"), ("h.ex", "/p15"), ("h.ex", "/p23"),
+         ("h.ex", "/ok"), ("x.ex", "/p12")],
+        "host string, path string",
+    )
+    got = {(r["host"], r["path"]): (r["allowed"], r["matched_pattern"])
+           for r in robots_decision(urls, rules).collect()}
+    assert got[("h.ex", "/p12")] == (True, "/p12")    # longest wins: allow
+    assert got[("h.ex", "/p15")] == (False, "/p1*")   # wildcard block
+    assert got[("h.ex", "/p23")] == (False, "/*3$")   # end-anchor block
+    assert got[("h.ex", "/ok")] == (True, None)       # no match -> allowed
+    assert got[("x.ex", "/p12")] == (True, None)      # no rules host

@@ -215,3 +215,78 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
     assert got == ["fpA", "fpB", "fpC"]
     ids = {r["fingerprint"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert ids["fpA"] == 1  # the FIRST occurrence won
+
+
+def test_stream_neardup_dedup_across_batches(spark, tmp_path):
+    """Streaming MinHash-LSH guard: identical text arriving later is
+    flagged is_dup; the bucket-claim state survives a query restart via
+    the checkpoint; shingle-less docs are always kept."""
+    from vyntr_spark.streaming.frontier_stream import stream_neardup_dedup
+
+    docs = str(tmp_path / "docs")
+    out = str(tmp_path / "neardup")
+    ckpt = str(tmp_path / "ckpt_nd")
+    text_a = "the quick brown fox jumps over the lazy dog today"
+    text_b = "completely different content about spark shuffle plans"
+
+    b1 = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", 1, text_a),
+            ("2024-01-01 00:00:02", 2, text_a),   # same bands as doc 1
+            ("2024-01-01 00:00:03", 3, text_b),
+            ("2024-01-01 00:00:04", 4, "hi"),     # < k tokens
+        ],
+        "ts string, doc_id long, text string",
+    ).select(F.col("ts").cast("timestamp"), "doc_id", "text")
+    b1.write.mode("append").parquet(docs)
+    stream_neardup_dedup(spark, docs, out, ckpt)
+    got1 = {r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1: False, 2: True, 3: False, 4: False}
+
+    # run 2: state remembered across runs -> doc 5 (text_a) is a dup of
+    # doc 1; doc 6 is new
+    b2 = spark.createDataFrame(
+        [
+            ("2024-01-01 01:00:00", 5, text_a),
+            ("2024-01-01 01:00:01", 6, "fresh words never seen before ok"),
+        ],
+        "ts string, doc_id long, text string",
+    ).select(F.col("ts").cast("timestamp"), "doc_id", "text")
+    b2.write.mode("append").parquet(docs)
+    stream_neardup_dedup(spark, docs, out, ckpt)
+    got2 = {r["doc_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()}
+    assert got2[5] is True and got2[6] is False
+    assert got2[1] is False  # earlier verdicts untouched
+
+
+def test_stream_neardup_matches_batch_pairs(spark, tmp_path):
+    """Parity with the batch operator: the streamed is_dup set equals
+    the id_b side of minhash_lsh_pairs' band-collision candidates when
+    docs arrive in doc_id order."""
+    from vyntr_spark.operators import textstats
+    from vyntr_spark.streaming.frontier_stream import stream_neardup_dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # exact dup of 1
+        (3, "one two three four five six seven eight"),
+        (4, "one two three four five six seven eight"),  # exact dup of 3
+        (5, "unique snowflake content entirely its own"),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = textstats.minhash_lsh_pairs(batch_df, n_hashes=8, bands=4)
+    want_dups = {r["id_b"] for r in pairs.select("id_b").collect()}
+
+    docs = str(tmp_path / "docs2")
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ck2")
+    spark.createDataFrame(
+        [(f"2024-01-01 00:00:{i:02d}", did, tx)
+         for i, (did, tx) in enumerate(rows)],
+        "ts string, doc_id long, text string",
+    ).select(F.col("ts").cast("timestamp"), "doc_id", "text") \
+        .write.mode("append").parquet(docs)
+    stream_neardup_dedup(spark, docs, out, ckpt)
+    got_dups = {r["doc_id"] for r in
+                spark.read.parquet(out).filter("is_dup").collect()}
+    assert got_dups == want_dups == {2, 4}

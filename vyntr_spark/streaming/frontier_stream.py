@@ -259,3 +259,144 @@ def stream_exact_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+def stream_neardup_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
+                         checkpoint_dir: str, n_hashes: int = 8,
+                         bands: int = 4, k: int = 3):
+    """Streaming NEAR-dup admission — the ingest-time MinHash-LSH guard
+    (the batch analog is textstats.minhash_lsh_pairs): a document is
+    flagged ``is_dup`` when ANY of its LSH band buckets was already
+    claimed by an earlier document; the first claimant of every bucket
+    is remembered in GroupState keyed by (band, bucket).
+
+    The MinHash signature is computed PER ROW with array expressions
+    (array_min over the shingle-hash array) instead of the batch
+    explode+groupBy — no streaming aggregation, so the one stateful
+    operator in the query is the bucket-claim state, and the identical
+    integer math means a doc gets the same signature here as in the
+    batch operator. Docs with no shingles (shorter than ``k`` tokens)
+    claim a private sentinel bucket and are always kept.
+
+    State: one int64 owner per distinct band bucket — the same
+    cardinality the batch LSH join shuffles on, hash-partitioned by the
+    group key. For unbounded streams add a TTL via GroupStateTimeout
+    (bounding memory trades off recall against re-crawl distance,
+    exactly like the watermark in stream_exact_dedup); this guard keeps
+    NoTimeout so the parity with the batch operator over a finite
+    corpus is exact.
+
+    Emits (doc_id, is_dup) per document; duplicates-of-earlier-docs get
+    ``is_dup = true`` (matching the id_b side of the batch candidate
+    pairs when texts collide in a band).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from vyntr_spark.operators.textstats import (
+        MINHASH_P, TOKEN_SPLIT, minhash_params,
+    )
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+    src = spark.readStream.schema(schema).parquet(docs_dir)
+
+    toks = F.array_remove(F.split(F.lower(F.coalesce("text", F.lit(""))),
+                                  TOKEN_SPLIT), "")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+    bases = F.transform(
+        sh,
+        lambda x: F.pmod(
+            F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_P),
+        ),
+    )
+    def _sig_component(a: int, b_const: int):
+        return F.array_min(
+            F.transform(
+                bases,
+                lambda x: F.pmod(F.lit(a) * x + F.lit(b_const),
+                                 F.lit(MINHASH_P)),
+            )
+        )
+
+    hs = [_sig_component(a, b_) for a, b_ in minhash_params(n_hashes)]
+    rows_per_band = n_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[hs[b * rows_per_band + j].cast("string")
+                       for j in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    # shingle-less docs claim a private bucket: always first, always kept
+    claims_arr = F.when(F.size(sh) > 0, F.array(*band_structs)).otherwise(
+        F.array(
+            F.struct(
+                F.lit(-1).alias("band"),
+                F.concat(F.lit("empty:"), F.col("doc_id").cast("string"))
+                .alias("key"),
+            )
+        )
+    )
+    claims = src.select(
+        "ts", "doc_id", F.explode(claims_arr).alias("bk")
+    ).select(
+        "ts", "doc_id",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("owner", T.LongType(), True),
+    ])
+    state_schema = T.StructType([T.StructField("owner", T.LongType(), True)])
+
+    def claim(key, pdf_iter, state):
+        import pandas as pd
+
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        # global (ts, doc_id) order over the whole group — the claim
+        # winner must not depend on Arrow chunk arrival order
+        pdf = pdf.sort_values(["ts", "doc_id"])
+        owner = state.get[0] if state.exists else int(pdf["doc_id"].iloc[0])
+        state.update((owner,))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "owner": owner})
+
+    claimed = claims.groupBy("band", "key").applyInPandasWithState(
+        claim, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def verdict(batch, batch_id):
+        (
+            batch.groupBy("doc_id")
+            .agg(F.max((F.col("owner") != F.col("doc_id")).cast("int"))
+                 .alias("d"))
+            .select("doc_id", (F.col("d") == 1).alias("is_dup"))
+            .write.mode("append").parquet(out_dir)
+        )
+
+    q = (
+        claimed.writeStream.outputMode("append")
+        .foreachBatch(verdict)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
