@@ -1955,6 +1955,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_frame_sample"] = mm_frames
 
+    # BPE corpus encode with a FIXED merge fixture (training order =
+    # list order). The ranked-merge loop is iterative per word — not
+    # SQL-expressible — so this entry is deliberately ORACLE-LESS: the
+    # driver records the weaker rows-only check, and the exact
+    # verification is the pure-Python parity test in tests/test_bpe.py
+    # (same precedent as bpe_train itself). Registered last, after the
+    # multimodal entries, per the same shadowing rule.
+    def t_bpe_enc(s, sf):
+        from vyntr_spark.operators import bpe
+
+        fixed = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+                 ("i", "n"), ("e", "r"), ("o", "n"), ("s", "t")]
+        return bpe.bpe_encode(_docs(s, sf), fixed)
+
+    q["t_bpe_encode"] = t_bpe_enc
+
     return q
 
 

@@ -85,3 +85,40 @@ def test_bpe_train_stops_when_dry(spark):
     docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     # every pair occurs once -> nothing to merge
     assert bpe.bpe_train(docs, n_merges=5) == []
+
+
+def test_bpe_encode_matches_reference(spark):
+    """End-to-end train→encode parity: Spark's bpe_encode over the
+    corpus equals a pure-Python pretokenize + sequential-merge encode
+    per doc (n_pieces, n_tokens, and the exact token-stream hash)."""
+    import hashlib
+
+    from vyntr_spark.operators.bpe import _encode_word, bpe_encode, bpe_train
+
+    texts = [
+        (1, "the cat sat on the mat, the cat sat."),
+        (2, "banana bandana ban ban banana!"),
+        (3, "the the the unrelated zzz"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=12)
+    assert merges, "trainer found merges"
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+
+    mlist = [(l, r) for l, r, _ in merges]
+    for doc_id, text in texts:
+        pieces = [w for w in re.findall(BPE_SPLIT_PATTERN, text or "")
+                  if not re.fullmatch(r"[ \t\n]+", w)]
+        toks = [t for w in pieces for t in _encode_word(w, mlist)]
+        want_hash = hashlib.md5("\x1f".join(toks).encode()).hexdigest()
+        r = got[doc_id]
+        assert r["n_pieces"] == len(pieces)
+        assert r["n_tokens"] == len(toks)
+        assert r["token_hash"] == want_hash, f"doc {doc_id}"
+    # merging must compress: fewer tokens than characters-in-pieces
+    assert got[1]["n_tokens"] < sum(
+        len(w) for w in re.findall(BPE_SPLIT_PATTERN, texts[0][1])
+        if not re.fullmatch(r"[ \t\n]+", w)
+    )

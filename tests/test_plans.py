@@ -91,3 +91,38 @@ def test_index_served_bm25_never_scans_documents(spark):
         plan = audit.executed_plan(q)
         assert "documents.parquet" not in plan
         assert audit.python_eval_count(q) == 0
+
+
+def test_robots_decision_broadcasts_rules_no_python(spark):
+    # the per-URL verdict is a broadcast join + native array/regex exprs:
+    # the URL side must never shuffle and nothing may leak into Python
+    df = entry_mod.queries()["c10d_robots_eval"](spark, SF)
+    assert audit.has_broadcast_join(df)
+    assert not audit.has_shuffled_join(df)
+    assert audit.python_eval_count(df) == 0
+
+
+def test_capture_dedup_single_agg_no_window(spark):
+    # CDX dedup is ONE hash aggregation (max-struct + count) — a window
+    # implementation would sort every group; pin its absence
+    df = entry_mod.queries()["c29_capture_dedup"](spark, SF)
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan
+    assert audit.python_eval_count(df) == 0
+
+
+def test_dup_remove_no_window_no_python(spark):
+    # span removal is explode + anti-join cover — never a window scan
+    df = entry_mod.queries()["t_dup_remove"](spark, SF)
+    plan = audit.executed_plan(df)
+    assert "Window" not in plan
+    assert audit.python_eval_count(df) == 0
+
+
+def test_hash_classifier_broadcasts_weights(spark):
+    # the (feature, weight) table must come in by broadcast; the final
+    # doc-keyed rejoin is corpus-scale on both sides and legitimately
+    # shuffles, so only the weight side is pinned
+    df = entry_mod.queries()["t_hash_classifier"](spark, SF)
+    assert audit.has_broadcast_join(df)
+    assert audit.python_eval_count(df) == 0

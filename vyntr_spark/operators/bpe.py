@@ -141,3 +141,90 @@ def bpe_train(df: DataFrame, n_merges: int = 40,
             apply_merge("symbols").alias("symbols"), "cnt"
         ).localCheckpoint(eager=True)
     return merges
+
+
+def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sennrich sequential encode (pure kernel, shared with the pytest
+    reference): merges apply in TRAINING ORDER, each exhaustively,
+    leftmost-first non-overlapping — the original subword-nmt encoder
+    semantics (tiktoken's rank-priority loop can differ on rare inputs;
+    this repo pins the sequential form end-to-end)."""
+    sym = list(word)
+    for left, right in merges:
+        if len(sym) < 2:
+            break
+        out, i, n = [], 0, len(sym)
+        while i < n:
+            if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text") -> DataFrame:
+    """Encode the corpus with a TRAINED merge list — the tokenization
+    stage a training-data pipeline runs after ``bpe_train``.
+
+    Scale story (same histogram trick as training): the Python merge
+    loop runs once per DISTINCT word — an Arrow-batched UDF over the
+    vocabulary table, O(|vocab|) Python work no matter how big the
+    corpus — and the corpus side is pure native exprs: pretokenize,
+    posexplode (piece order preserved), equi-join word→tokens (the
+    vocab side is small enough to broadcast in practice; AQE decides),
+    and a per-doc reassembly agg. Nothing row-wise Python ever touches
+    corpus-scale data.
+
+    Returns scalar surface (doc_id, n_pieces, n_tokens, token_hash):
+    token_hash = md5 of the doc's token stream joined with the 0x1f
+    unit separator in piece order — the cheap equality witness for the
+    pytest pure-Python parity check.
+    """
+    mlist = [(left, right) for left, right, *_ in merges]
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def enc(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _encode_word(w, mlist))
+
+    pieces_arr = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_SPLIT_PATTERN), 0
+    )
+    pieces = (
+        df.select("doc_id", F.posexplode(pieces_arr).alias("p", "word"))
+        .filter(~F.col("word").rlike("^[ \t\n]+$"))
+    )
+    vocab = pieces.select("word").distinct().select(
+        "word", enc(F.col("word")).alias("toks")
+    )
+    joined = pieces.join(vocab, "word")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("p", "toks"))
+                        ),
+                        lambda s: s["toks"],
+                    )
+                ),
+                "\x1f",
+            )
+        ).alias("token_hash"),
+    )
+    return (
+        df.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pieces", F.lit(0).cast("long")).alias("n_pieces"),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("token_hash", F.md5(F.lit(""))).alias("token_hash"),
+        )
+    )
