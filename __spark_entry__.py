@@ -1565,6 +1565,149 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h22_idle_customers"] = h22
 
+    # The remaining four TPC-H shapes (Q2/Q11/Q16/Q20) need PARTSUPP,
+    # which the testdata lacks — each derives the supplier-part relation
+    # from lineitem instead (groupBy (l_partkey, l_suppkey)), keeping the
+    # query's defining shape: Q2's correlated-min decorrelation, Q11's
+    # scalar-subquery fraction threshold, Q16's anti-join + count
+    # distinct, Q20's nested-agg semi-join chain. All money math is
+    # exact integer cents (see h7) so both engines agree bit-for-bit.
+
+    def _cents(col: str):
+        return F.floor(F.col(col) * 100 + 0.5).cast("long")
+
+    # TPC-H Q2 shape: min-cost supplier per qualifying part within one
+    # region. supplycost := min line unit price in cents per
+    # (part, supplier). Ties all returned (no LIMIT) so the row set is
+    # deterministic.
+    def h2(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        p = s.read.parquet(f"{sf}/part.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        n = s.read.parquet(f"{sf}/nation.parquet")
+        r = s.read.parquet(f"{sf}/region.parquet")
+        ps = li.groupBy("l_partkey", "l_suppkey").agg(
+            F.min(_cents("l_extendedprice")).alias("cost_c")
+        )
+        eu = (
+            su.join(F.broadcast(n), su["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_name", "n_name")
+        )
+        pse = ps.join(F.broadcast(eu), ps["l_suppkey"] == F.col("s_suppkey"))
+        mn = pse.groupBy(F.col("l_partkey").alias("m_pk")).agg(
+            F.min("cost_c").alias("m")
+        )
+        parts = p.filter(
+            (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+        )
+        return (
+            pse.join(mn, (pse["l_partkey"] == F.col("m_pk"))
+                     & (pse["cost_c"] == F.col("m")))
+            .join(F.broadcast(parts), pse["l_partkey"] == parts["p_partkey"])
+            .select(
+                "p_partkey", "p_name", "s_name", "n_name",
+                F.round(F.col("cost_c") / 100.0, 2).alias("supplycost"),
+            )
+        )
+
+    q["h2_min_cost_supp"] = h2
+
+    # TPC-H Q11 shape: important parts by stocked value within one
+    # region, kept if part value > 1.5 × mean part value (scalar-
+    # subquery threshold via broadcast single-row agg; mean-relative
+    # rather than TPC-H's 0.0001/SF so the cut is scale-robust — a
+    # fixed fraction of TOTAL empties out as the part count grows)
+    def h11(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        n = s.read.parquet(f"{sf}/nation.parquet")
+        r = s.read.parquet(f"{sf}/region.parquet")
+        reg_su = (
+            su.join(F.broadcast(n), su["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey")
+        )
+        v = (
+            li.join(F.broadcast(reg_su), li["l_suppkey"] == F.col("s_suppkey"))
+            .groupBy("l_partkey")
+            .agg(F.sum(_cents("l_extendedprice")).alias("value_c"))
+        )
+        tot = v.agg(F.avg("value_c").alias("t"))
+        return (
+            v.join(F.broadcast(tot),
+                   F.col("value_c") > F.lit(1.5) * F.col("t"))
+            .select("l_partkey",
+                    F.round(F.col("value_c") / 100.0, 2).alias("value"))
+        )
+
+    q["h11_important_parts"] = h11
+
+    # TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    # for non-excluded parts, minus "complaint" suppliers (anti-join on
+    # the deterministic s_acctbal < 0 analog of the LIKE '%Complaints%'
+    # filter)
+    def h16(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        p = s.read.parquet(f"{sf}/part.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        excl = su.filter(F.col("s_acctbal") < 0).select(
+            F.col("s_suppkey").alias("x_sk")
+        )
+        ps = li.select("l_partkey", "l_suppkey").distinct().join(
+            F.broadcast(excl), F.col("l_suppkey") == F.col("x_sk"),
+            "left_anti",
+        )
+        parts = p.filter(
+            (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        return (
+            ps.join(F.broadcast(parts), ps["l_partkey"] == parts["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        )
+
+    q["h16_supplier_cnt"] = h16
+
+    # TPC-H Q20 shape: suppliers with excess recent concentration on
+    # 'gear' parts — availqty > ½·shipped becomes shipped-in-1996 ×2 >
+    # shipped-ever per (supplier, part), an exact integer compare; then
+    # the Q20 semi-join chain down to named suppliers in one region
+    def h20(s, sf):
+        li = s.read.parquet(f"{sf}/lineitem.parquet")
+        p = s.read.parquet(f"{sf}/part.parquet")
+        su = s.read.parquet(f"{sf}/supplier.parquet")
+        n = s.read.parquet(f"{sf}/nation.parquet")
+        r = s.read.parquet(f"{sf}/region.parquet")
+        gear = p.filter(F.col("p_name").contains("gear")).select("p_partkey")
+        qty = (
+            li.join(F.broadcast(gear), li["l_partkey"] == F.col("p_partkey"))
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).alias("q_all"),
+                F.sum(
+                    F.when(F.year("l_shipdate") == 1996,
+                           F.col("l_quantity").cast("long")).otherwise(0)
+                ).alias("q_96"),
+            )
+        )
+        hot = qty.filter(F.col("q_96") * 2 > F.col("q_all")).select(
+            "l_suppkey"
+        ).distinct()
+        sun = (
+            su.join(F.broadcast(n), su["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_name", "n_name")
+        )
+        return sun.join(hot, sun["s_suppkey"] == hot["l_suppkey"],
+                        "left_semi").select("s_name", "n_name")
+
+    q["h20_excess_suppliers"] = h20
+
     # ---- line-level quality + paragraph dedup (Gopher / RefinedWeb-style
     # training-data filters over the line-structured fixture) -------------
     q["t_c4_filters"] = lambda s, sf: textstats.c4_line_filters(
@@ -3134,6 +3277,62 @@ FROM urls u LEFT JOIN m ON m.url = u.url AND m.rn = 1
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "AND o_orderdate >= TIMESTAMP '2000-01-01') "
         "GROUP BY c_mktsegment"
+    )
+
+    # derived-partsupp TPC-H shapes (see the h2/h11/h16/h20 docstrings)
+    _PS_CENTS = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+
+    o["h2_min_cost_supp"] = (
+        f"WITH ps AS (SELECT l_partkey, l_suppkey, min({_PS_CENTS}) AS cost_c "
+        "FROM lineitem GROUP BY 1, 2), "
+        "eu AS (SELECT s_suppkey, s_name, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+        "pse AS (SELECT ps.l_partkey, cost_c, s_name, n_name FROM ps "
+        "JOIN eu ON ps.l_suppkey = eu.s_suppkey), "
+        "mn AS (SELECT l_partkey AS m_pk, min(cost_c) AS m FROM pse "
+        "GROUP BY 1) "
+        "SELECT p_partkey, p_name, s_name, n_name, "
+        "round(cost_c / 100.0, 2) AS supplycost "
+        "FROM pse JOIN mn ON pse.l_partkey = m_pk AND cost_c = m "
+        "JOIN part ON p_partkey = pse.l_partkey "
+        "WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20"
+    )
+
+    o["h11_important_parts"] = (
+        f"WITH v AS (SELECT l_partkey, sum({_PS_CENTS}) AS value_c "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'AMERICA' GROUP BY 1) "
+        "SELECT l_partkey, round(value_c / 100.0, 2) AS value FROM v "
+        "WHERE value_c > 1.5 * (SELECT avg(value_c) FROM v)"
+    )
+
+    o["h16_supplier_cnt"] = (
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2, 3"
+    )
+
+    o["h20_excess_suppliers"] = (
+        "WITH qty AS (SELECT l_suppkey, l_partkey, "
+        "sum(CAST(l_quantity AS BIGINT)) AS q_all, "
+        "sum(CASE WHEN year(l_shipdate) = 1996 "
+        "THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q_96 "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE contains(p_name, 'gear') GROUP BY 1, 2) "
+        "SELECT s_name, n_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND s_suppkey IN "
+        "(SELECT DISTINCT l_suppkey FROM qty WHERE q_96 * 2 > q_all)"
     )
 
     o["w9_math_eval"] = (

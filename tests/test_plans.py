@@ -119,6 +119,16 @@ def test_dup_remove_no_window_no_python(spark):
     assert audit.python_eval_count(df) == 0
 
 
+def test_h2_derived_partsupp_broadcasts_dims(spark):
+    # the derived supplier-part relation is corpus-scale and legitimately
+    # shuffles on (partkey, suppkey); every dimension side (supplier ×
+    # nation × region, the filtered part set, the per-part min) must not
+    # drag it into extra exchanges — pin broadcasts + no Python
+    df = entry_mod.queries()["h2_min_cost_supp"](spark, SF)
+    assert audit.has_broadcast_join(df)
+    assert audit.python_eval_count(df) == 0
+
+
 def test_hash_classifier_broadcasts_weights(spark):
     # the (feature, weight) table must come in by broadcast; the final
     # doc-keyed rejoin is corpus-scale on both sides and legitimately
