@@ -2057,6 +2057,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, sf), k=8, n_iter=2, threshold=0.4
     )
 
+    # ---- product quantization (Jégou et al. 2011): the 64×-compression
+    # ANN path. Encode + ADC top-K run against the deterministic FIXTURE
+    # codebook/query so both are fully oracle-checkable (codebook
+    # TRAINING is iterative k-means — pq_fit has exact pure-Python Lloyd
+    # parity in tests/test_vectors_ops.py, the kmeans_fit precedent).
+    q["t_pq_encode"] = lambda s, sf: vectors.pq_encode(
+        _emb(s, sf), vectors.fixture_codebook()
+    )
+
+    q["t_pq_adc_topk"] = lambda s, sf: vectors.pq_adc_topk(
+        _emb(s, sf), vectors.fixture_codebook(),
+        vectors.fixture_query_vec(), k=10,
+    )
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -4141,6 +4155,54 @@ SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
     ELSE list_transform(embedding, x -> 0) END, ',')) AS qhash
 FROM m
 """
+
+    # product quantization against the fixture codebook: the generator
+    # below replays pq_encode/pq_adc_topk's exact-integer expressions
+    # (chained left-assoc double adds -> floor(·1e6+0.5) longs) with the
+    # SAME literals — fixture_codebook()/fixture_query_vec()/pq_adc_lut()
+    # are the single source of truth for both engines.
+    _pq_book = vectors.fixture_codebook()
+    _pq_m, _pq_k, _pq_sdim = len(_pq_book), len(_pq_book[0]), len(_pq_book[0][0])
+
+    def _pq_dist_sql(s: int, centroid: list[float]) -> str:
+        terms = " + ".join(
+            f"(CAST(embedding[{s * _pq_sdim + j + 1}] AS DOUBLE) - {cv!r})"
+            f" * (CAST(embedding[{s * _pq_sdim + j + 1}] AS DOUBLE) - {cv!r})"
+            for j, cv in enumerate(centroid)
+        )
+        return f"CAST(floor(({terms}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    _pq_d_cols = ", ".join(
+        f"{_pq_dist_sql(s, c)} AS d_{s}_{ci}"
+        for s, cl in enumerate(_pq_book) for ci, c in enumerate(cl)
+    )
+    _pq_code_cols = ", ".join(
+        "CAST(list_position([{l}], list_min([{l}])) - 1 AS INTEGER) AS c_{s}"
+        .format(l=", ".join(f"d_{s}_{ci}" for ci in range(_pq_k)), s=s)
+        for s in range(_pq_m)
+    )
+    _pq_ctes = (
+        f"WITH d AS (SELECT vec_id, {_pq_d_cols} FROM embeddings), "
+        f"c AS (SELECT vec_id, {_pq_code_cols} FROM d) "
+    )
+
+    o["t_pq_encode"] = _pq_ctes + (
+        f"SELECT vec_id, CAST({_pq_m} AS BIGINT) AS n_subs, "
+        "concat_ws(',', "
+        + ", ".join(f"c_{s}" for s in range(_pq_m))
+        + ") AS codes FROM c"
+    )
+
+    _pq_lut = vectors.pq_adc_lut(_pq_book, vectors.fixture_query_vec())
+    _pq_adc = " + ".join(
+        f"CAST(([{', '.join(str(v) for v in _pq_lut[s])}])[c_{s} + 1] "
+        "AS BIGINT)"
+        for s in range(_pq_m)
+    )
+    o["t_pq_adc_topk"] = _pq_ctes + (
+        f"SELECT vec_id, {_pq_adc} AS adc_micro FROM c "
+        "ORDER BY adc_micro, vec_id LIMIT 10"
+    )
 
     # deterministic k-means (k=8, 2 Lloyd iterations, 64 dims):
     # hash-minimal seeds, argmin with (dist, cluster) tie-break, 6dp

@@ -129,6 +129,24 @@ def test_h2_derived_partsupp_broadcasts_dims(spark):
     assert audit.python_eval_count(df) == 0
 
 
+def test_pq_encode_zero_shuffle_no_python(spark):
+    # PQ encoding must ride the scan: codebook enters as plan literals,
+    # so the executed plan has NO Exchange and no Python at all
+    df = entry_mod.queries()["t_pq_encode"](spark, SF)
+    plan = audit.executed_plan(df)
+    assert "Exchange" not in plan
+    assert audit.python_eval_count(df) == 0
+
+
+def test_pq_adc_topk_is_take_ordered(spark):
+    # ADC top-K = exact integer sums + TakeOrderedAndProject — never a
+    # global Sort, never Python
+    df = entry_mod.queries()["t_pq_adc_topk"](spark, SF)
+    plan = audit.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert audit.python_eval_count(df) == 0
+
+
 def test_hash_classifier_broadcasts_weights(spark):
     # the (feature, weight) table must come in by broadcast; the final
     # doc-keyed rejoin is corpus-scale on both sides and legitimately

@@ -187,3 +187,96 @@ def test_semdedup_drops_higher_id_duplicates(spark):
     assert got[0] == 1 and got[1] == 0 and got[2] == 0  # lowest id kept
     assert got[3] == 1  # orthogonal survivor (cos 0 to the a-dups)
     assert got[4] == 1 and got[5] == 0  # second cluster keeps its min id
+
+
+def _pq_reference(vecs32, m, sub_dim, k, n_iter):
+    """Pure-Python replay of pq_fit: same hash seeds, same min-(d,
+    cluster) tie-break, same 6dp centroid rounding, empty cluster keeps
+    its previous centroid. vecs32 = [(vec_id, float32-rounded list)]."""
+    import hashlib as _h
+
+    seed_ids = sorted(
+        (vid for vid, _ in vecs32),
+        key=lambda v: (_h.md5(str(v).encode()).hexdigest(), v),
+    )[:k]
+    subs = {
+        (vid, s): v[s * sub_dim:(s + 1) * sub_dim]
+        for vid, v in vecs32 for s in range(m)
+    }
+    cent = {
+        (s, ci): list(subs[(vid, s)])
+        for ci, vid in enumerate(seed_ids) for s in range(m)
+    }
+    for _ in range(n_iter):
+        assign = {}
+        for (vid, s), v in subs.items():
+            best = min(
+                (sum((x - cent[(s, ci)][j]) ** 2 for j, x in enumerate(v)),
+                 ci)
+                for ci in range(k)
+            )
+            assign[(vid, s)] = best[1]
+        for s in range(m):
+            for ci in range(k):
+                members = [subs[(vid, ss)] for (vid, ss), a in assign.items()
+                           if ss == s and a == ci]
+                if members:
+                    cent[(s, ci)] = [
+                        round(sum(col) / len(members), 6)
+                        for col in zip(*members)
+                    ]
+    return cent
+
+
+def test_pq_fit_matches_reference(spark):
+    import random
+    import struct as _s
+
+    from vyntr_spark.operators.vectors import pq_fit
+
+    rng = random.Random(13)
+    vecs = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["sub"], r["cluster"]): [float(x) for x in r["c"]]
+        for r in pq_fit(df, m=2, sub_dim=4, k=3, n_iter=2).collect()
+    }
+    vecs32 = [(i, [_s.unpack("f", _s.pack("f", x))[0] for x in v])
+              for i, v in vecs]
+    want = _pq_reference(vecs32, m=2, sub_dim=4, k=3, n_iter=2)
+    assert got == want
+    assert len(got) == 6  # m*k codebook rows
+
+
+def test_pq_encode_roundtrip_trained(spark):
+    # train -> collect codebook -> encode: every code is the true argmin
+    # under the pure-Python distance replay
+    import random
+    import struct as _s
+
+    from vyntr_spark.operators.vectors import (
+        pq_codebook_collect, pq_encode, pq_fit,
+    )
+
+    rng = random.Random(17)
+    vecs = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    book = pq_codebook_collect(pq_fit(df, m=2, sub_dim=4, k=3, n_iter=2))
+    got = {r["vec_id"]: r["codes"]
+           for r in pq_encode(df, book, sub_dim=4).collect()}
+    import math as _m
+    for vid, v in vecs:
+        v32 = [_s.unpack("f", _s.pack("f", x))[0] for x in v]
+        want = []
+        for s in range(2):
+            sub = v32[s * 4:(s + 1) * 4]
+            d = [
+                int(_m.floor(
+                    sum((x - c[j]) ** 2 for j, x in enumerate(sub))
+                    * 1e6 + 0.5))
+                for c in book[s]
+            ]
+            want.append(d.index(min(d)))
+        assert got[vid] == ",".join(str(c) for c in want), vid

@@ -10,6 +10,7 @@ oracle hashes identically.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -521,3 +522,251 @@ def semdedup(emb: DataFrame, k: int = 8, n_iter: int = 2,
             .alias("keep"),
         )
     )
+
+
+# ---- Product quantization (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the standard memory-compression
+# path for web-scale ANN: m sub-codebooks of k centroids turn a
+# 64-float vector into m small codes (here m·2 bits ≈ 64× shrink), and
+# query-time Asymmetric Distance Computation (ADC) scans codes against a
+# per-query lookup table instead of raw floats. Complements quantize_int8
+# (4×, exact-ish) and the IVF path (kmeans_fit) — IVF-PQ composed =
+# probe a coarse list, then ADC within it.
+
+
+def pq_fit(emb: DataFrame, m: int = 16, sub_dim: int = 4, k: int = 4,
+           n_iter: int = 2, vec_col: str = "embedding",
+           id_col: str = "vec_id") -> DataFrame:
+    """Train the m per-subspace codebooks JOINTLY — one Spark job set per
+    Lloyd round regardless of m, by keying every stage with the subspace
+    id instead of looping subspaces on the driver:
+
+      * explode each vector into m (sub, v_sub) rows once (persisted);
+      * seeds: the k vectors with the smallest (md5(vec_id), vec_id) —
+        the same engine-independent hash sample kmeans_fit uses — seed
+        ALL m subspaces (per-sub slices of the same k vectors);
+      * assignment joins the (m·k)-row centroid frame by BROADCAST on
+        sub, so the n·m working rows never shuffle for distance;
+      * centroid update = one (sub, cluster, dim) hash agg, means
+        rounded to 6dp for bit-reproducibility (kmeans_fit contract);
+        empty clusters keep their previous centroid;
+      * per-round localCheckpoint truncates the iterative lineage.
+
+    Returns the (sub, cluster, c double[]) codebook frame (m·k rows).
+    """
+    xs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.array(*[
+                F.slice(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    s * sub_dim + 1, sub_dim,
+                )
+                for s in range(m)
+            ])
+        ).alias("sub", "v"),
+    ).persist()
+
+    seed_ids = (
+        xs.select("vec_id").distinct()
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("_h", "vec_id")) - 1
+             ).alias("cluster"),
+        )
+    )
+    cent = (
+        xs.join(F.broadcast(seed_ids), "vec_id")
+        .select("sub", "cluster", F.col("v").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(n_iter):
+        assigned = (
+            xs.join(F.broadcast(cent), "sub")
+            .select(
+                "vec_id", "sub", "v", "cluster",
+                _sqdist(F.col("v"), F.col("c")).alias("d"),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct("d", "cluster")).alias("mn"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "sub", "v", F.col("mn.cluster").alias("cluster"))
+        )
+        means = (
+            assigned.select("sub", "cluster",
+                            F.posexplode("v").alias("dim", "x"))
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("mx"))
+            .groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+                    lambda st: st["mx"],
+                ).alias("c_new")
+            )
+        )
+        cent = (
+            cent.join(means, ["sub", "cluster"], "left")
+            .select("sub", "cluster",
+                    F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    xs.unpersist()
+    return cent
+
+
+def pq_codebook_collect(cent: DataFrame) -> list[list[list[float]]]:
+    """Materialize a trained codebook frame to the nested-list model form
+    ``codebook[sub][cluster] -> centroid`` that pq_encode/pq_adc_topk
+    embed as literals. The codebook is a MODEL (m·k rows), not data —
+    collecting it is the broadcast-a-model pattern, not a driver loop
+    over records."""
+    rows = cent.collect()
+    m = 1 + max(r["sub"] for r in rows)
+    k = 1 + max(r["cluster"] for r in rows)
+    book: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        book[r["sub"]][r["cluster"]] = [float(x) for x in r["c"]]
+    return book
+
+
+def fixture_codebook(m: int = 16, k: int = 4, sub_dim: int = 4,
+                     seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic synthetic codebook for oracle-checked PQ queries:
+    values in [-0.25, 0.25) derived from md5(seed:sub:cluster:dim) —
+    the same literal lands in the Spark plan and the generated DuckDB
+    SQL, so the two sides agree by construction (the projection_planes
+    trick, fixture-sized)."""
+    book = []
+    for s in range(m):
+        cl = []
+        for c in range(k):
+            vec = []
+            for d in range(sub_dim):
+                h = hashlib.md5(f"{seed}:{s}:{c}:{d}".encode()).hexdigest()
+                vec.append(round(int(h[:8], 16) / 0xFFFFFFFF * 0.5 - 0.25, 6))
+            cl.append(vec)
+        book.append(cl)
+    return book
+
+
+def _pq_sub_dist_micro(vec_col, s: int, centroid: list[float],
+                       sub_dim: int):
+    """Exact-integer micro-unit squared distance of subspace ``s`` of a
+    float[] column to a literal centroid: chained left-associative
+    double adds in fixed dim order (identical expression both engines),
+    then floor(·1e6 + 0.5) to a long so every later compare/sum is
+    exact integer math."""
+    expr = None
+    for j, cval in enumerate(centroid):
+        x = F.element_at(F.col(vec_col), s * sub_dim + j + 1).cast("double")
+        t = (x - F.lit(float(cval))) * (x - F.lit(float(cval)))
+        expr = t if expr is None else expr + t
+    return F.floor(expr * 1e6 + 0.5).cast("long")
+
+
+def _pq_code_expr(vec_col: str, s: int, centroids: list[list[float]],
+                  sub_dim: int):
+    """Sub-code = argmin over the k centroid distances, ties to the
+    SMALLEST cluster id (array_position returns the first hit — DuckDB's
+    list_position matches)."""
+    darr = F.array(*[
+        _pq_sub_dist_micro(vec_col, s, c, sub_dim) for c in centroids
+    ])
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def pq_encode(emb: DataFrame, codebook: list[list[list[float]]],
+              sub_dim: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode the store against a (trained or fixture) codebook — pure
+    native array expressions, ZERO shuffle: the codebook enters as plan
+    literals (the model is km floats; at real scale ship it via
+    broadcast the same way), each sub-code is an argmin over k exact
+    integer distances, and the whole encode rides the parquet scan.
+
+    Surface is scalar-only for the driver gate: (vec_id, n_subs,
+    codes = comma-joined sub-codes)."""
+    codes = [
+        _pq_code_expr(vec_col, s, centroids, sub_dim)
+        for s, centroids in enumerate(codebook)
+    ]
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.lit(len(codebook)).cast("long").alias("n_subs"),
+        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("codes"),
+    )
+
+
+def pq_adc_topk(emb: DataFrame, codebook: list[list[list[float]]],
+                query_vec: list[float], k: int = 10, sub_dim: int = 4,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric Distance Computation top-K: the per-query lookup table
+    lut[sub][code] = exact-integer micro squared distance from the query
+    subvector to that centroid is computed ONCE driver-side (m·k pure
+    model math — replayed identically when the oracle SQL is generated),
+    embedded as literals, and each row's ADC distance is an exact LONG
+    sum of m table lookups selected by its sub-codes. No floats survive
+    into the compare, so the (adc_micro, vec_id) ordering — and
+    therefore the top-K row set — is bit-deterministic across engines.
+    TakeOrderedAndProject, no full sort."""
+    lut = []
+    for s, centroids in enumerate(codebook):
+        qs = query_vec[s * sub_dim:(s + 1) * sub_dim]
+        row = []
+        for c in centroids:
+            acc = None
+            for x, cv in zip(qs, c):
+                t = (float(x) - float(cv)) * (float(x) - float(cv))
+                acc = t if acc is None else acc + t
+            row.append(int(math.floor(acc * 1e6 + 0.5)))
+        lut.append(row)
+    adc = None
+    for s, centroids in enumerate(codebook):
+        code = _pq_code_expr(vec_col, s, centroids, sub_dim)
+        term = F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in lut[s]]), code + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), adc.alias("adc_micro"))
+        .orderBy("adc_micro", "vec_id")
+        .limit(k)
+    )
+
+
+def fixture_query_vec(dim: int = 64, seed: int = 7) -> list[float]:
+    """Deterministic synthetic ADC query vector (same md5 literal trick
+    as fixture_codebook) so oracle_sql() can embed the identical vector
+    without reading data."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"q:{seed}:{d}".encode()).hexdigest()
+        out.append(round(int(h[:8], 16) / 0xFFFFFFFF * 0.5 - 0.25, 6))
+    return out
+
+
+def pq_adc_lut(codebook: list[list[list[float]]], query_vec: list[float],
+               sub_dim: int = 4) -> list[list[int]]:
+    """The per-query ADC lookup table lut[sub][code] = exact-integer
+    micro squared distance — pure model math shared by pq_adc_topk and
+    the oracle-SQL generator so both embed byte-identical literals."""
+    lut = []
+    for s, centroids in enumerate(codebook):
+        qs = query_vec[s * sub_dim:(s + 1) * sub_dim]
+        row = []
+        for c in centroids:
+            acc = None
+            for x, cv in zip(qs, c):
+                t = (float(x) - float(cv)) * (float(x) - float(cv))
+                acc = t if acc is None else acc + t
+            row.append(int(math.floor(acc * 1e6 + 0.5)))
+        lut.append(row)
+    return lut
