@@ -2112,6 +2112,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_frame_sample"] = mm_frames
 
+    # image near-dup via banded Hamming-LSH over perceptual hashes
+    # (pigeonhole recall guarantee — see phash_neardup_pairs). The
+    # oracle recomputes ground truth as an ALL-PAIRS self-join, so the
+    # check proves the banded path loses nothing. Injected 2-bit-flip
+    # copies (every 25th doc) make the pass non-vacuous; random 60-bit
+    # hashes alone would produce no pairs.
+    def mm_phash(s, sf):
+        _ensure_pyfiles(s)
+        from vyntr_spark.operators import multimodal
+
+        hashes = multimodal.phash_media(
+            multimodal.media_from_documents(_docs(s, sf))
+        )
+        injected = hashes.filter(F.col("media_id") % 25 == 0).select(
+            (F.col("media_id") + 1_000_000).alias("media_id"),
+            F.col("phash").bitwiseXOR(F.lit(17)).alias("phash"),
+        )
+        return multimodal.phash_neardup_pairs(
+            hashes.unionByName(injected), max_hamming=5, n_bands=6
+        )
+
+    q["mm_phash_neardup"] = mm_phash
+
     # BPE corpus encode with a FIXED merge fixture (training order =
     # list order). The ranked-merge loop is iterative per word — not
     # SQL-expressible — so this entry is deliberately ORACLE-LESS: the
@@ -3424,6 +3447,28 @@ FROM urls u LEFT JOIN m ON m.url = u.url AND m.rn = 1
     # math, so every scalar column is SQL-expressible): n_bytes =
     # utf-8 byte length of the payload; width/height from md5 bytes 0/1
     # per kind; duration from md5 bytes 2..4 for audio/video.
+    # pHash near-dup ground truth: recompute the 60-bit hash (15 hex
+    # chars of md5 -> base-16 integer) and do the ALL-PAIRS Hamming
+    # self-join — a deliberately different algorithm from the banded
+    # Spark path, so agreement proves the banding exact.
+    _ph_expr = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h,{i},1)) - 1) * "
+        f"{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    o["mm_phash_neardup"] = (
+        "WITH ph AS (SELECT doc_id AS media_id, "
+        f"CAST({_ph_expr} AS BIGINT) AS phash "
+        "FROM (SELECT doc_id, md5(text) AS h FROM documents)), "
+        "allh AS (SELECT media_id, phash FROM ph UNION ALL "
+        "SELECT media_id + 1000000, xor(phash, 17) FROM ph "
+        "WHERE media_id % 25 = 0) "
+        "SELECT a.media_id AS id_a, b.media_id AS id_b, "
+        "bit_count(xor(a.phash, b.phash)) AS hamming "
+        "FROM allh a JOIN allh b ON a.media_id < b.media_id "
+        "WHERE bit_count(xor(a.phash, b.phash)) <= 5"
+    )
+
     o["mm_decode_meta"] = (
         "WITH d AS (SELECT doc_id AS media_id, doc_id % 3 AS k, "
         "md5(text) AS h, CAST(octet_length(encode(text)) AS BIGINT) "
