@@ -2071,6 +2071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vectors.fixture_query_vec(), k=10,
     )
 
+    # IVF-PQ composition (FAISS IVFPQ shape): coarse LSH probe prunes,
+    # PQ ADC scores the probed list — both stages individually oracle'd
+    # above; this checks the composition end-to-end
+    q["t_ivfpq_topk"] = lambda s, sf: vectors.ivfpq_topk(
+        _emb(s, sf), vectors.fixture_codebook(),
+        vectors.fixture_query_vec(), k=10, n_bits=4,
+    )
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -4245,6 +4253,33 @@ FROM m
         for s in range(_pq_m)
     )
     o["t_pq_adc_topk"] = _pq_ctes + (
+        f"SELECT vec_id, {_pq_adc} AS adc_micro FROM c "
+        "ORDER BY adc_micro, vec_id LIMIT 10"
+    )
+
+    # IVF-PQ composition: the coarse bucket of the FIXTURE query vector
+    # is pure model math — computed here exactly as vectors.ivfpq_topk
+    # computes it, embedded as a literal on both sides; the ADC stage
+    # reuses the d/c expressions above restricted to the probed list
+    _pq_qv = vectors.fixture_query_vec()
+    _ivf_planes = vectors.projection_planes(4, 64)
+    _ivf_qbucket = sum(
+        1 << b for b in range(4)
+        if sum(_ivf_planes[b][d] * _pq_qv[d] for d in range(64)) >= 0
+    )
+    o["t_ivfpq_topk"] = (
+        "WITH planes(b, d, w) AS "
+        f"(SELECT * FROM (VALUES {_lsh_planes_values(4)})), "
+        "dots AS (SELECT e.vec_id, p.b, "
+        "sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.w) AS dot "
+        "FROM embeddings e, planes p GROUP BY e.vec_id, p.b), "
+        "bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN "
+        "CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM dots GROUP BY vec_id), "
+        "cand AS (SELECT e.vec_id, e.embedding FROM embeddings e "
+        f"JOIN bk USING (vec_id) WHERE bk.bucket = {_ivf_qbucket}), "
+        f"d AS (SELECT vec_id, {_pq_d_cols} FROM cand), "
+        f"c AS (SELECT vec_id, {_pq_code_cols} FROM d) "
         f"SELECT vec_id, {_pq_adc} AS adc_micro FROM c "
         "ORDER BY adc_micro, vec_id LIMIT 10"
     )

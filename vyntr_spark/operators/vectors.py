@@ -770,3 +770,29 @@ def pq_adc_lut(codebook: list[list[list[float]]], query_vec: list[float],
             row.append(int(math.floor(acc * 1e6 + 0.5)))
         lut.append(row)
     return lut
+
+
+def ivfpq_topk(emb: DataFrame, codebook: list[list[list[float]]],
+               query_vec: list[float], k: int = 10, n_bits: int = 4,
+               dim: int = 64, seed: int = 42, sub_dim: int = 4,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ — the composition that actually serves billion-scale ANN
+    (FAISS's IVFPQ shape): the LSH sign-bucket coarse quantizer prunes
+    the store to ~1/2^n_bits (bucket = partition key at scale, so the
+    probe is partition pruning, not a scan), then PQ ADC scores only the
+    probed list with exact-integer lookup sums. Query bucket and the ADC
+    LUT are pure model math computed once driver-side."""
+    planes = projection_planes(n_bits, dim, seed)
+    qbucket = sum(
+        1 << b
+        for b in range(n_bits)
+        if sum(planes[b][d] * float(query_vec[d]) for d in range(dim)) >= 0
+    )
+    buckets = lsh_sign_buckets(emb, n_bits=n_bits, dim=dim,
+                               id_col=id_col, vec_col=vec_col, seed=seed)
+    cand = emb.join(
+        buckets.filter(F.col("bucket") == qbucket).select(id_col), id_col
+    )
+    return pq_adc_topk(cand, codebook, query_vec, k, sub_dim,
+                       vec_col=vec_col, id_col=id_col)
