@@ -2079,6 +2079,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vectors.fixture_query_vec(), k=10, n_bits=4,
     )
 
+    # ---- cardinality sketches (HyperLogLog + KMV): the 100-TB distinct
+    # count path — per-group sketch state instead of shuffling every
+    # distinct value. Deterministic md5-hash variants so the ESTIMATE
+    # itself is oracle-checkable (see operators/sketches.py).
+    def _word_rows(s, sf):
+        return _docs(s, sf).select(
+            "source",
+            F.explode(
+                F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "")
+            ).alias("word"),
+        )
+
+    def t_hll(s, sf):
+        from vyntr_spark.operators import sketches
+
+        return sketches.hll_distinct(_word_rows(s, sf), "word", "source")
+
+    q["t_hll_distinct_words"] = t_hll
+
+    def t_kmv(s, sf):
+        from vyntr_spark.operators import sketches
+
+        return sketches.kmv_distinct(_word_rows(s, sf), "word", "source")
+
+    q["t_kmv_distinct_words"] = t_kmv
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -4282,6 +4308,53 @@ FROM m
         f"c AS (SELECT vec_id, {_pq_code_cols} FROM d) "
         f"SELECT vec_id, {_pq_adc} AS adc_micro FROM c "
         "ORDER BY adc_micro, vec_id LIMIT 10"
+    )
+
+    # cardinality sketches: replay the shared 60-bit md5 hash with the
+    # strpos polynomial, bit_length via printf('%b'), and the exact
+    # 2^(55-M) harmonic-sum scaling (operators/sketches.py contract)
+    from vyntr_spark.operators.sketches import hll_alpha as _hll_alpha
+
+    _sk_poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx,{i},1)) - 1) * "
+        f"{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    _sk_words = (
+        f"SELECT source, CAST({_sk_poly} AS BIGINT) AS h FROM "
+        f"(SELECT source, md5(word) AS hx FROM "
+        f"(SELECT source, unnest({_TOKS}) AS word FROM documents))"
+    )
+    _sk_mask = (1 << 54) - 1
+    _hll_a = repr(_hll_alpha(64) * 64 * 64 * float(1 << 55))
+    o["t_hll_distinct_words"] = (
+        f"WITH hh AS ({_sk_words}), "
+        "pb AS (SELECT source, CAST(h >> 54 AS INTEGER) AS bucket, "
+        f"CAST(CASE WHEN (h & {_sk_mask}) = 0 THEN 55 "
+        f"ELSE 54 - length(printf('%b', h & {_sk_mask})) + 1 END "
+        "AS INTEGER) AS rank FROM hh), "
+        "mx AS (SELECT source, bucket, max(rank) AS mx FROM pb "
+        "GROUP BY 1, 2), "
+        "ag AS (SELECT source, "
+        "sum(CAST(1 AS BIGINT) << (55 - mx)) AS s_present, "
+        "count(*) AS nb FROM mx GROUP BY 1), "
+        "r AS (SELECT source, (64 - nb) AS v, "
+        f"{_hll_a} / CAST(s_present + (64 - nb) * {1 << 55} AS DOUBLE) "
+        "AS raw FROM ag) "
+        "SELECT source, round(CASE WHEN raw <= 160.0 AND v > 0 "
+        "THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END, 4) + 0.0 "
+        "AS hll_estimate FROM r"
+    )
+
+    o["t_kmv_distinct_words"] = (
+        f"WITH hh AS (SELECT DISTINCT source, h FROM ({_sk_words})), "
+        "rk AS (SELECT source, h, row_number() OVER "
+        "(PARTITION BY source ORDER BY h) AS rn FROM hh), "
+        "ag AS (SELECT source, count(*) AS n, max(h) AS kth FROM rk "
+        "WHERE rn <= 32 GROUP BY 1) "
+        "SELECT source, round(CASE WHEN n < 32 THEN CAST(n AS DOUBLE) "
+        f"ELSE 31.0 * {repr(float(1 << 60))} / CAST(kth AS DOUBLE) END, "
+        "4) + 0.0 AS kmv_estimate FROM ag"
     )
 
     # deterministic k-means (k=8, 2 Lloyd iterations, 64 dims):

@@ -1,0 +1,123 @@
+"""Cardinality sketches — the 100-TB path for distinct counts.
+
+At web scale, "how many distinct words/URLs/hosts per source" via exact
+`count(distinct x)` shuffles every distinct value; a sketch reduces each
+group to a few hundred bytes that merge associatively (one partial agg +
+one tiny final agg). Spark's built-in `approx_count_distinct` is the
+production answer but its HLL++ bit layout is engine-private; these
+implementations trade a little constant-factor for full cross-engine
+DETERMINISM — every step is exact integer math on a shared md5-derived
+60-bit hash, so a DuckDB oracle replays them bit-for-bit and the
+estimate itself becomes a checkable value, not just a ballpark.
+
+* ``hll_distinct`` — HyperLogLog (Flajolet et al. 2007): bucket = top
+  ``b`` hash bits, per-bucket max leading-zero rank; the 1/Σ2^-M sum is
+  kept EXACT by scaling to 2^(55-M) longs. Standard error ≈ 1.04/√m.
+* ``kmv_distinct`` — K-Minimum-Values (Bar-Yossef et al. 2002):
+  estimate = (k-1)·2^60 / (k-th smallest hash); exact below k.
+
+Both are per-group aggregations: sketch state lives in the hash agg, so
+the shuffle carries (group, bucket) or (group, k rows), never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HASH_BITS = 60  # 15 md5 hex chars -> always-positive int64
+_BUCKET_SHIFT_BASE = 54  # w = low 54 bits when b=6
+
+
+def _h60(col):
+    """Shared 60-bit hash: first 15 hex chars of md5 as an integer —
+    `conv(substring(md5(x),1,15),16,10)` in Spark, the strpos polynomial
+    (or printf tricks) in the DuckDB oracle; both exact."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant; embedded as the SAME literal in the
+    Spark plan and the generated oracle SQL."""
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_distinct(df: DataFrame, col: str, group_col: str = "source",
+                 b: int = 6) -> DataFrame:
+    """HyperLogLog distinct estimate per group over ``col`` values.
+
+    Determinism over floats: the harmonic sum Σ 2^-M_j is computed as
+    the exact LONG Σ 2^(55-M_j) (M_j ≤ 55, so every term is integral;
+    empty buckets contribute 2^55); the only float ops are one division
+    and the small-range `m·ln(m/V)` correction, both from exact integer
+    inputs, rounded to 4dp. Rank uses bit_length via base-2 string
+    conversion (`conv(w,10,2)` / `printf('%b',w)`) — exact integer
+    string ops, no log2 libm hazards.
+    """
+    m = 1 << b
+    shift = HASH_BITS - b
+    mask = (1 << shift) - 1
+    h = _h60(F.col(col))
+    w = h.bitwiseAND(F.lit(mask))
+    bitlen = F.length(F.conv(w, 10, 2))
+    rank = F.when(w == 0, F.lit(shift + 1)).otherwise(
+        F.lit(shift) - bitlen + 1
+    ).cast("int")
+    per_bucket = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.shiftright(h, shift).cast("int").alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("mx"))
+    )
+    alpha = hll_alpha(m)
+    scale = shift + 1  # 2^(scale - M) is integral for every M <= scale
+    agg = per_bucket.groupBy("grp").agg(
+        F.sum(
+            # python shiftleft() wants a literal shift; the SQL form
+            # takes a column — 2^(scale-M) stays an exact long
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - mx)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    v = F.lit(m) - F.col("n_buckets")  # empty buckets
+    s = F.col("s_present") + v * F.lit(1 << scale)
+    raw = F.lit(alpha * m * m * float(1 << scale)) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        (F.round(est, 4) + F.lit(0.0)).alias("hll_estimate"),
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, group_col: str = "source",
+                 k: int = 32) -> DataFrame:
+    """K-Minimum-Values distinct estimate per group: keep the k smallest
+    DISTINCT 60-bit hashes; estimate = (k-1)·2^60 / kth-smallest, exact
+    count when the group has fewer than k distinct values. The k-th
+    order statistic is an exact integer, so the only float op is the
+    final division (4dp)."""
+    hashes = df.select(
+        F.col(group_col).alias("grp"), _h60(F.col(col)).alias("h")
+    ).distinct()
+    wnd = Window.partitionBy("grp").orderBy("h")
+    topk = hashes.withColumn("rn", F.row_number().over(wnd)).filter(
+        F.col("rn") <= k
+    )
+    agg = topk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS))
+        / F.col("kth").cast("double")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        (F.round(est, 4) + F.lit(0.0)).alias("kmv_estimate"),
+    )
