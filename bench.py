@@ -329,6 +329,8 @@ def main() -> None:
         "t_simhash", "e9_cosine_topk", "e6_vector_mean",
         "c6_politeness_window", "h1_pricing_summary", "t_langid",
         "t_c4_filters", "t_dup_spans", "g3_anchor_text",
+        "t_pq_encode", "t_pq_adc_topk", "mm_phash_neardup",
+        "t_hll_distinct_words", "h2_min_cost_supp",
     ]
     for name in heavy:
         if want(name):

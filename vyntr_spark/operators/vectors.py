@@ -671,15 +671,44 @@ def _pq_sub_dist_micro(vec_col, s: int, centroid: list[float],
     return F.floor(expr * 1e6 + 0.5).cast("long")
 
 
-def _pq_code_expr(vec_col: str, s: int, centroids: list[list[float]],
-                  sub_dim: int):
-    """Sub-code = argmin over the k centroid distances, ties to the
-    SMALLEST cluster id (array_position returns the first hit — DuckDB's
-    list_position matches)."""
-    darr = F.array(*[
-        _pq_sub_dist_micro(vec_col, s, c, sub_dim) for c in centroids
+def _pq_codes_expr(vec_col: str, codebook: list[list[list[float]]],
+                   sub_dim: int):
+    """array<int> of the m sub-codes via HIGHER-ORDER functions: the
+    codebook enters as one nested array literal and transform/zip_with/
+    aggregate walk it — the expression tree stays O(1) in m·k·sub_dim,
+    so whole-stage codegen never hits its size cliff (the first, flat
+    formulation generated m·k·sub_dim duplicated terms and fell back to
+    interpreted eval — 10× slower at sf0.1).
+
+    Exactness contract (what the DuckDB oracle replays term-for-term):
+    per-dim squared diff in double, summed LEFT-ASSOCIATIVELY in dim
+    order by ``aggregate`` (the 0.0 seed is exact: 0.0 + x == x for the
+    non-negative squares), floor(·1e6 + 0.5) to a long, argmin with
+    ties to the smallest code (array_position = first hit, matching
+    list_position)."""
+    book_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(float(v)) for v in c]) for c in cl
+        ])
+        for cl in codebook
     ])
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def code_for(cl, s):
+        sub = F.slice(xs, s * F.lit(sub_dim) + 1, F.lit(sub_dim))
+        dists = F.transform(
+            cl,
+            lambda c: F.floor(
+                F.aggregate(
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                ) * 1e6 + 0.5
+            ).cast("long"),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.transform(book_lit, code_for)
 
 
 def pq_encode(emb: DataFrame, codebook: list[list[list[float]]],
@@ -693,14 +722,13 @@ def pq_encode(emb: DataFrame, codebook: list[list[list[float]]],
 
     Surface is scalar-only for the driver gate: (vec_id, n_subs,
     codes = comma-joined sub-codes)."""
-    codes = [
-        _pq_code_expr(vec_col, s, centroids, sub_dim)
-        for s, centroids in enumerate(codebook)
-    ]
+    codes = _pq_codes_expr(vec_col, codebook, sub_dim)
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.lit(len(codebook)).cast("long").alias("n_subs"),
-        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("codes"),
+        F.array_join(
+            F.transform(codes, lambda c: c.cast("string")), ","
+        ).alias("codes"),
     )
 
 
@@ -717,24 +745,17 @@ def pq_adc_topk(emb: DataFrame, codebook: list[list[list[float]]],
     into the compare, so the (adc_micro, vec_id) ordering — and
     therefore the top-K row set — is bit-deterministic across engines.
     TakeOrderedAndProject, no full sort."""
-    lut = []
-    for s, centroids in enumerate(codebook):
-        qs = query_vec[s * sub_dim:(s + 1) * sub_dim]
-        row = []
-        for c in centroids:
-            acc = None
-            for x, cv in zip(qs, c):
-                t = (float(x) - float(cv)) * (float(x) - float(cv))
-                acc = t if acc is None else acc + t
-            row.append(int(math.floor(acc * 1e6 + 0.5)))
-        lut.append(row)
-    adc = None
-    for s, centroids in enumerate(codebook):
-        code = _pq_code_expr(vec_col, s, centroids, sub_dim)
-        term = F.element_at(
-            F.array(*[F.lit(v).cast("long") for v in lut[s]]), code + 1
-        )
-        adc = term if adc is None else adc + term
+    lut = pq_adc_lut(codebook, query_vec, sub_dim)
+    lut_lit = F.array(*[
+        F.array(*[F.lit(v).cast("long") for v in row]) for row in lut
+    ])
+    codes = _pq_codes_expr(vec_col, codebook, sub_dim)
+    adc = F.aggregate(
+        F.zip_with(codes, lut_lit,
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return (
         emb.select(F.col(id_col).alias("vec_id"), adc.alias("adc_micro"))
         .orderBy("adc_micro", "vec_id")
