@@ -2105,6 +2105,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_kmv_distinct_words"] = t_kmv
 
+    # Count-Min frequency sketch: build over every word occurrence,
+    # point-query with doc 0's distinct words (broadcast d·w counters,
+    # probe side never shuffles for the lookup)
+    def t_cms(s, sf):
+        from vyntr_spark.operators import sketches
+
+        cms = sketches.cms_build(_word_rows(s, sf), "word")
+        probes = (
+            _docs(s, sf).filter(F.col("doc_id") == 0)
+            .select(
+                F.explode(
+                    F.array_remove(
+                        F.split(F.lower("text"), "[^a-z0-9]+"), ""
+                    )
+                ).alias("word")
+            )
+        )
+        return sketches.cms_estimate(cms, probes, "word")
+
+    q["t_cms_word_freq"] = t_cms
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -4344,6 +4365,30 @@ FROM m
         "SELECT source, round(CASE WHEN raw <= 160.0 AND v > 0 "
         "THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END, 4) + 0.0 "
         "AS hll_estimate FROM r"
+    )
+
+    # Count-Min: rebuild the identical d×w counters (hash = the shared
+    # 60-bit polynomial over md5('r:item')), probe with doc 0's words
+    _cms_poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx,{i},1)) - 1) * "
+        f"{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    o["t_cms_word_freq"] = (
+        f"WITH w AS (SELECT unnest({_TOKS}) AS item FROM documents), "
+        "ex AS (SELECT item, r, md5(CAST(r AS VARCHAR) || ':' || item) "
+        "AS hx FROM w, range(4) t(r)), "
+        f"b AS (SELECT item, r, CAST({_cms_poly} AS BIGINT) & 255 "
+        "AS bucket FROM ex), "
+        "cms AS (SELECT r, bucket, count(*) AS cnt FROM b GROUP BY 1, 2), "
+        "probes AS (SELECT DISTINCT unnest("
+        f"{_TOKS}) AS item FROM documents WHERE doc_id = 0), "
+        "pex AS (SELECT item, r, md5(CAST(r AS VARCHAR) || ':' || item) "
+        "AS hx FROM probes, range(4) t(r)), "
+        f"pb AS (SELECT item, r, CAST({_cms_poly} AS BIGINT) & 255 "
+        "AS bucket FROM pex) "
+        "SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_count "
+        "FROM pb LEFT JOIN cms USING (r, bucket) GROUP BY item"
     )
 
     o["t_kmv_distinct_words"] = (

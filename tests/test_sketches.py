@@ -71,3 +71,46 @@ def test_sketch_plans_stay_native(spark):
     )
     assert audit.python_eval_count(hll_distinct(df, "word")) == 0
     assert audit.python_eval_count(kmv_distinct(df, "word")) == 0
+
+
+def test_cms_never_undershoots_and_mostly_exact(spark):
+    from collections import Counter
+
+    from vyntr_spark.operators.sketches import cms_build, cms_estimate
+
+    words = [f"w{i % 40}" for i in range(400)] + ["hot"] * 250
+    truth = Counter(words)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    cms = cms_build(df, "word", d=4, w=256)
+    probes = spark.createDataFrame(
+        [(w,) for w in truth], "word string"
+    )
+    got = {r["item"]: r["cms_count"]
+           for r in cms_estimate(cms, probes, "word", d=4, w=256).collect()}
+    assert set(got) == set(truth)
+    # CMS can only overshoot
+    assert all(got[w] >= c for w, c in truth.items())
+    # with 41 items in 256 buckets x 4 rows, nearly all lookups exact
+    exact = sum(1 for w, c in truth.items() if got[w] == c)
+    assert exact >= len(truth) * 0.9
+    assert got["hot"] == 250 or got["hot"] > 250
+
+
+def test_cms_rejects_non_power_of_two():
+    import pytest as _pt
+
+    from vyntr_spark.operators.sketches import cms_build
+
+    with _pt.raises(ValueError):
+        cms_build(None, "word", w=100)
+
+
+def test_cms_lookup_broadcasts_sketch(spark):
+    from tests.test_plans import audit
+
+    from vyntr_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",), ("b",)], "word string")
+    est = cms_estimate(cms_build(df, "word"), df, "word")
+    assert audit.has_broadcast_join(est)
+    assert audit.python_eval_count(est) == 0

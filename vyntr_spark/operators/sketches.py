@@ -121,3 +121,54 @@ def kmv_distinct(df: DataFrame, col: str, group_col: str = "source",
         F.col("grp").alias(group_col),
         (F.round(est, 4) + F.lit(0.0)).alias("kmv_estimate"),
     )
+
+
+def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) — the frequency
+    sibling of the cardinality sketches above: d×w counters replace a
+    full per-item count at 100 TB (estimate overshoots by at most
+    eN/w with probability 1-1/e^d, never undershoots). The build is ONE
+    explode(d)+hash-agg; the sketch itself is d·w rows — broadcastable
+    state, exactly what a heavy-hitter pass wants before an exact
+    confirm stage.
+
+    Hash row r of item x = shared 60-bit md5 of 'r:x', masked to w
+    buckets (w must be a power of two) — deterministic, so the DuckDB
+    oracle rebuilds the identical counters."""
+    if w & (w - 1):
+        raise ValueError(f"w must be a power of two (got {w})")
+    ex = df.select(F.col(col).alias("item")).select(
+        "item",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    )
+    bucket = _h60(
+        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("item"))
+    ).bitwiseAND(F.lit(w - 1))
+    return (
+        ex.select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, col: str,
+                 d: int = 4, w: int = 256) -> DataFrame:
+    """Point-query the sketch for each distinct probe item: estimate =
+    min over the d counters. The sketch side (d·w rows) BROADCASTS; the
+    probe side never shuffles for the lookup — at serving scale this is
+    a map-side join against a few KB of state."""
+    items = probes.select(F.col(col).alias("item")).distinct()
+    ex = items.select(
+        "item",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    )
+    bucket = _h60(
+        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("item"))
+    ).bitwiseAND(F.lit(w - 1))
+    joined = ex.select("item", "r", bucket.alias("bucket")).join(
+        F.broadcast(cms), ["r", "bucket"], "left"
+    )
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+        .alias("cms_count")
+    )
