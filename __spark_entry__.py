@@ -296,6 +296,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p8b_bm25_from_index"] = p8b
 
+    # P12 (extension): per-doc tf·idf keyword extraction — exact-long
+    # ranking key (micro-nat idf), so the top-k SET is cross-engine
+    # deterministic (see pulse.tfidf_top_terms)
+    q["p12_tfidf_keywords"] = lambda s, sf: pulse.tfidf_top_terms(
+        _docs(s, sf), k=5
+    )
+
     def p6b(s, sf):
         # P6 full semantics: quoted-phrase query (positional adjacency)
         # through the boolean parser + positional index
@@ -2585,6 +2592,23 @@ FROM documents WHERE doc_id < 120
 
     # index-served P8 must be byte-identical to the ad-hoc form
     o["p8b_bm25_from_index"] = o["p8_bm25_topk"]
+
+    o["p12_tfidf_keywords"] = (
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+        "lower(text), '[^a-z0-9]+')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+        "WHERE term <> '' GROUP BY 1, 2), "
+        "dft AS (SELECT term, count(DISTINCT doc_id) AS dft FROM tf "
+        "GROUP BY 1), "
+        "n AS (SELECT count(*) AS n FROM documents), "
+        "sc AS (SELECT doc_id, term, tf * CAST(round(ln("
+        "CAST(n AS DOUBLE) / CAST(dft AS DOUBLE)) * 1000000.0) AS BIGINT) "
+        "AS score_micro FROM tf JOIN dft USING (term), n), "
+        "rk AS (SELECT doc_id, term, score_micro, CAST(row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) "
+        "AS INTEGER) AS rnk FROM sc) "
+        "SELECT doc_id, term, score_micro, rnk FROM rk WHERE rnk <= 5"
+    )
 
     # P6 phrase query: positional adjacency match, then BM25 over the
     # phrase terms restricted to matched docs with CORPUS-level idf

@@ -10,7 +10,7 @@ server.rs:75-77 semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 K1 = 1.2
 B = 0.75
@@ -569,4 +569,51 @@ def snippet(df: DataFrame, terms: list[str], width: int = 120,
                 .otherwise(F.lit("")),
             ),
         )
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf·idf, the
+    standard "what is this page about" signal next to BM25 (which ranks
+    docs for a query; this ranks terms for a doc).
+
+    Plan: reuses the P5 postings shuffle for tf, one hash-agg on term
+    for df(t), and a broadcast of the 1-row corpus count; the per-doc
+    top-k is a (doc) window over the postings frame — rank state only,
+    no second corpus scan.
+
+    Determinism contract: idf = ln(N/df) is the one libm op — it is
+    rounded to INTEGER MICRO-NATS before the tf multiply, so the
+    ranking key ``score_micro = tf · round(ln(N/df)·1e6)`` is an exact
+    long and the (score desc, term asc) order — and therefore the top-k
+    row SET — is identical across engines (a last-ulp ln difference
+    would need to move the micro-rounding across a boundary to matter:
+    P ~ 1e-10 per term).
+    """
+    post = postings(df, text_col, id_col)
+    n = df.select(F.count(F.lit(1)).alias("n"))
+    dfreq = post.groupBy("term").agg(
+        F.countDistinct(id_col).alias("dft")
+    )
+    idf_micro = F.round(
+        F.log(F.col("n").cast("double") / F.col("dft").cast("double"))
+        * 1e6
+    ).cast("long")
+    scored = (
+        post.join(F.broadcast(n))
+        .join(dfreq, "term")
+        .select(
+            id_col, "term",
+            (F.col("tf") * idf_micro).alias("score_micro"),
+        )
+    )
+    wnd = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "score_micro",
+                F.col("rnk").cast("int").alias("rnk"))
     )
