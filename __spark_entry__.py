@@ -2133,6 +2133,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_cms_word_freq"] = t_cms
 
+    # sampled order-statistics quantiles (the monitoring quartet's
+    # quantile member): median + p90 of text length per source over the
+    # fraction=0.5 hash-deterministic sample
+    def t_quant(s, sf):
+        d = _docs(s, sf).select(
+            "doc_id", "source", F.length("text").alias("text_len")
+        )
+        return sampling.sampled_quantiles(
+            d, "text_len", "source", qs=(0.5, 0.9), fraction=0.5
+        )
+
+    q["t_sampled_quantiles"] = t_quant
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -4413,6 +4426,32 @@ FROM m
         "AS bucket FROM pex) "
         "SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_count "
         "FROM pb LEFT JOIN cms USING (r, bucket) GROUP BY item"
+    )
+
+    # sampled quantiles: replay the hash-deterministic keep filter and
+    # the explicit ceil(q·n)-th order statistic
+    _sq_poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx,{i},1)) - 1) * "
+        f"{16 ** (15 - i)}"
+        for i in range(1, 16)
+    )
+    _sq_keep = int(0.5 * 16 ** 15)
+    _sq_base = (
+        "WITH s AS (SELECT source, length(text) AS v FROM "
+        "(SELECT source, text, md5(CAST(doc_id AS VARCHAR)) AS hx "
+        "FROM documents WHERE text IS NOT NULL) "
+        f"WHERE CAST({_sq_poly} AS BIGINT) < {_sq_keep}), "
+        "r AS (SELECT source, v, row_number() OVER "
+        "(PARTITION BY source ORDER BY v) AS rn, "
+        "count(*) OVER (PARTITION BY source) AS n FROM s) "
+    )
+    o["t_sampled_quantiles"] = _sq_base + (
+        "SELECT source, CAST(0.5 AS DOUBLE) AS q, "
+        "CAST(v AS DOUBLE) AS quantile_value FROM r "
+        "WHERE rn = ceil(0.5 * n) "
+        "UNION ALL "
+        "SELECT source, CAST(0.9 AS DOUBLE), CAST(v AS DOUBLE) FROM r "
+        "WHERE rn = ceil(0.9 * n)"
     )
 
     o["t_kmv_distinct_words"] = (

@@ -128,3 +128,24 @@ def test_shard_manifest_totals(spark):
     for s, m in per_shard.items():
         keys = [r["sort_key"] for r in rows.values() if r["shard"] == s]
         assert (m["min_key"], m["max_key"]) == (min(keys), max(keys))
+
+
+def test_sampled_quantiles_exact_order_stats(spark):
+    # full-data mode (fraction=1): quantiles are the exact ceil(q*n)-th
+    # order statistic, replayed in pure Python
+    from vyntr_spark.operators.sampling import sampled_quantiles
+
+    import math
+    rows = [(i, "a", v) for i, v in enumerate([5, 1, 9, 3, 7])] + \
+           [(10 + i, "b", v) for i, v in enumerate([2, 2, 2, 8])] + \
+           [(99, "c", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v int")
+    got = {(r["source"], r["q"]): r["quantile_value"]
+           for r in sampled_quantiles(df, "v", "source",
+                                      qs=(0.5, 0.9)).collect()}
+    for grp, vals in (("a", [1, 3, 5, 7, 9]), ("b", [2, 2, 2, 8])):
+        for q in (0.5, 0.9):
+            want = float(sorted(vals)[math.ceil(q * len(vals)) - 1])
+            assert got[(grp, q)] == want, (grp, q)
+    # group with only NULLs contributes no rows
+    assert not any(g == "c" for g, _ in got)

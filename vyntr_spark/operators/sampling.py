@@ -191,3 +191,50 @@ def shard_manifest(plan: DataFrame,
         aggs.insert(1, F.sum(F.col(weight_col).cast("long"))
                     .alias("total_weight"))
     return plan.groupBy("shard").agg(*aggs)
+
+
+def sampled_quantiles(df: DataFrame, val_col: str,
+                      group_col: str = "source",
+                      qs: tuple[float, ...] = (0.5, 0.9),
+                      fraction: float = 1.0,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Per-group quantiles by EXPLICIT order statistics over the
+    hash-deterministic sample — the monitoring quartet's quantile member
+    next to HLL/KMV/CMS (operators/sketches.py).
+
+    Why not percentile_approx / quantile_cont: their interpolation and
+    sketch internals are engine-private, so the value could never be
+    oracle-checked. Here quantile q = the ceil(q·n)-th smallest sample
+    value — pure rank math both engines replay exactly (ceil on an
+    exact q·n double of small ints; ties on value broken by the rank
+    itself, so duplicated values are handled identically).
+
+    Scale: the sample filter rides the scan (zero shuffle,
+    sample_deterministic); the window sorts only the SAMPLE within each
+    group. At 10^10 rows pick fraction so groups sample to ~10^5 rows —
+    rank-error ~1/sqrt(samples) like any Bernoulli-sampled quantile.
+    Returns (group, q, quantile_value).
+    """
+    base = (
+        sample_deterministic(df, fraction, key_col) if fraction < 1.0
+        else df
+    )
+    vals = base.select(
+        F.col(group_col).alias("grp"), F.col(val_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    wnd = Window.partitionBy("grp").orderBy("v")
+    ranked = vals.select(
+        "grp", "v",
+        F.row_number().over(wnd).alias("rn"),
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    out = None
+    for q in qs:
+        pick = ranked.filter(
+            F.col("rn") == F.ceil(F.lit(float(q)) * F.col("n"))
+        ).select(
+            F.col("grp").alias(group_col),
+            F.lit(float(q)).alias("q"),
+            F.col("v").cast("double").alias("quantile_value"),
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out
