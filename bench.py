@@ -336,6 +336,21 @@ def main() -> None:
         if want(name):
             timed(name, lambda n=name: qmap[n](spark, sf_dir).count())
 
+    # cross-round comparability: `value` grows whenever coverage grows
+    # (new operators are added to the timed set every round), so extras
+    # carries the subtotal of the round-1-era core set — compare THAT
+    # (and the pages/s / frontier-URLs/s extras) across rounds, not the
+    # headline total.
+    core_set = [
+        "crawl_rounds", "extract_all", "seen_antijoin", "d1_clean_regex",
+        "p5_postings", "p8_bm25_topk", "t_minhash_lsh_pairs", "t_simhash",
+        "e9_cosine_topk", "e6_vector_mean", "c6_politeness_window",
+        "h1_pricing_summary", "t_langid",
+    ]
+    extras["core_set_sec"] = round(
+        sum(timings[k] for k in core_set if k in timings), 3
+    )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_runtime",
