@@ -2133,6 +2133,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_cms_word_freq"] = t_cms
 
+    # CMS sweep → exact confirm heavy hitters (same shape as
+    # MinHash→Jaccard): the sketch pass is map-side vs broadcast
+    # counters, the exact pass aggregates candidates only
+    def t_hh(s, sf):
+        from vyntr_spark.operators import sketches
+
+        return sketches.cms_heavy_hitters(
+            _word_rows(s, sf), "word", min_count=500
+        )
+
+    q["t_cms_heavy_hitters"] = t_hh
+
     # sampled order-statistics quantiles (the monitoring quartet's
     # quantile member): median + p90 of text length per source over the
     # fraction=0.5 hash-deterministic sample
@@ -4426,6 +4438,15 @@ FROM m
         "AS bucket FROM pex) "
         "SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_count "
         "FROM pb LEFT JOIN cms USING (r, bucket) GROUP BY item"
+    )
+
+    # heavy hitters: the oracle is the PLAIN exact spec — CMS never
+    # undershoots, so sweep→confirm must return exactly the true set;
+    # agreement proves the sketch path lossless, like the phash oracle
+    o["t_cms_heavy_hitters"] = (
+        "SELECT item, CAST(count(*) AS BIGINT) AS exact_count "
+        f"FROM (SELECT unnest({_TOKS}) AS item FROM documents) "
+        "GROUP BY item HAVING count(*) >= 500"
     )
 
     # sampled quantiles: replay the hash-deterministic keep filter and

@@ -114,3 +114,16 @@ def test_cms_lookup_broadcasts_sketch(spark):
     est = cms_estimate(cms_build(df, "word"), df, "word")
     assert audit.has_broadcast_join(est)
     assert audit.python_eval_count(est) == 0
+
+
+def test_cms_heavy_hitters_equals_exact(spark):
+    from collections import Counter
+
+    from vyntr_spark.operators.sketches import cms_heavy_hitters
+
+    words = [f"tail{i}" for i in range(300)] + ["hot"] * 50 + ["warm"] * 20
+    truth = {w: c for w, c in Counter(words).items() if c >= 20}
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["item"]: r["exact_count"]
+           for r in cms_heavy_hitters(df, "word", min_count=20).collect()}
+    assert got == truth  # sweep+confirm == exact spec, nothing lost

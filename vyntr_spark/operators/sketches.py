@@ -172,3 +172,28 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, col: str,
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
         .alias("cms_count")
     )
+
+
+def cms_heavy_hitters(df: DataFrame, col: str, min_count: int,
+                      d: int = 4, w: int = 256) -> DataFrame:
+    """Heavy hitters by the sweep→confirm composition (the same shape as
+    MinHash→exact-Jaccard): the broadcast CMS filters the corpus to
+    CANDIDATES (cms_count ≥ min_count — no false negatives, CMS never
+    undershoots), then one exact count over candidates only confirms.
+    At 100 TB the exact pass aggregates the rare heavy items instead of
+    every distinct item; the sketch pass is map-side against d·w
+    broadcast counters.
+
+    Returns (item, exact_count) for items with true count ≥ min_count.
+    """
+    cms = cms_build(df, col, d, w)
+    cand = cms_estimate(cms, df, col, d, w).filter(
+        F.col("cms_count") >= min_count
+    ).select("item")
+    return (
+        df.select(F.col(col).alias("item"))
+        .join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .filter(F.col("exact_count") >= min_count)
+    )
