@@ -1987,6 +1987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # ---- temporal/event ops: sessionization + point-in-time as-of join --
+    # batch tumbling-window rollup (the streaming metrics agg's batch
+    # twin; exact integer-cent sums)
+    q["t_window_rollup"] = lambda s, sf: temporal.window_rollup(
+        s.read.parquet(f"{sf}/events.parquet"), minutes=60
+    )
+
     q["t_sessionize"] = lambda s, sf: temporal.sessionize(
         _events(s, sf), gap_minutes=30
     )
@@ -4110,6 +4116,15 @@ FROM j GROUP BY domain
     # gap-based sessionization: strictly-more-than-30min gap starts a new
     # session; all time math on epoch-microsecond INTEGERS (matches
     # temporal.sessionize's unix_micros contract)
+    o["t_window_rollup"] = (
+        # epoch-aligned tumbling windows: time_bucket matches F.window's
+        # alignment for 60-minute widths; exact integer-cent value sums
+        "SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start, "
+        "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 2) "
+        "AS sum_value FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
+    )
+
     o["t_sessionize"] = """
 WITH x AS (SELECT user_id, ts, event_id, value,
   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -79,3 +79,25 @@ def test_asof_join_no_nested_loop(spark):
     plan = (temporal.asof_join(df, df, key="user_id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_window_rollup_alignment_and_sums(spark):
+    from vyntr_spark.operators.temporal import window_rollup
+
+    rows = [
+        (1, "2020-01-01 10:05:00", "a", 1.115),
+        (2, "2020-01-01 10:59:59", "a", 2.0),
+        (3, "2020-01-01 11:00:00", "a", 4.0),   # next window boundary
+        (4, "2020-01-01 10:30:00", "b", 0.005), # cent rounding half-up
+        (5, None, "a", 9.0),                    # null ts dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    got = {(str(r["window_start"]), r["event_type"]):
+           (r["n_events"], r["sum_value"])
+           for r in window_rollup(df, minutes=60).collect()}
+    assert got[("2020-01-01 10:00:00", "a")] == (2, 3.12)  # 1.115->1.12
+    assert got[("2020-01-01 11:00:00", "a")] == (1, 4.0)
+    assert got[("2020-01-01 10:00:00", "b")] == (1, 0.01)
+    assert len(got) == 3

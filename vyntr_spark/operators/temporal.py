@@ -124,3 +124,34 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         *[F.col(f"_rv.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out
+
+
+def window_rollup(events: DataFrame, minutes: int = 60,
+                  type_col: str = "event_type",
+                  ts_col: str = "ts",
+                  val_col: str = "value") -> DataFrame:
+    """Tumbling-window rollup — the BATCH form of the streaming metrics
+    aggregation (streaming/frontier_stream.py uses the same F.window
+    semantics with a watermark): epoch-aligned windows of ``minutes``,
+    count + exact-cent value sum per (window, type). One hash agg; the
+    window start is a pure projection of ts so the shuffle key is
+    (window_start, type) — never a per-event sort.
+
+    Exactness: the value sum uses the integer-cent trick (floor(v·100 +
+    0.5) longs) so the 2dp surface is addition-order-independent; the
+    window start is exact integer floor division on epoch micros
+    (matching DuckDB's epoch-aligned time_bucket).
+    """
+    cents = F.floor(F.col(val_col) * 100 + 0.5).cast("long")
+    win = F.window(F.col(ts_col), f"{minutes} minutes")
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            win.getField("start").alias("window_start"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(cents) / 100.0, 2).alias("sum_value"),
+        )
+    )
