@@ -1993,6 +1993,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s.read.parquet(f"{sf}/events.parquet"), minutes=60
     )
 
+    # sliding (hopping) windows: each event replicates into
+    # window/slide = 2 windows
+    q["t_sliding_window"] = lambda s, sf: temporal.sliding_window_rollup(
+        s.read.parquet(f"{sf}/events.parquet"), minutes=60,
+        slide_minutes=30,
+    )
+
     q["t_sessionize"] = lambda s, sf: temporal.sessionize(
         _events(s, sf), gap_minutes=30
     )
@@ -4123,6 +4130,17 @@ FROM j GROUP BY domain
         "event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 2) "
         "AS sum_value FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
+    )
+
+    o["t_sliding_window"] = (
+        # 60-min windows sliding 30: every event belongs to exactly the
+        # windows starting at its 30-min bucket and 30 min earlier
+        "SELECT ws AS window_start, event_type, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM "
+        "(SELECT event_type, unnest(["
+        "time_bucket(INTERVAL '30 minutes', ts), "
+        "time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'"
+        "]) AS ws FROM events WHERE ts IS NOT NULL) GROUP BY 1, 2"
     )
 
     o["t_sessionize"] = """

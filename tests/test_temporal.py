@@ -101,3 +101,22 @@ def test_window_rollup_alignment_and_sums(spark):
     assert got[("2020-01-01 11:00:00", "a")] == (1, 4.0)
     assert got[("2020-01-01 10:00:00", "b")] == (1, 0.01)
     assert len(got) == 3
+
+
+def test_sliding_window_replication(spark):
+    import pyspark.sql.functions as F
+
+    from vyntr_spark.operators.temporal import sliding_window_rollup
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 10:15:00", "a")],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(str(r["window_start"])
+                 for r in sliding_window_rollup(df, 60, 30).collect())
+    # one event -> exactly two 60-min windows, 30 min apart
+    assert got == ["2020-01-01 09:30:00", "2020-01-01 10:00:00"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sliding_window_rollup(df, 60, 45)

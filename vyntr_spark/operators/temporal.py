@@ -155,3 +155,28 @@ def window_rollup(events: DataFrame, minutes: int = 60,
             F.round(F.sum(cents) / 100.0, 2).alias("sum_value"),
         )
     )
+
+
+def sliding_window_rollup(events: DataFrame, minutes: int = 60,
+                          slide_minutes: int = 30,
+                          type_col: str = "event_type",
+                          ts_col: str = "ts") -> DataFrame:
+    """Sliding (hopping) window counts — F.window with a slide: each
+    event lands in window/slide overlapping windows (the replication
+    factor is the constant window/slide, so data volume scales linearly,
+    not with window width). Spark materializes the replication inside
+    the window expression; the oracle replays it as an explicit
+    unnest-over-offsets join, which is also the portable spelling for
+    engines without native hopping windows."""
+    if minutes % slide_minutes:
+        raise ValueError("window must be a multiple of slide")
+    win = F.window(F.col(ts_col), f"{minutes} minutes",
+                   f"{slide_minutes} minutes")
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            win.getField("start").alias("window_start"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
