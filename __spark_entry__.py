@@ -1899,6 +1899,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g4_hits"] = g4
 
+    # g5: global triangle count over the same generated edge set —
+    # degree-ordered orientation (compact-forward), see graph.py
+    def g5(s, sf):
+        d = _docs(s, sf).select("doc_id")
+        n = d.count()
+        parts = [
+            d.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * m + o) % n).alias("dst"),
+            )
+            for m, o in _PR_EDGE_GENS
+        ]
+        edges = (
+            parts[0].unionByName(parts[1]).unionByName(parts[2])
+            .filter((F.col("src") % 11 != 5) & (F.col("src") != F.col("dst")))
+        )
+        return graph.triangle_count(edges)
+
+    q["g5_triangles"] = g5
+
     def g2(s, sf):
         d = _docs(s, sf)
         pairs = textstats.minhash_lsh_pairs(d, n_hashes=8, bands=4)
@@ -3958,6 +3978,25 @@ FROM tk t LEFT JOIN agg a USING (doc_id)
         " SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM pr5"
     )
     o["g1_pagerank"] = pr_sql
+
+    # triangles: plain canonical-edge (u>v) three-way join — a triangle
+    # {x<y<z} is counted once as a=(y,x), b=(z,x), c=(z,y); the Spark
+    # side uses the degree-oriented algorithm, so agreement checks the
+    # orientation logic too
+    o["g5_triangles"] = (
+        "WITH e0 AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id * {m} + {off}) % "
+            "(SELECT count(*) FROM documents) AS dst FROM documents"
+            for m, off in _PR_EDGE_GENS
+        )
+        + "), e AS (SELECT DISTINCT greatest(src, dst) AS u, "
+        "least(src, dst) AS v FROM e0 "
+        "WHERE src % 11 <> 5 AND src <> dst) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM e a JOIN e b ON a.v = b.v AND a.u < b.u "
+        "JOIN e c ON c.u = b.u AND c.v = a.u"
+    )
 
     # HITS: unrolled half-steps with L1 normalization, identical
     # recurrence to operators/graph.py:hits over the g1 edge set

@@ -219,3 +219,28 @@ def test_neardup_keep_full_corpus(spark):
         assert by_id[i]["keep"] == 1 and by_id[i]["canonical_id"] == i
     # exactly one keeper per canonical cluster
     assert sum(r["keep"] for r in out) == 12 - 3
+
+
+def test_triangle_count_known_graph(spark):
+    from vyntr_spark.operators.graph import triangle_count
+
+    # K4 on {0,1,2,3} (4 triangles) + a pendant edge + a hub wedge with
+    # no closure; edges given in mixed/duplicated/directed form to
+    # exercise canonicalization
+    edges = [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (5, 6), (5, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_no_python_no_window(spark):
+    from tests.test_plans import audit
+
+    from vyntr_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    tri = triangle_count(df)
+    plan = audit.executed_plan(tri)
+    assert "Window" not in plan
+    assert audit.python_eval_count(tri) == 0
+    assert tri.collect()[0]["n_triangles"] == 1
