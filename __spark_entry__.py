@@ -1919,6 +1919,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g5_triangles"] = g5
 
+    # g6: per-node local clustering coefficient over the same edges
+    def g6(s, sf):
+        d = _docs(s, sf).select("doc_id")
+        n = d.count()
+        parts = [
+            d.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * m + o) % n).alias("dst"),
+            )
+            for m, o in _PR_EDGE_GENS
+        ]
+        edges = (
+            parts[0].unionByName(parts[1]).unionByName(parts[2])
+            .filter((F.col("src") % 11 != 5) & (F.col("src") != F.col("dst")))
+        )
+        return graph.clustering_coefficient(edges)
+
+    q["g6_clustering"] = g6
+
     def g2(s, sf):
         d = _docs(s, sf)
         pairs = textstats.minhash_lsh_pairs(d, n_hashes=8, bands=4)
@@ -3996,6 +4015,29 @@ FROM tk t LEFT JOIN agg a USING (doc_id)
         "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
         "FROM e a JOIN e b ON a.v = b.v AND a.u < b.u "
         "JOIN e c ON c.u = b.u AND c.v = a.u"
+    )
+
+    o["g6_clustering"] = (
+        "WITH e0 AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id * {m} + {off}) % "
+            "(SELECT count(*) FROM documents) AS dst FROM documents"
+            for m, off in _PR_EDGE_GENS
+        )
+        + "), e AS (SELECT DISTINCT greatest(src, dst) AS u, "
+        "least(src, dst) AS v FROM e0 "
+        "WHERE src % 11 <> 5 AND src <> dst), "
+        "deg AS (SELECT n, count(*) AS deg FROM "
+        "(SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1), "
+        "tri AS (SELECT a.v AS x, a.u AS y, b.u AS z "
+        "FROM e a JOIN e b ON a.v = b.v AND a.u < b.u "
+        "JOIN e c ON c.u = b.u AND c.v = a.u), "
+        "pn AS (SELECT n, count(*) AS n_triangles FROM "
+        "(SELECT unnest([x, y, z]) AS n FROM tri) GROUP BY 1) "
+        "SELECT deg.n AS node, CAST(deg AS BIGINT) AS deg, "
+        "CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles, "
+        "round(coalesce(n_triangles, 0) / (deg * (deg - 1) / 2.0), 4) "
+        "AS coeff FROM deg LEFT JOIN pn USING (n) WHERE deg >= 2"
     )
 
     # HITS: unrolled half-steps with L1 normalization, identical

@@ -244,3 +244,19 @@ def test_triangle_count_no_python_no_window(spark):
     assert "Window" not in plan
     assert audit.python_eval_count(tri) == 0
     assert tri.collect()[0]["n_triangles"] == 1
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from vyntr_spark.operators.graph import clustering_coefficient
+
+    # K4 {0,1,2,3} + pendant 3-4: inside K4 each node has deg 3 (node 3:
+    # deg 4) and touches 3 triangles; node 4 deg 1 excluded
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["n_triangles"], r["coeff"])
+           for r in clustering_coefficient(df).collect()}
+    assert got[0] == (3, 3, 1.0)
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    assert got[3] == (4, 3, 0.5)   # 3 of the 6 possible pairs closed
+    assert 4 not in got            # deg < 2

@@ -290,3 +290,52 @@ def test_stream_neardup_matches_batch_pairs(spark, tmp_path):
     got_dups = {r["doc_id"] for r in
                 spark.read.parquet(out).filter("is_dup").collect()}
     assert got_dups == want_dups == {2, 4}
+
+
+def test_stream_hll_matches_batch(spark, tmp_path):
+    from vyntr_spark.operators.sketches import hll_distinct
+    from vyntr_spark.streaming.frontier_stream import (
+        hll_estimates_from_sink, stream_hll_distinct,
+    )
+
+    events_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "hll")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [
+        ("2020-01-01 10:%02d:00" % (i % 60), f"host{i % 37}.example")
+        for i in range(300)
+    ] + [
+        ("2020-01-01 11:%02d:00" % (i % 60), f"h{i}.example")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "ts string, host string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.write.mode("append").parquet(events_dir)
+    stream_hll_distinct(spark, events_dir, out, ckpt)
+    # close the watermark: a late row far in the future flushes windows
+    spark.createDataFrame(
+        [("2020-01-02 10:00:00", "flush.example")], "ts string, host string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(
+        events_dir
+    )
+    stream_hll_distinct(spark, events_dir, out, ckpt)
+
+    got = {
+        str(r["window_start"]): r["hll_estimate"]
+        for r in hll_estimates_from_sink(spark, out).collect()
+    }
+    # batch replay: same rows, grouped by the same window
+    batch = df.select(
+        F.date_trunc("hour", "ts").alias("w").cast("string"), "host"
+    )
+    want = {
+        r["w"]: r["hll_estimate"]
+        for r in hll_distinct(batch, "host", group_col="w").collect()
+    }
+    assert set(want) <= set(got)
+    for w, est in want.items():
+        assert got[w] == est, w
+    assert 30 <= got["2020-01-01 10:00:00"] <= 45   # true 37
+    assert 65 <= got["2020-01-01 11:00:00"] <= 100  # true 80

@@ -490,3 +490,64 @@ def triangle_count(edges: DataFrame, src: str = "src",
         "left_semi",
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient C(v) = triangles_at(v) /
+    C(deg(v), 2) — the standard cohesion signal over the link graph
+    (boilerplate site clusters score near 1, organic link neighborhoods
+    much lower). Same degree-oriented triangle enumeration as
+    triangle_count (each triangle found once), with the three corners
+    exploded back out so every node collects its own count; wedge
+    capacity is pure integer math on the degree table. Returns
+    (node, deg, n_triangles, coeff 4dp) for nodes with deg >= 2."""
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(
+            e.select(F.col("v").alias("n"))
+        )
+        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("n").alias("u"),
+                          F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"),
+                         F.col("deg").alias("dv")), "v")
+    )
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = with_deg.select(
+        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
+    )
+    x, y, z = o.alias("x"), o.alias("y"), o.alias("z")
+    tri = (
+        x.join(y, F.col("x.s") == F.col("y.s"))
+        .filter(F.col("x.d") != F.col("y.d"))
+        .join(z, (F.col("z.s") == F.col("x.d"))
+              & (F.col("z.d") == F.col("y.d")), "left_semi")
+    )
+    per_node = (
+        tri.select(
+            F.explode(
+                F.array(F.col("x.s"), F.col("x.d"), F.col("y.d"))
+            ).alias("n")
+        )
+        .groupBy("n").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.round(
+                F.coalesce("n_triangles", F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1) / 2.0), 4
+            ).alias("coeff"),
+        )
+    )

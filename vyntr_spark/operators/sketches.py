@@ -53,24 +53,43 @@ def hll_distinct(df: DataFrame, col: str, group_col: str = "source",
     conversion (`conv(w,10,2)` / `printf('%b',w)`) — exact integer
     string ops, no log2 libm hazards.
     """
-    m = 1 << b
-    shift = HASH_BITS - b
-    mask = (1 << shift) - 1
-    h = _h60(F.col(col))
-    w = h.bitwiseAND(F.lit(mask))
-    bitlen = F.length(F.conv(w, 10, 2))
-    rank = F.when(w == 0, F.lit(shift + 1)).otherwise(
-        F.lit(shift) - bitlen + 1
-    ).cast("int")
     per_bucket = (
         df.select(
             F.col(group_col).alias("grp"),
-            F.shiftright(h, shift).cast("int").alias("bucket"),
-            rank.alias("rank"),
+            hll_bucket_expr(F.col(col), b).alias("bucket"),
+            hll_rank_expr(F.col(col), b).alias("rank"),
         )
         .groupBy("grp", "bucket")
         .agg(F.max("rank").alias("mx"))
     )
+    return hll_finalize(per_bucket, b).select(
+        F.col("grp").alias(group_col), "hll_estimate"
+    )
+
+
+def hll_bucket_expr(col, b: int = 6):
+    """Top-b hash bits — the HLL bucket of a value column."""
+    return F.shiftright(_h60(col), HASH_BITS - b).cast("int")
+
+
+def hll_rank_expr(col, b: int = 6):
+    """Leading-zero rank of the low hash bits (bit_length via base-2
+    string conversion — exact, no log2 libm hazard)."""
+    shift = HASH_BITS - b
+    w = _h60(col).bitwiseAND(F.lit((1 << shift) - 1))
+    bitlen = F.length(F.conv(w, 10, 2))
+    return F.when(w == 0, F.lit(shift + 1)).otherwise(
+        F.lit(shift) - bitlen + 1
+    ).cast("int")
+
+
+def hll_finalize(per_bucket: DataFrame, b: int = 6) -> DataFrame:
+    """Turn (grp, bucket, mx) sketch state into the estimate — the
+    merge/finalize half of the sketch, shared by the batch operator and
+    the streaming variant (whose state arrives from a watermarked
+    streaming max agg). See hll_distinct for the exactness contract."""
+    m = 1 << b
+    shift = HASH_BITS - b
     alpha = hll_alpha(m)
     scale = shift + 1  # 2^(scale - M) is integral for every M <= scale
     agg = per_bucket.groupBy("grp").agg(
@@ -89,8 +108,7 @@ def hll_distinct(df: DataFrame, col: str, group_col: str = "source",
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
     return agg.select(
-        F.col("grp").alias(group_col),
-        (F.round(est, 4) + F.lit(0.0)).alias("hll_estimate"),
+        "grp", (F.round(est, 4) + F.lit(0.0)).alias("hll_estimate")
     )
 
 

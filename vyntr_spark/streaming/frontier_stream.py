@@ -400,3 +400,59 @@ def stream_neardup_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+def stream_hll_distinct(spark: SparkSession, events_dir: str, out_dir: str,
+                        checkpoint_dir: str, col: str = "host",
+                        window: str = "1 hour", watermark: str = "2 hours",
+                        b: int = 6):
+    """Windowed distinct-count sketch over the stream — "distinct hosts
+    fetched per hour" without keeping every host in state: streaming
+    state per (window, bucket) is ONE int (the max rank), i.e. ≤ 2^b
+    rows per window whatever the traffic, emitted append-mode when the
+    watermark closes the window. The batch finalize (read the sink,
+    hll_finalize) turns state into estimates — bit-identical to running
+    the batch hll_distinct on the same rows grouped by window, which is
+    what the parity test pins."""
+    from vyntr_spark.operators.sketches import hll_bucket_expr, hll_rank_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField(col, T.StringType(), True),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        src.filter(F.col(col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            hll_bucket_expr(F.col(col), b).alias("bucket"),
+        )
+        .agg(F.max(hll_rank_expr(F.col(col), b)).alias("mx"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "mx")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def hll_estimates_from_sink(spark: SparkSession, out_dir: str,
+                            b: int = 6) -> "DataFrame":
+    """Batch finalize over the streaming sketch sink."""
+    from vyntr_spark.operators.sketches import hll_finalize
+
+    state = spark.read.parquet(out_dir).select(
+        F.col("window_start").alias("grp"), "bucket", "mx"
+    )
+    return hll_finalize(state, b).select(
+        F.col("grp").alias("window_start"), "hll_estimate"
+    )
