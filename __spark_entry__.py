@@ -34,6 +34,7 @@ from vyntr_spark.operators.vectors import projection_planes  # noqa: E402
 
 NSFW_SET = ["src1", "src13"]
 BM25_QUERY = ["spark", "data", "window"]
+RRF_QUERY_B = ["hash", "sort", "merge"]  # second list for RRF fusion
 
 # W7 full-table pairs: (event_id % len) -> conversion; covers plain
 # ratio, the temperature chain, both fuel-inversion directions,
@@ -295,6 +296,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["p8b_bm25_from_index"] = p8b
+
+    # W13 (extension): reciprocal-rank fusion of two BM25 query variants
+    # (the hybrid-search combiner; rank-based so raw scores never mix)
+    def w13(s, sf):
+        from pyspark.sql import Window as _W
+
+        def ranked(terms):
+            top = pulse.bm25_topk(_docs(s, sf), terms, k=10)
+            return top.select(
+                "doc_id",
+                F.row_number().over(
+                    _W.orderBy(F.col("score").desc(), F.col("doc_id"))
+                ).alias("rank"),
+            )
+
+        from vyntr_spark.operators import serving as _sv
+
+        return _sv.rrf_fuse(ranked(BM25_QUERY), ranked(RRF_QUERY_B))
+
+    q["w13_rrf_fusion"] = w13
 
     # P12 (extension): per-doc tf·idf keyword extraction — exact-long
     # ranking key (micro-nat idf), so the top-k SET is cross-engine
@@ -2464,8 +2485,9 @@ FROM f
         f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents) t GROUP BY doc_id"
     )
 
-    terms_sql = ",".join(f"('{t}')" for t in BM25_QUERY)
-    o["p8_bm25_topk"] = f"""
+    def _bm25_sql(terms: list[str]) -> str:
+        terms_sql = ",".join(f"('{t}')" for t in terms)
+        return f"""
 WITH toklist AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 post AS (SELECT term, doc_id, count(*) AS tf FROM toklist GROUP BY term, doc_id),
 ds AS (SELECT doc_id, count(*) AS dl FROM toklist GROUP BY doc_id),
@@ -2481,6 +2503,23 @@ SELECT doc_id, round(sum(contrib), 4) AS score FROM (
   FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
 ) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+
+    o["p8_bm25_topk"] = _bm25_sql(BM25_QUERY)
+
+    o["w13_rrf_fusion"] = (
+        # two BM25 variants -> 1-based ranks -> RRF with k=60; the
+        # 2-term IEEE sum has fixed order on both engines
+        f"WITH la AS (SELECT doc_id, row_number() OVER "
+        f"(ORDER BY score DESC, doc_id) AS ra FROM ({_bm25_sql(BM25_QUERY)})), "
+        f"lb AS (SELECT doc_id, row_number() OVER "
+        f"(ORDER BY score DESC, doc_id) AS rb FROM ({_bm25_sql(RRF_QUERY_B)})), "
+        "j AS (SELECT doc_id, "
+        "coalesce(CAST(1 AS DOUBLE) / (60 + ra), CAST(0 AS DOUBLE)) + "
+        "coalesce(CAST(1 AS DOUBLE) / (60 + rb), CAST(0 AS DOUBLE)) "
+        "AS s FROM la FULL OUTER JOIN lb USING (doc_id)) "
+        "SELECT doc_id, round(s, 6) AS rrf_score FROM j "
+        "ORDER BY s DESC, doc_id LIMIT 10"
+    )
 
     # P4 full domain semantics: replicate the Rust trim_start_matches
     # chain (repeated http:// then https:// then www.) + first-'/' split

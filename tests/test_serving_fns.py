@@ -100,3 +100,19 @@ def test_proxy_pool_loader_and_assignment(spark):
 
     empty = assign_proxies(batch, pool.filter("proxy_idx < 0"), 9, 2)
     assert empty.filter(F.col("proxy_idx").isNotNull()).count() == 0
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from vyntr_spark.operators.serving import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r["rrf_score"]
+           for r in rrf_fuse(a, b, k=60, topk=10).collect()}
+    assert got[3] == round(1 / 63 + 1 / 61, 6)   # in both lists, wins
+    assert got[1] == round(1 / 61, 6)
+    assert got[4] == round(1 / 62, 6)
+    assert got[2] == round(1 / 62, 6)
+    # doc 3 (two lists) outranks every single-list doc
+    assert got[3] == max(got.values())

@@ -425,3 +425,33 @@ def holiday_occurrence(key: str, today: _date,
     else:
         d = this_year if this_year >= today else rule(today.year + 1)
     return name, d
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int = 60,
+             topk: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) — the standard
+    way a serving path combines two ranked lists (two query variants,
+    or BM25 + ANN in hybrid search): score(d) = Σ 1/(k + rank_i(d))
+    over the lists that contain d. Rank-based, so the two lists'
+    incomparable raw scores never mix; k=60 is the published default.
+
+    Inputs are (id, rank) frames (rank 1-based ints). Full-outer join on
+    the id — both lists are already top-N sized, so this is trivially
+    broadcastable at serving scale. The fused score is the same 2-term
+    IEEE sum on both engines (fixed term order, coalesce(·,0) for
+    absent), so the (score desc, id) top-k is deterministic."""
+    a = ranked_a.select(F.col(id_col).alias("id"),
+                        F.col("rank").alias("ra"))
+    b = ranked_b.select(F.col(id_col).alias("id"),
+                        F.col("rank").alias("rb"))
+    j = a.join(b, "id", "full_outer")
+    score = (
+        F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rb")), F.lit(0.0))
+    )
+    return (
+        j.select(F.col("id").alias(id_col), score.alias("_s"))
+        .orderBy(F.col("_s").desc(), id_col)
+        .limit(topk)
+        .select(id_col, F.round("_s", 6).alias("rrf_score"))
+    )
