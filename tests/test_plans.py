@@ -147,6 +147,25 @@ def test_pq_adc_topk_is_take_ordered(spark):
     assert audit.python_eval_count(df) == 0
 
 
+def test_r2_late_ops_stay_native(spark):
+    # every r2-late operator must stay fully JVM-side: no Python eval
+    # anywhere in these plans
+    for name in ["t_window_rollup", "t_sliding_window", "g5_triangles",
+                 "g6_clustering", "p12_tfidf_keywords", "w13_rrf_fusion",
+                 "t_cms_word_freq", "t_cms_heavy_hitters",
+                 "t_kmv_distinct_words", "t_sampled_quantiles"]:
+        df = entry_mod.queries()[name](spark, SF)
+        assert audit.python_eval_count(df) == 0, name
+
+
+def test_window_rollups_no_sort(spark):
+    # tumbling/sliding rollups are hash aggs keyed by a projected window
+    # start — a per-event Sort/Window would be the wrong plan
+    for name in ["t_window_rollup", "t_sliding_window"]:
+        plan = audit.executed_plan(entry_mod.queries()[name](spark, SF))
+        assert "Window" not in plan, name
+
+
 def test_hash_classifier_broadcasts_weights(spark):
     # the (feature, weight) table must come in by broadcast; the final
     # doc-keyed rejoin is corpus-scale on both sides and legitimately
