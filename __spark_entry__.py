@@ -2206,6 +2206,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_cms_word_freq"] = t_cms
 
+    # directed shingle CONTAINMENT (Broder): catches truncated/quoted
+    # subset duplicates whose symmetric Jaccard stays below threshold —
+    # injected half-length copies (every 20th doc) make it non-vacuous
+    def t_contain(s, sf):
+        d = _docs(s, sf).select("doc_id", "source", "text")
+        trunc = d.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            "source",
+            F.expr(
+                "substring(text, 1, CAST(floor(length(text)/2) AS INT))"
+            ).alias("text"),
+        )
+        return textstats.containment_pairs(
+            d.unionByName(trunc), threshold=0.8
+        )
+
+    q["t_containment"] = t_contain
+
     # CMS sweep → exact confirm heavy hitters (same shape as
     # MinHash→Jaccard): the sketch pass is map-side vs broadcast
     # counters, the exact pass aggregates candidates only
@@ -2866,6 +2884,24 @@ SELECT id_a, id_b, jaccard FROM (
          round(CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 ) t WHERE jaccard >= 0.2
+"""
+
+    o["t_containment"] = f"""
+WITH corpus AS (SELECT doc_id, source, text FROM documents
+  UNION ALL SELECT doc_id + 200000, source,
+    substring(text, 1, CAST(floor(length(text)/2) AS INTEGER))
+  FROM documents WHERE doc_id % 20 = 0),
+tk AS (SELECT doc_id, source, {_TOKS} AS toks FROM corpus),
+sh AS (SELECT doc_id, source, unnest({_SHINGLES}) AS shingle FROM tk WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS n_int
+          FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+          WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT id_sub, id_super, containment FROM (
+  SELECT id_sub, id_super,
+         round(CAST(n_int AS DOUBLE) / s.n_sh, 4) AS containment
+  FROM inter JOIN sizes s ON s.doc_id = id_sub
+) t WHERE containment >= 0.8
 """
 
     o["t_embed_neardup"] = f"""

@@ -397,3 +397,27 @@ def test_hash_classifier_known_weights(spark):
     for d in (2, 3):  # empty/null docs: neutral score, positive label
         assert out[d]["n_tokens"] == 0 and out[d]["score"] == 0.0
         assert out[d]["label"] is True
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from vyntr_spark.operators.textstats import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    short_text = " ".join(f"w{i}" for i in range(12))  # strict prefix
+    df = spark.createDataFrame(
+        [(1, "s", long_text), (2, "s", short_text), (3, "s", "x y z q r")],
+        "doc_id long, source string, text string",
+    )
+    got = {(r["id_sub"], r["id_super"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.8).collect()}
+    # the short doc is fully contained in the long one...
+    assert got[(2, 1)] == 1.0
+    # ...directed: the long one is NOT contained in the short one
+    assert (1, 2) not in got
+    assert not any(3 in p for p in got)
+    # and symmetric Jaccard misses this pair at the same threshold
+    jac = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) not in jac and (2, 1) not in jac

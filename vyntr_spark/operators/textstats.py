@@ -1172,3 +1172,47 @@ def hashed_linear_score(df: DataFrame, n_features: int = 1024,
             (F.coalesce(F.col("score"), F.lit(0.0)) >= 0).alias("label"),
         )
     )
+
+
+def containment_pairs(df: DataFrame, threshold: float = 0.8,
+                      text_col: str = "text", k: int = 3,
+                      group_col: str | None = "source") -> DataFrame:
+    """DIRECTED near-duplicate containment (Broder's resemblance-vs-
+    containment distinction, and the signal behind quote/subset dedup
+    in training pipelines): C(A→B) = |shingles(A) ∩ shingles(B)| /
+    |shingles(A)|. A truncated copy, a quoted excerpt, or a page
+    embedded in a boilerplate wrapper scores ~1.0 here while its
+    symmetric Jaccard can sit far below any dedup threshold — so a
+    Jaccard-only sweep KEEPS the subset duplicate.
+
+    Same blocked shingle equi-join as ngram_jaccard_pairs (never a
+    cross product); emits both directions of a pair when both clear
+    the threshold. Returns (id_sub, id_super, containment 4dp)."""
+    sh = shingles(df, text_col, k)
+    if group_col is not None:
+        sh = sh.join(df.select("doc_id", group_col), "doc_id")
+        join_keys = [group_col, "shingle"]
+    else:
+        join_keys = ["shingle"]
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(*([group_col] if group_col else []),
+                  F.col("doc_id").alias("id_sub"), "shingle")
+    b = sh.select(*([group_col] if group_col else []),
+                  F.col("doc_id").alias("id_super"), "shingle")
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("id_sub") != F.col("id_super"))
+        .groupBy("id_sub", "id_super")
+        .agg(F.count("*").alias("n_int"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "id_sub")
+            .withColumnRenamed("n_sh", "sh_sub"), "id_sub")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_int").cast("double") / F.col("sh_sub"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_sub", "id_super", "containment")
+    )
