@@ -2185,6 +2185,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_kmv_distinct_words"] = t_kmv
 
+    # HLL merge: per-source sketch states max-merged into ONE global
+    # estimate without revisiting the data (the property that makes
+    # sketches roll up across partitions/days/sources for free). The
+    # oracle computes the global HLL directly — max-of-maxes makes the
+    # two algebraically identical, so the merge path is value-checked.
+    def t_hll_u(s, sf):
+        from vyntr_spark.operators import sketches
+
+        return sketches.hll_merge_groups(_word_rows(s, sf), "word", "source")
+
+    q["t_hll_union"] = t_hll_u
+
     # Count-Min frequency sketch: build over every word occurrence,
     # point-query with doc 0's distinct words (broadcast d·w counters,
     # probe side never shuffles for the lookup)
@@ -4601,6 +4613,23 @@ FROM m
         f"{_hll_a} / CAST(s_present + (64 - nb) * {1 << 55} AS DOUBLE) "
         "AS raw FROM ag) "
         "SELECT source, round(CASE WHEN raw <= 160.0 AND v > 0 "
+        "THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END, 4) + 0.0 "
+        "AS hll_estimate FROM r"
+    )
+
+    o["t_hll_union"] = (
+        f"WITH hh AS ({_sk_words}), "
+        "pb AS (SELECT CAST(h >> 54 AS INTEGER) AS bucket, "
+        f"CAST(CASE WHEN (h & {_sk_mask}) = 0 THEN 55 "
+        f"ELSE 54 - length(printf('%b', h & {_sk_mask})) + 1 END "
+        "AS INTEGER) AS rank FROM hh), "
+        "mx AS (SELECT bucket, max(rank) AS mx FROM pb GROUP BY 1), "
+        "ag AS (SELECT sum(CAST(1 AS BIGINT) << (55 - mx)) AS s_present, "
+        "count(*) AS nb FROM mx), "
+        "r AS (SELECT (64 - nb) AS v, "
+        f"{_hll_a} / CAST(s_present + (64 - nb) * {1 << 55} AS DOUBLE) "
+        "AS raw FROM ag) "
+        "SELECT round(CASE WHEN raw <= 160.0 AND v > 0 "
         "THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE)) ELSE raw END, 4) + 0.0 "
         "AS hll_estimate FROM r"
     )

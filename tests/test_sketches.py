@@ -127,3 +127,21 @@ def test_cms_heavy_hitters_equals_exact(spark):
     got = {r["item"]: r["exact_count"]
            for r in cms_heavy_hitters(df, "word", min_count=20).collect()}
     assert got == truth  # sweep+confirm == exact spec, nothing lost
+
+
+def test_hll_merge_equals_single_group(spark):
+    from pyspark.sql import functions as F
+
+    from vyntr_spark.operators.sketches import hll_distinct, hll_merge_groups
+
+    rows = ([("a", f"w{i}") for i in range(400)]
+            + [("b", f"w{i}") for i in range(200, 700)]  # overlapping sets
+            + [("c", "w5")])
+    df = spark.createDataFrame(rows, "source string, word string")
+    merged = hll_merge_groups(df, "word", "source").collect()[0][
+        "hll_estimate"
+    ]
+    single = hll_distinct(
+        df.withColumn("g", F.lit("ALL")), "word", group_col="g"
+    ).collect()[0]["hll_estimate"]
+    assert merged == single  # max-of-maxes identity, bit-exact

@@ -215,3 +215,27 @@ def cms_heavy_hitters(df: DataFrame, col: str, min_count: int,
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .filter(F.col("exact_count") >= min_count)
     )
+
+
+def hll_merge_groups(df: DataFrame, col: str, group_col: str = "source",
+                     b: int = 6) -> DataFrame:
+    """Sketch MERGEABILITY made concrete: build the per-group HLL state,
+    then merge ALL groups into one global estimate with a second tiny
+    max-agg over ≤ m rows per group — the union costs nothing and never
+    revisits the data. This is why sketches beat exact distinct at
+    100 TB: per-partition/per-day/per-source states roll up to any
+    coarser grain for free. Returns one row (hll_estimate) for the
+    global distinct count."""
+    per_bucket = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            hll_bucket_expr(F.col(col), b).alias("bucket"),
+            hll_rank_expr(F.col(col), b).alias("rank"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("mx"))
+    )
+    merged = per_bucket.groupBy("bucket").agg(
+        F.max("mx").alias("mx")
+    ).withColumn("grp", F.lit("ALL"))
+    return hll_finalize(merged, b).select("hll_estimate")
