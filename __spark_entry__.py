@@ -2218,6 +2218,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_cms_word_freq"] = t_cms
 
+    # unified dedup VERDICT — the pipeline endpoint: every dup signal
+    # (exact fingerprint, MinHash-LSH resemblance, directed containment)
+    # unions into one edge set, components pick one canonical per
+    # cluster, and the whole corpus gets a keep/drop row. A writer
+    # consumes exactly this table.
+    def t_verdict(s, sf):
+        d = _docs(s, sf)
+        mh = textstats.minhash_lsh_pairs(d, n_hashes=8, bands=4).select(
+            "id_a", "id_b"
+        )
+        ct = textstats.containment_pairs(d, threshold=0.8).select(
+            F.col("id_sub").alias("id_a"), F.col("id_super").alias("id_b")
+        )
+        ex = textstats.exact_dups(d).select(
+            F.col("dup_id").alias("id_a"),
+            F.col("canonical_id").alias("id_b"),
+        )
+        return graph.neardup_keep(
+            d, mh.unionByName(ct).unionByName(ex)
+        )
+
+    q["t_dedup_verdict"] = t_verdict
+
     # directed shingle CONTAINMENT (Broder): catches truncated/quoted
     # subset duplicates whose symmetric Jaccard stays below threshold —
     # injected half-length copies (every 20th doc) make it non-vacuous
@@ -4196,6 +4219,46 @@ FROM reach GROUP BY node
     # LEFT JOIN back onto documents, keeper = canonical (min-id) member
     o["g2b_dedup_keep"] = f"""
 WITH comp AS (SELECT * FROM ({o["g2_neardup_components"]}) _g2)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(c.canonical_id, d.doc_id) AS BIGINT) AS canonical_id,
+  CASE WHEN coalesce(c.canonical_id, d.doc_id) = d.doc_id
+       THEN 1 ELSE 0 END AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+    # unified dedup verdict: union the three pair signals (MinHash-LSH
+    # reused verbatim from its own oracle; containment/exact restated on
+    # the PLAIN corpus), transitive closure, keep-list
+    o["t_dedup_verdict"] = f"""
+WITH RECURSIVE
+mh AS (SELECT id_a, id_b FROM ({o["t_minhash_lsh_pairs"]}) _m),
+tkv AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+shv AS (SELECT doc_id, source, unnest({_SHINGLES}) AS shingle FROM tkv WHERE len(toks) >= 3),
+szv AS (SELECT doc_id, count(*) AS n_sh FROM shv GROUP BY doc_id),
+icv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_int
+        FROM shv a JOIN shv b ON a.source = b.source AND a.shingle = b.shingle
+        WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+ct AS (SELECT id_a, id_b FROM (
+         SELECT id_a, id_b,
+                round(CAST(n_int AS DOUBLE) / s.n_sh, 4) AS c
+         FROM icv JOIN szv s ON s.doc_id = id_a) t WHERE c >= 0.8),
+fpv AS (SELECT doc_id,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+        FROM documents),
+exd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM fpv a
+        JOIN fpv b ON a.f = b.f AND a.doc_id < b.doc_id),
+e0 AS (SELECT id_a AS u, id_b AS v FROM mh
+       UNION SELECT id_a, id_b FROM ct
+       UNION SELECT id_a, id_b FROM exd),
+e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+nodes AS (SELECT DISTINCT u AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach
+         GROUP BY node)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
   CAST(coalesce(c.canonical_id, d.doc_id) AS BIGINT) AS canonical_id,
   CASE WHEN coalesce(c.canonical_id, d.doc_id) = d.doc_id
