@@ -2053,6 +2053,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s.read.parquet(f"{sf}/events.parquet"), minutes=60
     )
 
+    # volume anomalies over the rollup (z >= 2 so the synthetic
+    # uniform-ish traffic still yields flagged windows)
+    q["t_window_anomalies"] = lambda s, sf: temporal.window_anomalies(
+        s.read.parquet(f"{sf}/events.parquet"), minutes=60, z_threshold=2.0
+    )
+
     # sliding (hopping) windows: each event replicates into
     # window/slide = 2 windows
     q["t_sliding_window"] = lambda s, sf: temporal.sliding_window_rollup(
@@ -4361,6 +4367,23 @@ FROM j GROUP BY domain
         "event_type, CAST(count(*) AS BIGINT) AS n_events, "
         "round(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0, 2) "
         "AS sum_value FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
+    )
+
+    o["t_window_anomalies"] = (
+        "WITH counts AS (SELECT time_bucket(INTERVAL '60 minutes', ts) "
+        "AS window_start, event_type, count(*) AS n_events FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1, 2), "
+        "stats AS (SELECT event_type, count(*) AS k, "
+        "sum(n_events) AS s1, sum(n_events * n_events) AS s2 "
+        "FROM counts GROUP BY 1), "
+        "j AS (SELECT window_start, counts.event_type, n_events, k, "
+        "CAST(s1 AS DOUBLE) / k AS mean, "
+        "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1) "
+        "AS var FROM counts JOIN stats USING (event_type)) "
+        "SELECT window_start, event_type, CAST(n_events AS BIGINT) "
+        "AS n_events, round((n_events - mean) / sqrt(var), 4) AS z_score "
+        "FROM j WHERE k >= 2 AND sqrt(var) > 0 "
+        "AND (n_events - mean) / sqrt(var) >= 2.0"
     )
 
     o["t_sliding_window"] = (

@@ -120,3 +120,27 @@ def test_sliding_window_replication(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sliding_window_rollup(df, 60, 45)
+
+
+def test_window_anomalies_flags_spike(spark):
+    import pyspark.sql.functions as F
+
+    from vyntr_spark.operators.temporal import window_anomalies
+
+    # 5 calm hours of 2 events + one 20-event spike hour for type "a";
+    # type "b" has one window only -> never flaggable
+    rows = []
+    for h in range(5):
+        rows += [(f"2020-01-01 {h:02d}:{m:02d}:00", "a") for m in (1, 2)]
+    rows += [(f"2020-01-01 05:{m:02d}:00", "a") for m in range(20)]
+    rows += [("2020-01-01 00:30:00", "b")]
+    df = spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = window_anomalies(df, minutes=60, z_threshold=2.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (str(r["window_start"]), r["event_type"], r["n_events"]) == (
+        "2020-01-01 05:00:00", "a", 20
+    )
+    assert r["z_score"] > 2.0

@@ -180,3 +180,51 @@ def sliding_window_rollup(events: DataFrame, minutes: int = 60,
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def window_anomalies(events: DataFrame, minutes: int = 60,
+                     z_threshold: float = 3.0,
+                     type_col: str = "event_type",
+                     ts_col: str = "ts") -> DataFrame:
+    """Volume-anomaly detection over the tumbling rollup — the crawl
+    monitor's "did a host/type spike this hour" signal: flag windows
+    whose event count sits more than ``z_threshold`` sample standard
+    deviations above that type's mean window count.
+
+    Determinism: mean and variance come from exact long sums
+    (Σn, Σn², window count) per type — one tiny second agg over the
+    already-rolled-up windows, broadcast back. The only floats are one
+    sqrt and one compare built from identical exact-integer inputs on
+    both engines. Types with < 2 windows have no sample stddev and are
+    never flagged. Returns (window_start, event_type, n_events,
+    z_score 4dp) for flagged windows.
+    """
+    win = F.window(F.col(ts_col), f"{minutes} minutes")
+    counts = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            win.getField("start").alias("window_start"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    j = counts.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("k")
+    # sample variance from exact sums: (s2 - s1^2/k) / (k-1)
+    var = (
+        (F.col("s2").cast("double")
+         - F.col("s1").cast("double") * F.col("s1") / F.col("k"))
+        / (F.col("k") - 1)
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        j.filter((F.col("k") >= 2) & (F.sqrt(var) > 0)
+                 & (z >= F.lit(z_threshold)))
+        .select("window_start", "event_type", "n_events",
+                F.round(z, 4).alias("z_score"))
+    )
