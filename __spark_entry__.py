@@ -2247,6 +2247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_dedup_verdict"] = t_verdict
 
+    # PMI collocations (Church & Hanks): adjacent-pair phrase mining
+    q["t_collocations"] = lambda s, sf: textstats.collocations(
+        _docs(s, sf), min_count=30
+    )
+
     # directed shingle CONTAINMENT (Broder): catches truncated/quoted
     # subset duplicates whose symmetric Jaccard stays below threshold —
     # injected half-length copies (every 20th doc) make it non-vacuous
@@ -2925,6 +2930,22 @@ SELECT id_a, id_b, jaccard FROM (
          round(CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 ) t WHERE jaccard >= 0.2
+"""
+
+    o["t_collocations"] = f"""
+WITH tk AS (SELECT {_TOKS} AS toks FROM documents),
+pairs AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM tk,
+          LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i)),
+bi AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w, count(*) AS n_w FROM
+        (SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs)
+        GROUP BY 1),
+tot AS (SELECT sum(n_pair) AS n_total FROM bi)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+  round(ln((CAST(n_pair AS DOUBLE) * n_total)
+           / (CAST(u1.n_w AS DOUBLE) * u2.n_w)), 4) AS pmi
+FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2, tot
+WHERE n_pair >= 30
 """
 
     o["t_containment"] = f"""

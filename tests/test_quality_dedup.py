@@ -421,3 +421,28 @@ def test_containment_catches_subset_jaccard_misses(spark):
     jac = {(r["id_a"], r["id_b"]) for r in
            ngram_jaccard_pairs(df, threshold=0.8).collect()}
     assert (1, 2) not in jac and (2, 1) not in jac
+
+
+def test_collocations_hand_computed(spark):
+    import math
+
+    from vyntr_spark.operators.textstats import collocations
+
+    # "big data" appears 4x, unigram slots: big=4+? etc.
+    df = spark.createDataFrame(
+        [(1, "big data big data"), (2, "big data big data small data")],
+        "doc_id long, text string",
+    )
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+           for r in collocations(df, min_count=2).collect()}
+    # bigram occurrences: doc1: (big,data),(data,big),(big,data);
+    # doc2: (big,data),(data,big),(big,data),(data,small),(small,data)
+    # -> N=8; (big,data)=4, (data,big)=2
+    # slots: big=4+2*? count w1/w2 occurrences across pairs:
+    # big: w1 in 4 (big,data) + w2 in 2 (data,big) = 6
+    # data: w2 in 4 + w1 in 2 + w1 in 1 (data,small) + w2 in 1 = 8
+    # small: w1 1 + w2 1 = 2
+    assert got[("big", "data")][0] == 4
+    assert got[("big", "data")][1] == round(math.log(4 * 8 / (6 * 8)), 4)
+    assert got[("data", "big")][0] == 2
+    assert got[("data", "big")][1] == round(math.log(2 * 8 / (8 * 6)), 4)

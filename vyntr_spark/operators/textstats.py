@@ -1216,3 +1216,61 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
         .filter(F.col("containment") >= threshold)
         .select("id_sub", "id_super", "containment")
     )
+
+
+def collocations(df: DataFrame, min_count: int = 30,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus collocations by pointwise mutual information — the classic
+    "which word pairs belong together" signal (Church & Hanks 1990)
+    used for phrase mining over web text. PMI(x,y) = ln(n_xy · N /
+    (n_x · n_y)) over ADJACENT token pairs (occurrences, not distinct).
+
+    All counts are exact longs from two hash aggs (bigrams, unigrams);
+    N = total bigram occurrences. The single ln runs on an exact
+    integer ratio's double on both engines; output rounded 4dp and the
+    row set is cut by the exact ``min_count`` filter, so membership
+    never depends on the float. Returns (w1, w2, n_pair, pmi)."""
+    toks = _token_array(F.col(text_col))
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = df.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (
+        pairs.select(F.col("w1").alias("w"))
+        .unionAll(pairs.select("w2"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = bi.agg(F.sum("n_pair").alias("n_total"))
+    scored = (
+        bi.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(tot))
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("n_w").alias("n_1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("n_w").alias("n_2")), "w2")
+    )
+    # slot-count PMI variant: unigram counts are bigram-slot counts, so
+    # p(x) = n_x/2N and the 2·2/1 normalizers fold into a constant that
+    # shifts every score equally — we pin the constant-free form
+    # ln(n_pair · N / (n_1 · n_2)) as THE definition (documented here;
+    # the oracle replays the identical expression tree)
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("n_total"))
+        / (F.col("n_1").cast("double") * F.col("n_2"))
+    )
+    return scored.select(
+        "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
+        F.round(pmi, 4).alias("pmi"),
+    )
