@@ -1959,6 +1959,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["g6_clustering"] = g6
 
+    # g7: log2-bucketed degree distribution (power-law diagnostic)
+    def g7(s, sf):
+        d = _docs(s, sf).select("doc_id")
+        n = d.count()
+        parts = [
+            d.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * m + o) % n).alias("dst"),
+            )
+            for m, o in _PR_EDGE_GENS
+        ]
+        edges = (
+            parts[0].unionByName(parts[1]).unionByName(parts[2])
+            .filter((F.col("src") % 11 != 5) & (F.col("src") != F.col("dst")))
+        )
+        return graph.degree_histogram(edges)
+
+    q["g7_degree_hist"] = g7
+
     def g2(s, sf):
         d = _docs(s, sf)
         pairs = textstats.minhash_lsh_pairs(d, n_hashes=8, bands=4)
@@ -4252,6 +4271,25 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        THEN 1 ELSE 0 END AS keep
 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
+
+    o["g7_degree_hist"] = (
+        "WITH e0 AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id * {m} + {off}) % "
+            "(SELECT count(*) FROM documents) AS dst FROM documents"
+            for m, off in _PR_EDGE_GENS
+        )
+        + "), e AS (SELECT DISTINCT greatest(src, dst) AS u, "
+        "least(src, dst) AS v FROM e0 "
+        "WHERE src % 11 <> 5 AND src <> dst), "
+        "deg AS (SELECT n, count(*) AS deg FROM "
+        "(SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1), "
+        "h AS (SELECT CAST(length(printf('%b', deg)) - 1 AS INTEGER) "
+        "AS deg_bucket, count(*) AS n_nodes FROM deg GROUP BY 1) "
+        "SELECT deg_bucket, CAST(1 AS BIGINT) << deg_bucket AS lo, "
+        "(CAST(1 AS BIGINT) << (deg_bucket + 1)) - 1 AS hi, "
+        "CAST(n_nodes AS BIGINT) AS n_nodes FROM h"
+    )
 
     # unified dedup verdict: union the three pair signals (MinHash-LSH
     # reused verbatim from its own oracle; containment/exact restated on

@@ -260,3 +260,16 @@ def test_clustering_coefficient_known_graph(spark):
     assert got[2] == (3, 3, 1.0)
     assert got[3] == (4, 3, 0.5)   # 3 of the 6 possible pairs closed
     assert 4 not in got            # deg < 2
+
+
+def test_degree_histogram_buckets(spark):
+    from vyntr_spark.operators.graph import degree_histogram
+
+    # star: center deg 5 (bucket 2: 4-7), leaves deg 1 (bucket 0)
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["deg_bucket"]: (r["lo"], r["hi"], r["n_nodes"])
+           for r in degree_histogram(df).collect()}
+    assert got[0] == (1, 1, 5)
+    assert got[2] == (4, 7, 1)
+    assert set(got) == {0, 2}

@@ -551,3 +551,32 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
             ).alias("coeff"),
         )
     )
+
+
+def degree_histogram(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Log2-bucketed degree distribution of the undirected link graph —
+    the one-look power-law diagnostic for a web crawl (a healthy crawl
+    shows the straight-line log-log decay; a trap or mirror farm shows
+    a bump). Exact integer math end-to-end: bucket = bit_length(deg)-1
+    via base-2 string conversion, i.e. degrees 1 | 2-3 | 4-7 | ...
+    Returns (deg_bucket, lo, hi, n_nodes)."""
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(
+            e.select(F.col("v").alias("n"))
+        )
+        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    bucket = (F.length(F.conv(F.col("deg"), 10, 2)) - 1).cast("int")
+    return (
+        deg.groupBy(bucket.alias("deg_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            "deg_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), deg_bucket)").alias("lo"),
+            (F.expr("shiftleft(CAST(1 AS BIGINT), deg_bucket + 1)") - 1
+             ).alias("hi"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+        )
+    )
