@@ -2266,6 +2266,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_dedup_verdict"] = t_verdict
 
+    # bigram-LM fluency with stupid backoff, TRAINED on the even-doc
+    # half so the unseen-bigram backoff branches are genuinely exercised
+    # on the odd docs
+    def t_bigram(s, sf):
+        d = _docs(s, sf)
+        return textstats.bigram_logprob(
+            d, train=d.filter(F.col("doc_id") % 2 == 0)
+        )
+
+    q["t_bigram_nll"] = t_bigram
+
     # PMI collocations (Church & Hanks): adjacent-pair phrase mining
     q["t_collocations"] = lambda s, sf: textstats.collocations(
         _docs(s, sf), min_count=30
@@ -2949,6 +2960,32 @@ SELECT id_a, id_b, jaccard FROM (
          round(CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 ) t WHERE jaccard >= 0.2
+"""
+
+    o["t_bigram_nll"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pr AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM tk,
+       LATERAL (SELECT unnest(range(1, greatest(len(toks), 1))) AS i)),
+tp AS (SELECT * FROM pr WHERE doc_id % 2 = 0),
+big AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM tp GROUP BY 1),
+sec AS (SELECT w2, count(*) AS c2 FROM tp GROUP BY 1),
+np AS (SELECT count(*) AS n FROM tp),
+sp AS (SELECT pr.doc_id,
+  CASE WHEN b.c12 IS NOT NULL THEN CAST(b.c12 AS DOUBLE) / c.c1
+       WHEN s.c2 IS NOT NULL
+         THEN CAST(0.4 AS DOUBLE) * s.c2 / CAST(np.n AS DOUBLE)
+       ELSE CAST(0.4 AS DOUBLE) / CAST(np.n AS DOUBLE) END AS p
+  FROM pr LEFT JOIN big b USING (w1, w2) LEFT JOIN ctx c USING (w1)
+       LEFT JOIN sec s USING (w2), np),
+mi AS (SELECT doc_id,
+       CAST(floor(-ln(p) * 1000000.0 + 0.5) AS BIGINT) AS m FROM sp),
+ag AS (SELECT doc_id, count(*) AS n_pairs,
+       round(CAST(sum(m) AS DOUBLE) / count(*) / 1000000.0, 4) AS nll
+       FROM mi GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, nll
+FROM documents d LEFT JOIN ag USING (doc_id)
 """
 
     o["t_collocations"] = f"""

@@ -446,3 +446,29 @@ def test_collocations_hand_computed(spark):
     assert got[("big", "data")][1] == round(math.log(4 * 8 / (6 * 8)), 4)
     assert got[("data", "big")][0] == 2
     assert got[("data", "big")][1] == round(math.log(2 * 8 / (8 * 6)), 4)
+
+
+def test_bigram_nll_backoff_branches(spark):
+    import math
+
+    from vyntr_spark.operators.textstats import bigram_logprob
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c")], "doc_id long, text string"
+    )
+    # train pairs: (a,b)x2, (b,a), (b,c) -> N=4; c1: a=2,b=2; c2: b=2,a=1,c=1
+    score = spark.createDataFrame(
+        [(1, "a b"),      # seen bigram: p = 2/2 = 1 -> nll 0
+         (2, "c a"),      # unseen bigram, a seen 2nd: p = .4*1/4
+         (3, "z q"),      # both unseen: p = .4/4
+         (4, "a")],       # < 2 tokens -> null
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_pairs"], r["nll"])
+           for r in bigram_logprob(score, train=train).collect()}
+    assert got[1] == (1, 0.0)
+    assert got[2] == (1, round(
+        math.floor(-math.log(0.4 * 1 / 4.0) * 1e6 + 0.5) / 1e6, 4))
+    assert got[3] == (1, round(
+        math.floor(-math.log(0.4 / 4.0) * 1e6 + 0.5) / 1e6, 4))
+    assert got[4] == (0, None)

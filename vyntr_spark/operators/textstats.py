@@ -1274,3 +1274,85 @@ def collocations(df: DataFrame, min_count: int = 30,
         "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
         F.round(pmi, 4).alias("pmi"),
     )
+
+
+def bigram_logprob(df: DataFrame, train: DataFrame | None = None,
+                   text_col: str = "text",
+                   backoff: float = 0.4) -> DataFrame:
+    """Bigram LM fluency with stupid backoff (Brants et al. 2007, the
+    public web-scale LM recipe) — the next rung above unigram_logprob:
+    score every document by the mean -ln P(w2|w1) of its adjacent token
+    pairs under counts from ``train`` (defaults to the corpus itself;
+    pass a held-out/filtered frame so unseen-bigram backoff is real).
+
+      P(w2|w1) = c(w1,w2)/c(w1·)              if the bigram was seen
+               = backoff · c(·w2)/N_pairs     elif w2 was seen 2nd-slot
+               = backoff / N_pairs            otherwise
+
+    Determinism: every count is an exact long; each pair's nll becomes
+    an exact MICRO-NAT long (floor(-ln(p)·1e6 + 0.5) — the tfidf
+    micro-rounding trick), per-doc sums are exact long adds, and the
+    mean divides two exact ints. The count tables are vocabulary-sized
+    (broadcastable); scoring is two broadcast joins over the doc-pair
+    frame. Returns (doc_id, n_pairs, nll 4dp — null when < 2 tokens).
+    """
+    tr = train if train is not None else df
+
+    def _pairs(frame):
+        toks = _token_array(F.col(text_col))
+        n = F.size(toks)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("doc_id", "p.w1", "p.w2")
+
+    tp = _pairs(tr)
+    big = tp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = tp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    second = tp.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n_pairs = tp.count() or 1
+
+    sp = (
+        _pairs(df)
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(second), "w2", "left")
+    )
+    p = (
+        F.when(
+            F.col("c12").isNotNull(),
+            F.col("c12").cast("double") / F.col("c1"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(backoff) * F.col("c2") / F.lit(float(n_pairs)),
+        )
+        .otherwise(F.lit(backoff) / F.lit(float(n_pairs)))
+    )
+    nll_micro = F.floor(-F.log(p) * 1e6 + 0.5).cast("long")
+    scored = sp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(nll_micro).cast("double") / F.count(F.lit(1)) / 1e6, 4
+        ).alias("nll"),
+    )
+    return (
+        df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.col("nll"),
+        )
+    )
