@@ -2266,6 +2266,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_dedup_verdict"] = t_verdict
 
+    # chi-squared distinctive terms per source (feature-selection
+    # statistic; group-level twin of the per-doc tf·idf keywords)
+    q["t_chi2_terms"] = lambda s, sf: textstats.chi2_terms(
+        _docs(s, sf), k=5
+    )
+
     # bigram-LM fluency with stupid backoff, TRAINED on the even-doc
     # half so the unseen-bigram backoff branches are genuinely exercised
     # on the odd docs
@@ -2960,6 +2966,29 @@ SELECT id_a, id_b, jaccard FROM (
          round(CAST(n_int AS DOUBLE) / (sa.n_sh + sb.n_sh - n_int), 4) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 ) t WHERE jaccard >= 0.2
+"""
+
+    o["t_chi2_terms"] = f"""
+WITH toks AS (SELECT source AS grp, unnest({_TOKS}) AS term FROM documents),
+a_tab AS (SELECT grp, term, count(*) AS a FROM toks GROUP BY 1, 2),
+g_tot AS (SELECT grp, count(*) AS g_tot FROM toks GROUP BY 1),
+t_tot AS (SELECT term, count(*) AS t_tot FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_tot FROM toks),
+cells AS (SELECT grp, term, a, t_tot - a AS b, g_tot - a AS c,
+          n_tot - g_tot - t_tot + a AS d
+          FROM a_tab JOIN g_tot USING (grp) JOIN t_tot USING (term), n),
+sc AS (SELECT grp, term, a,
+  CAST(floor(CAST((SELECT n_tot FROM n) AS DOUBLE)
+    * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+    * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+    / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+    * 1000.0 + 0.5) AS BIGINT) AS chi2_milli FROM cells),
+rk AS (SELECT grp, term, a, chi2_milli, CAST(row_number() OVER
+       (PARTITION BY grp ORDER BY chi2_milli DESC, term ASC)
+       AS INTEGER) AS rnk FROM sc WHERE chi2_milli > 0)
+SELECT grp AS source, term, CAST(a AS BIGINT) AS n_in_group,
+  round(chi2_milli / 1000.0, 4) AS chi2, rnk
+FROM rk WHERE rnk <= 5
 """
 
     o["t_bigram_nll"] = f"""

@@ -472,3 +472,17 @@ def test_bigram_nll_backoff_branches(spark):
     assert got[3] == (1, round(
         math.floor(-math.log(0.4 / 4.0) * 1e6 + 0.5) / 1e6, 4))
     assert got[4] == (0, None)
+
+
+def test_chi2_terms_finds_group_marker(spark):
+    from vyntr_spark.operators.textstats import chi2_terms
+
+    # 'zebra' appears only in group g1; shared filler everywhere
+    rows = ([(i, "g1", "zebra common words here") for i in range(10)]
+            + [(100 + i, "g2", "common words here plain") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = chi2_terms(df, k=2).collect()
+    top = {r["source"]: [x["term"] for x in got if x["source"] == r["source"]]
+           for r in got}
+    assert top["g1"][0] == "zebra"   # the exclusive marker dominates g1
+    assert top["g2"][0] == "plain"   # and g2's exclusive term dominates g2

@@ -12,7 +12,7 @@ on either engine. Band buckets concatenate signature components.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
@@ -1354,5 +1354,69 @@ def bigram_logprob(df: DataFrame, train: DataFrame | None = None,
             "doc_id",
             F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
             F.col("nll"),
+        )
+    )
+
+
+def chi2_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+               group_col: str = "source") -> DataFrame:
+    """Per-group DISTINCTIVE terms by chi-squared (the classic feature-
+    selection statistic; Manning/Schütze ch. 5): for term t in group s,
+    the 2×2 contingency of (occurrences of t in s / elsewhere) vs
+    (other tokens in s / elsewhere), χ² = N(ad−bc)²/((a+b)(c+d)(a+c)
+    (b+d)). Where tf·idf asks "what is this DOC about", χ² asks "what
+    makes this GROUP different from the rest of the corpus".
+
+    All contingency cells come from two exact hash aggs; χ² is computed
+    double-side with one fixed expression tree (the (ad−bc)² term can
+    exceed int64, so the casts happen at documented points the oracle
+    replays), then pinned to an exact MILLI long for ranking — top-k
+    per group by (χ²_milli desc, term asc) is engine-deterministic.
+    Returns (group, term, a = in-group count, chi2 4dp-from-milli,
+    rnk)."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_token_array(F.col(text_col))).alias("term"),
+    )
+    a_tab = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("a"))
+    grp_tot = toks.groupBy("grp").agg(F.count(F.lit(1)).alias("g_tot"))
+    term_tot = toks.groupBy("term").agg(F.count(F.lit(1)).alias("t_tot"))
+    n_tot = toks.count() or 1
+
+    j = (
+        a_tab.join(F.broadcast(grp_tot), "grp")
+        .join(term_tot, "term")
+        .select(
+            "grp", "term", "a",
+            (F.col("t_tot") - F.col("a")).alias("b"),
+            (F.col("g_tot") - F.col("a")).alias("c"),
+            (F.lit(n_tot) - F.col("g_tot") - F.col("t_tot")
+             + F.col("a")).alias("d"),
+        )
+    )
+    ad_bc = (F.col("a").cast("double") * F.col("d")
+             - F.col("b").cast("double") * F.col("c"))
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    chi2 = F.lit(float(n_tot)) * ad_bc * ad_bc / den
+    milli = F.floor(chi2 * 1000.0 + 0.5).cast("long")
+    scored = j.select(
+        "grp", "term", "a", milli.alias("chi2_milli")
+    ).filter(F.col("chi2_milli") > 0)
+    wnd = Window.partitionBy("grp").orderBy(
+        F.col("chi2_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("grp").alias(group_col), "term",
+            F.col("a").cast("long").alias("n_in_group"),
+            F.round(F.col("chi2_milli") / 1000.0, 4).alias("chi2"),
+            F.col("rnk").cast("int").alias("rnk"),
         )
     )
