@@ -331,6 +331,8 @@ def main() -> None:
         "t_c4_filters", "t_dup_spans", "g3_anchor_text",
         "t_pq_encode", "t_pq_adc_topk", "mm_phash_neardup",
         "t_hll_distinct_words", "h2_min_cost_supp",
+        "t_dedup_verdict", "t_bigram_nll", "t_collocations",
+        "g5_triangles",
     ]
     for name in heavy:
         if want(name):
