@@ -339,3 +339,41 @@ def test_stream_hll_matches_batch(spark, tmp_path):
         assert got[w] == est, w
     assert 30 <= got["2020-01-01 10:00:00"] <= 45   # true 37
     assert 65 <= got["2020-01-01 11:00:00"] <= 100  # true 80
+
+
+def test_stream_cms_matches_batch(spark, tmp_path):
+    from vyntr_spark.operators.sketches import cms_build, cms_estimate
+    from vyntr_spark.streaming.frontier_stream import stream_cms
+
+    events_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [("2020-01-01 10:%02d:00" % (i % 60), f"host{i % 13}")
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "ts string, host string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.write.mode("append").parquet(events_dir)
+    stream_cms(spark, events_dir, out, ckpt)
+    # flush the watermark
+    spark.createDataFrame(
+        [("2020-01-02 10:00:00", "flush")], "ts string, host string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("append").parquet(
+        events_dir
+    )
+    stream_cms(spark, events_dir, out, ckpt)
+
+    state = spark.read.parquet(out).filter(
+        F.col("window_start") == "2020-01-01 10:00:00"
+    ).select("r", "bucket", "cnt")
+    probes = df.select(F.col("host").alias("word")).distinct()
+    got = {r["item"]: r["cms_count"]
+           for r in cms_estimate(state, probes, "word").collect()}
+    # batch replay over the same window's rows
+    batch_cms = cms_build(df.select(F.col("host").alias("word")), "word")
+    want = {r["item"]: r["cms_count"]
+            for r in cms_estimate(batch_cms, probes, "word").collect()}
+    assert got == want
+    # sanity: true counts are 150/13 -> 11 or 12, CMS never undershoots
+    assert all(v >= 11 for v in got.values())

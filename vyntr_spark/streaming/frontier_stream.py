@@ -456,3 +456,54 @@ def hll_estimates_from_sink(spark: SparkSession, out_dir: str,
     return hll_finalize(state, b).select(
         F.col("grp").alias("window_start"), "hll_estimate"
     )
+
+
+def stream_cms(spark: SparkSession, events_dir: str, out_dir: str,
+               checkpoint_dir: str, col: str = "host",
+               window: str = "1 hour", watermark: str = "2 hours",
+               d: int = 4, w: int = 256):
+    """Windowed Count-Min state over the stream — per-(window, hash-row,
+    bucket) COUNTS, i.e. ≤ d·w rows of state per window however heavy
+    the traffic: the frequency twin of stream_hll_distinct. Emitted
+    append-mode when the watermark closes the window; point queries run
+    batch-side against the sink (cms_estimate on the window's slice) —
+    parity-pinned against the batch cms_build in tests."""
+    from vyntr_spark.operators.sketches import _h60
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField(col, T.StringType(), True),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(events_dir)
+    ex = (
+        src.filter(F.col(col).isNotNull())
+        .withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.col(col).alias("item"),
+            F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+        )
+    )
+    bucket = _h60(
+        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("item"))
+    ).bitwiseAND(F.lit(w - 1))
+    agg = (
+        ex.groupBy(
+            F.window("ts", window).alias("wd"), "r", bucket.alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("wd.start").alias("window_start"), "r", "bucket",
+                "cnt")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
