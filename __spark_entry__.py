@@ -2331,6 +2331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_sampled_quantiles"] = t_quant
 
+    # DSIR importance resampling (Xie et al. 2023): hashed n-gram
+    # log-likelihood ratio of the src1 "target" slice vs the raw rest;
+    # top-100 raw docs kept. Micro-nat longs keep the oracle exact.
+    q["t_dsir_select"] = lambda s, sf: sampling.dsir_select(
+        _docs(s, sf), target_source="src1", n_buckets=1024, quota=100
+    )
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -4903,6 +4910,50 @@ FROM m
         "SELECT source, CAST(0.9 AS DOUBLE), CAST(v AS DOUBLE) FROM r "
         "WHERE rn = ceil(0.9 * n)"
     )
+
+    # DSIR: hashed-ngram (uni+bi) bucket counts split target/raw, Laplace
+    # log-ratio pinned to micro-nat longs, per-doc exact sum, top-100 cut
+    # with doc_id tiebreak — mirrors sampling.dsir_select exactly
+    o["t_dsir_select"] = f"""
+WITH toksrc AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, source, unnest(t) AS gram FROM toksrc
+  UNION ALL
+  SELECT doc_id, source,
+    unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toksrc WHERE len(t) >= 2
+),
+gb AS (SELECT doc_id, source,
+  CAST(CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 1024
+       AS INTEGER) AS b
+  FROM grams),
+cnt AS (SELECT b,
+  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+  CAST(sum(CASE WHEN source = 'src1' THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM gb GROUP BY b),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_tot,
+               CAST(sum(cr) AS BIGINT) AS r_tot FROM cnt),
+lam AS (SELECT b,
+  CAST(floor(ln(CAST((ct + 1) * (r_tot + 1024) AS DOUBLE)
+                / CAST((cr + 1) * (t_tot + 1024) AS DOUBLE))
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+    AS lam_micro
+  FROM cnt, tot),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(lam_micro) AS BIGINT) AS w_micro
+  FROM gb JOIN lam USING (b) GROUP BY doc_id),
+base AS (SELECT d.doc_id, d.source,
+  CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(s.w_micro, 0) AS BIGINT) AS w_micro
+  FROM (SELECT doc_id, source FROM documents) d
+  LEFT JOIN sc s USING (doc_id)),
+topd AS (SELECT doc_id FROM base WHERE source <> 'src1'
+  ORDER BY w_micro DESC, doc_id LIMIT 100)
+SELECT b.doc_id, b.source, b.n_grams, b.w_micro,
+  (t.doc_id IS NOT NULL) AS selected
+FROM base b LEFT JOIN topd t USING (doc_id)
+"""
 
     o["t_kmv_distinct_words"] = (
         f"WITH hh AS (SELECT DISTINCT source, h FROM ({_sk_words})), "

@@ -332,7 +332,7 @@ def main() -> None:
         "t_pq_encode", "t_pq_adc_topk", "mm_phash_neardup",
         "t_hll_distinct_words", "h2_min_cost_supp",
         "t_dedup_verdict", "t_bigram_nll", "t_collocations",
-        "g5_triangles",
+        "g5_triangles", "t_dsir_select",
     ]
     for name in heavy:
         if want(name):

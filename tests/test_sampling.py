@@ -149,3 +149,53 @@ def test_sampled_quantiles_exact_order_stats(spark):
             assert got[(grp, q)] == want, (grp, q)
     # group with only NULLs contributes no rows
     assert not any(g == "c" for g, _ in got)
+
+
+def test_dsir_select_matches_python_replica(spark):
+    # DSIR hashed-ngram importance weights replayed exactly in pure
+    # Python (same md5 buckets, same Laplace micro-nat log-ratio)
+    import math
+
+    rows = [
+        (1, "tgt", "the quick brown fox jumps"),
+        (2, "tgt", "the quick brown dog naps"),
+        (3, "raw", "the quick brown fox jumps"),   # looks like target
+        (4, "raw", "zzz qqq xxx yyy www"),          # looks nothing like it
+        (5, "raw", "the quick cat"),
+        (6, "raw", ""),                              # empty -> 0 grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in sampling.dsir_select(
+        df, target_source="tgt", n_buckets=64, quota=2).collect()}
+
+    def grams(text):
+        toks = [t for t in
+                __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return _keyhash(g) % 64
+
+    ct, cr = {}, {}
+    for _, src, text in rows:
+        for g in grams(text):
+            d = ct if src == "tgt" else cr
+            d[bucket(g)] = d.get(bucket(g), 0) + 1
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    lam = {b: math.floor(math.log(
+        ((ct.get(b, 0) + 1) * (r_tot + 64))
+        / ((cr.get(b, 0) + 1) * (t_tot + 64))) * 1e6 + 0.5)
+        for b in set(ct) | set(cr)}
+    for doc_id, src, text in rows:
+        gs = grams(text)
+        assert out[doc_id]["n_grams"] == len(gs)
+        assert out[doc_id]["w_micro"] == sum(lam[bucket(g)] for g in gs)
+        assert out[doc_id]["source"] == src
+    # target docs are never candidates; top-2 raw docs by weight selected
+    assert not out[1]["selected"] and not out[2]["selected"]
+    raw_sorted = sorted((r for r in out.values() if r["source"] == "raw"),
+                        key=lambda r: (-r["w_micro"], r["doc_id"]))
+    want = {r["doc_id"] for r in raw_sorted[:2]}
+    assert {d for d, r in out.items() if r["selected"]} == want
+    # the target-lookalike raw doc must out-score the gibberish doc
+    assert out[3]["w_micro"] > out[4]["w_micro"]

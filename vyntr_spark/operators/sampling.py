@@ -109,6 +109,131 @@ def mixture_weights(df: DataFrame, domain_col: str = "source",
     )
 
 
+def dsir_select(df: DataFrame, target_source: str = "src1",
+                text_col: str = "text", source_col: str = "source",
+                n_buckets: int = 1024, quota: int = 100) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023, public): score every raw document by how much more
+    likely its hashed-n-gram bag is under the TARGET distribution than
+    under the RAW distribution, then keep the top ``quota`` raw docs.
+    The target here is the slice ``source == target_source`` (the
+    "choose web pages that look like my curated set" use-case).
+
+    Features are the paper's hashed n-grams: unigrams + adjacent
+    bigrams bucketed by 60-bit md5 into ``n_buckets``. With Laplace
+    smoothing the per-bucket log-ratio is
+
+      lam[b] = ln( ((c_t[b]+1) * (R+B)) / ((c_r[b]+1) * (T+B)) )
+
+    (c_t/c_r = target/raw bucket counts, T/R their totals, B buckets)
+    and a doc's importance weight is the sum of lam over its gram
+    occurrences. Determinism: lam is pinned to an exact MICRO-NAT long
+    (floor(x*1e6+0.5)) so per-doc sums are order-independent exact
+    adds; selection ties break on doc_id. The paper resamples with
+    Gumbel noise; this is the zero-temperature (top-k) variant so the
+    selected SET is reproducible and oracle-checkable.
+
+    Scale shape: ONE explode (linear in tokens) feeds ONE exchange at
+    (doc_id, b) grain; both downstream aggs (bucket counts → lam, and
+    per-doc weights) hang off that same exchange, so Catalyst's
+    ReusedExchange evaluates the explode+md5 pass exactly once. lam is
+    a B-row table (broadcast) → per-doc weight is one hash agg → the
+    quota cut is TakeOrdered + a broadcast semi-join, never a global
+    window. Single-row-group small files under-parallelize the explode,
+    so inputs narrower than defaultParallelism are repartitioned first;
+    at warehouse scale the parquet scan splits by maxPartitionBytes and
+    that branch never fires. The exact-long product inside the ln is
+    safe while c_t·R < 2^62; at trillion-token scale compute the two
+    smoothed ratios in double first (identical lam at micro rounding).
+
+    Returns (doc_id, source, n_grams, w_micro, selected) for EVERY doc;
+    ``selected`` is always false for target-slice docs (they are the
+    reference set, not candidates).
+    """
+    from .textstats import _token_array
+
+    toks = _token_array(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sc_ctx = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc_ctx.defaultParallelism:
+        df = df.repartition(sc_ctx.defaultParallelism, "doc_id")
+    grams = df.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    )
+    gb = grams.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+            .cast("long") % n_buckets
+        ).cast("int").alias("b"),
+    )
+    # (doc_id, b) grain: dedups the explode+md5 pass via ReusedExchange
+    db = gb.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    is_t = F.col("source") == target_source
+    cnt = db.groupBy("b").agg(
+        F.sum(F.when(is_t, F.col("k")).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(F.col("k"))).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("long").alias("t_tot"),
+        F.sum("cr").cast("long").alias("r_tot"),
+    )
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("r_tot") + n_buckets))
+                .cast("double")
+                / ((F.col("cr") + 1) * (F.col("t_tot") + n_buckets))
+                .cast("double")
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("lam_micro"),
+    )
+    sc = db.join(F.broadcast(lam), "b").groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_grams"),
+        F.sum(F.col("k") * F.col("lam_micro")).cast("long").alias("w_micro"),
+    )
+    base = (
+        df.select("doc_id", F.col(source_col).alias("source"))
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("w_micro", F.lit(0)).cast("long").alias("w_micro"),
+        )
+    )
+    top = (
+        base.where(F.col("source") != target_source)
+        .orderBy(F.col("w_micro").desc(), F.col("doc_id"))
+        .limit(quota)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return base.join(F.broadcast(top), "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_grams",
+        "w_micro",
+        F.coalesce("selected", F.lit(False)).alias("selected"),
+    )
+
+
 def pack_sequences(df: DataFrame, ctx_len: int = 2048,
                    token_col: str = "n_tokens",
                    id_col: str = "doc_id") -> DataFrame:
