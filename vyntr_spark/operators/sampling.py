@@ -150,8 +150,9 @@ def dsir_select(df: DataFrame, target_source: str = "src1",
     ``selected`` is always false for target-slice docs (they are the
     reference set, not candidates).
     """
-    from .textstats import _token_array
+    from .textstats import _token_array, widen_small_scan
 
+    df = widen_small_scan(df)
     toks = _token_array(F.col(text_col))
     n = F.size(toks)
     bigrams = F.when(
@@ -163,9 +164,6 @@ def dsir_select(df: DataFrame, target_source: str = "src1",
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sc_ctx = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc_ctx.defaultParallelism:
-        df = df.repartition(sc_ctx.defaultParallelism, "doc_id")
     grams = df.select(
         "doc_id",
         F.col(source_col).alias("source"),

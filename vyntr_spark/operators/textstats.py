@@ -28,6 +28,29 @@ def _token_array(col):
     return F.array_remove(F.split(F.lower(col), TOKEN_SPLIT), "")
 
 
+def widen_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition an input whose scan yields fewer partitions than the
+    session's core count — the single-row-group small-file guard for
+    explode-heavy operators.
+
+    Parquet splits only at row-group boundaries, so a small fixture
+    file with ONE row group pins every downstream explode/hash stage to
+    one task no matter how many cores the session has (measured: the
+    dedup-verdict composition ran its shingle+md5 passes on 1 of 32
+    cores at sf0.1). At warehouse scale scans split by
+    spark.sql.files.maxPartitionBytes into far more partitions than
+    cores and this returns the input UNCHANGED — the extra shuffle
+    exists only where the data is tiny enough for it to cost
+    milliseconds. Hash-partitioning on ``key`` keeps placement
+    deterministic (round-robin would depend on input row order)."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    k = key if key in df.columns else df.columns[0]
+    return df.repartition(par, k)
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """E10-style token counting (price.py analog; whitespace+punct
     tokenizer documented in place of tiktoken — no model downloads)."""
@@ -108,6 +131,7 @@ def exact_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Word k-gram shingles per doc (distinct)."""
+    df = widen_small_scan(df)
     toks = _token_array(F.col(text_col))
     n = F.size(toks)
     # sequence(0, n-k) would DESCEND for n<k; guard with an empty array
@@ -974,6 +998,7 @@ def dup_spans(df: DataFrame, k: int = 8, text_col: str = "text",
     bump ``k`` to shrink it (longer grams → fewer, rarer matches) and
     bucket both sides of the join on ``gh`` to co-locate.
     """
+    df = widen_small_scan(df)
     toks = _token_array(F.col(text_col))
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
@@ -1230,6 +1255,7 @@ def collocations(df: DataFrame, min_count: int = 30,
     integer ratio's double on both engines; output rounded 4dp and the
     row set is cut by the exact ``min_count`` filter, so membership
     never depends on the float. Returns (w1, w2, n_pair, pmi)."""
+    df = widen_small_scan(df)
     toks = _token_array(F.col(text_col))
     n = F.size(toks)
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
@@ -1299,6 +1325,7 @@ def bigram_logprob(df: DataFrame, train: DataFrame | None = None,
     tr = train if train is not None else df
 
     def _pairs(frame):
+        frame = widen_small_scan(frame)
         toks = _token_array(F.col(text_col))
         n = F.size(toks)
         idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
