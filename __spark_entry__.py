@@ -1832,6 +1832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t_train_prep_e2e"] = t_e2e
 
 
+    # char-distribution entropy (gibberish / encoding-noise detector):
+    # zero-shuffle length-difference counting, micro-nat exact terms
+    q["t_char_entropy"] = lambda s, sf: textstats.char_entropy(_docs(s, sf))
+
     q["t_gopher_quality"] = lambda s, sf: textstats.gopher_quality(
         _docs(s, sf).select("doc_id", _mtext_col().alias("text"))
     )
@@ -4055,6 +4059,28 @@ SELECT doc_id, lang, nll,
  CASE (ntile(3) OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC))
   WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM j
+"""
+
+    # char-entropy: same length-difference counts, same micro-nat term
+    # expression tree (CAST-to-DOUBLE ratio, ln, ×1e6, floor(+0.5)),
+    # long sums — order-independent exact adds on both engines
+    _ent_counts = ", ".join(
+        f"CAST(length(t) - length(replace(t, '{ch}', '')) AS BIGINT)"
+        for ch in "abcdefghijklmnopqrstuvwxyz0123456789"
+    )
+    o["t_char_entropy"] = f"""
+WITH base AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+cnt AS (SELECT doc_id, [{_ent_counts}] AS counts FROM base),
+agg AS (SELECT doc_id, counts,
+  CAST(list_sum(counts) AS BIGINT) AS n_chars FROM cnt)
+SELECT doc_id, n_chars,
+  CAST(coalesce(list_sum(list_transform(counts, c ->
+    CASE WHEN c > 0 AND n_chars > 0 THEN
+      CAST(floor((-((CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))))
+                 * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+    ELSE 0 END)), 0) AS BIGINT) AS entropy_micro
+FROM agg
 """
 
     o["t_gopher_quality"] = rf"""

@@ -486,3 +486,35 @@ def test_chi2_terms_finds_group_marker(spark):
            for r in got}
     assert top["g1"][0] == "zebra"   # the exclusive marker dominates g1
     assert top["g2"][0] == "plain"   # and g2's exclusive term dominates g2
+
+
+def test_char_entropy_exact_cases(spark):
+    import math
+
+    rows = [
+        (1, "aaaa"),             # one symbol -> H = 0
+        (2, "abab"),             # uniform over 2 -> H = ln 2
+        (3, "a b! c? d."),       # uniform over 4 (punct/space excluded)
+        (4, ""),                 # no alphanumerics
+        (5, None),               # null text
+        (6, "AaBb"),             # case-folded: uniform over 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy_micro"])
+           for r in textstats.char_entropy(df).collect()}
+    ln2_term = math.floor((0.5 * math.log(2)) * 1e6 + 0.5)  # per-symbol
+    ln4_term = math.floor((0.25 * math.log(4)) * 1e6 + 0.5)
+    assert got[1] == (4, 0)
+    assert got[2] == (4, 2 * ln2_term)
+    assert got[3] == (4, 4 * ln4_term)
+    assert got[4] == (0, 0)
+    assert got[5] == (0, 0)
+    assert got[6] == (4, 2 * ln2_term)
+    # gibberish (near-uniform) scores far above skewed prose-like text
+    wide = spark.createDataFrame(
+        [(10, "abcdefghijklmnopqrstuvwxyz0123456789"),
+         (11, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaab")],
+        "doc_id long, text string")
+    w = {r["doc_id"]: r["entropy_micro"]
+         for r in textstats.char_entropy(wide).collect()}
+    assert w[10] > 5 * w[11]

@@ -357,6 +357,64 @@ def winnow_fingerprints(df: DataFrame, k: int = 5, window: int = 4,
     return out
 
 
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-distribution Shannon entropy per document over the
+    [a-z0-9] alphabet — the classic gibberish / encoding-noise /
+    key-mash detector in web-text cleaning (very low H = one repeated
+    char, binary-as-text; H near the ~5.17-bit uniform max = random
+    keyboard mash; prose sits in between). Complements quality_score's
+    length/stopword heuristics with a distributional signal.
+
+    Plan (scale-first): counts come from the length-difference trick —
+    count(c) = len(t) - len(replace(t, c, '')) — 36 native JVM string
+    ops per row, so there is NO per-char explode and NO shuffle at
+    all: the operator rides the scan at any corpus size (verified: the
+    executed plan has zero Exchange nodes). The 36 terms live in one
+    array literal folded with higher-order functions; HOFs evaluate
+    interpreted (outside whole-stage codegen) but stay JVM-side — the
+    flat 36-way alternative would blow the codegen size cliff into the
+    same fallback anyway.
+
+    Determinism: each -p·ln(p) term is pinned to an exact MICRO-NAT
+    long (floor(x·1e6 + 0.5)); the per-doc entropy is a sum of longs —
+    order-independent exact adds, so the DuckDB oracle matches by
+    value hash. Returns (doc_id, n_chars, entropy_micro); docs with no
+    alphanumeric chars get (0, 0)."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    counts = F.array(*[
+        (F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit(""))))
+        .cast("long")
+        for ch in ENTROPY_ALPHABET
+    ])
+    base = df.select(
+        "doc_id",
+        counts.alias("counts"),
+        F.aggregate(
+            counts, F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("n_chars"),
+    )
+    nd = F.col("n_chars").cast("double")
+    term = lambda c: F.when(  # noqa: E731 — local expression builder
+        (c > 0) & (F.col("n_chars") > 0),
+        F.floor(
+            (-((c.cast("double") / nd) * F.log(c.cast("double") / nd)))
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "n_chars",
+        F.aggregate(
+            F.col("counts"), F.lit(0).cast("long"),
+            lambda a, c: a + term(c),
+        ).alias("entropy_micro"),
+    )
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition/composition quality filters (Rae et al.
