@@ -2342,6 +2342,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, sf), target_source="src1", n_buckets=1024, quota=100
     )
 
+    # mixed-language (code-switching) detection: window-vs-doc language
+    # agreement. Injected concatenations of adjacent different-lang docs
+    # (every 5th) make the is_mixed=true branch non-vacuous.
+    def t_lmix(s, sf):
+        d = _docs(s, sf)
+        nxt = d.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("text").alias("text2"),
+            F.col("lang").alias("lang2"),
+        )
+        mixed = (
+            d.join(nxt, "doc_id")
+            .filter(
+                (F.col("doc_id") % 5 == 0) & (F.col("lang") != F.col("lang2"))
+            )
+            .select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(
+                    F.coalesce("text", F.lit("")), F.lit(" "),
+                    F.coalesce("text2", F.lit("")),
+                ).alias("text"),
+            )
+        )
+        return textstats.lang_mix(
+            d.select("doc_id", "text").unionByName(mixed)
+        )
+
+    q["t_lang_mix"] = t_lmix
+
     # ---- multimodal plumbing (registered LAST so an exotic failure can
     # never shadow the bread-and-butter queries; the decode surface
     # projects SCALAR columns only — the `feature` array stays an
@@ -3124,6 +3153,58 @@ SELECT id_a, id_b, cos_sim FROM (
         ).replace("'", "'")
         for lang, words in langs.items()
     }
+    # lang_mix: window-vs-doc language agreement over the same injected
+    # union the Spark query builds. Integer-hit argmax (same decision as
+    # the ratio argmax — constant denominator per scope), ties -> lex-
+    # LAST lang via the same priority chain as t_langid.
+    _lm_hits = ", ".join(
+        f"len(list_filter({{src}}, x -> list_contains({langs[lg]!r}, x))) "
+        f"AS h_{lg}"
+        for lg in ("de", "en", "es", "fr")
+    )
+    _lm_case = """CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+       WHEN h_es >= h_de AND h_es >= h_en THEN 'es'
+       WHEN h_en >= h_de THEN 'en' ELSE 'de' END"""
+    o["t_lang_mix"] = f"""
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + 2000000 AS doc_id,
+         concat(coalesce(d.text, ''), ' ', coalesce(n.text, '')) AS text
+  FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 5 = 0 AND d.lang <> n.lang
+),
+m2 AS (SELECT doc_id, t, len(t) AS n,
+  CAST(CASE WHEN len(t) = 0 THEN 0 ELSE ((len(t) - 1) // 20) + 1 END
+       AS BIGINT) AS n_windows
+  FROM (SELECT doc_id, {_TOKS} AS t FROM uni) _b),
+wins AS (SELECT doc_id,
+  unnest(list_transform(range(1, n_windows + 1),
+                        i -> t[((i - 1) * 20 + 1):(i * 20)])) AS w
+  FROM m2 WHERE n_windows > 0),
+whits AS (SELECT doc_id, {_lm_hits.format(src="w")} FROM wins),
+wl AS (SELECT doc_id, {_lm_case} AS wlang FROM whits),
+dhits AS (SELECT doc_id, {_lm_hits.format(src="t")} FROM m2),
+dl AS (SELECT doc_id, {_lm_case} AS doc_lang FROM dhits),
+agg AS (SELECT w.doc_id,
+  CAST(count(*) FILTER (WHERE w.wlang = dl.doc_lang) AS BIGINT) AS n_agree
+  FROM wl w JOIN dl USING (doc_id) GROUP BY w.doc_id)
+SELECT m2.doc_id, dl.doc_lang, m2.n_windows,
+  CAST(coalesce(agg.n_agree, 0) AS BIGINT) AS n_agree,
+  CASE WHEN m2.n_windows > 0 THEN
+    round(CAST(1 AS DOUBLE)
+          - CAST(coalesce(agg.n_agree, 0) AS DOUBLE)
+            / CAST(m2.n_windows AS DOUBLE), 4)
+  ELSE CAST(0 AS DOUBLE) END AS mix_frac,
+  (CASE WHEN m2.n_windows > 0 THEN
+    round(CAST(1 AS DOUBLE)
+          - CAST(coalesce(agg.n_agree, 0) AS DOUBLE)
+            / CAST(m2.n_windows AS DOUBLE), 4)
+  ELSE CAST(0 AS DOUBLE) END) >= CAST(0.3 AS DOUBLE) AS is_mixed
+FROM m2 JOIN dl USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+
     # struct-max semantics of the Spark side: max score, ties -> max lang code
     o["t_langid"] = f"""
 WITH s AS (SELECT doc_id, {ratio['de']} AS s_de, {ratio['en']} AS s_en,

@@ -518,3 +518,30 @@ def test_char_entropy_exact_cases(spark):
     w = {r["doc_id"]: r["entropy_micro"]
          for r in textstats.char_entropy(wide).collect()}
     assert w[10] > 5 * w[11]
+
+
+def test_lang_mix_detects_code_switching(spark):
+    en = "the cat sat of the mat and it is a fine day for all of the team "
+    es = "el perro es un animal que vive con la familia por una casa con "
+    rows = [
+        (1, en * 3),                  # monolingual: every window agrees
+        (2, en * 2 + es * 2),         # code-switched halves
+        (3, "tiny text"),             # single window, no stopword hits
+        (4, ""),                      # empty
+        (5, None),                    # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.lang_mix(df).collect()}
+    assert got[1]["doc_lang"] == "en" and got[1]["mix_frac"] == 0.0
+    assert not got[1]["is_mixed"]
+    assert got[2]["is_mixed"] and got[2]["mix_frac"] > 0.0
+    assert got[2]["n_agree"] < got[2]["n_windows"]
+    assert got[3]["doc_lang"] == "und" and got[3]["n_windows"] == 1
+    assert got[3]["n_agree"] == 1      # its one window is also 'und'
+    for d in (4, 5):
+        assert got[d]["n_windows"] == 0 and got[d]["n_agree"] == 0
+        assert got[d]["mix_frac"] == 0.0 and not got[d]["is_mixed"]
+    # window count replicates ceil(n_tokens / 20)
+    import math
+    n_tok = len((en * 3).split())
+    assert got[1]["n_windows"] == math.ceil(n_tok / 20)

@@ -108,6 +108,89 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lang_mix(df: DataFrame, text_col: str = "text", window: int = 20,
+             mix_threshold: float = 0.3) -> DataFrame:
+    """Mixed-language (code-switching) detection — the signal that drops
+    pages whose halves disagree about language (boilerplate in one
+    language wrapping content in another, machine-translated splices):
+    a monolingual training slice wants documents whose WINDOWS agree
+    with the document-level language, not just a confident doc-level
+    vote (CCNet/fastText pipelines apply exactly this doc-vs-segment
+    agreement check).
+
+    Tokens are cut into fixed ``window``-token windows; each window and
+    the whole doc get a language by stopword-HIT argmax (integer
+    compares — same decision as :func:`lang_id`'s ratio argmax, since
+    the denominator is constant within a scope; ties break to the
+    lexicographically LAST language exactly like lang_id, 'und' when
+    nothing hits). Output: (doc_id, doc_lang, n_windows, n_agree,
+    mix_frac 4dp, is_mixed = mix_frac >= threshold).
+
+    Plan: everything is higher-order functions over the token array —
+    no explode, no shuffle; rides the scan at any corpus size."""
+    langs = sorted(STOPWORDS.items())
+
+    def _in(arr):
+        # PySpark HOF lambdas must take ONLY lambda variables (a default
+        # arg would be bound as a second lambda var) — close over `arr`
+        return lambda t: F.array_contains(arr, t)
+
+    def _pred(tok_arr):
+        scores = [
+            F.struct(
+                F.size(
+                    F.filter(
+                        tok_arr,
+                        _in(F.array(*[F.lit(w) for w in words])),
+                    )
+                ).cast("long").alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in langs
+        ]
+        best = F.array_max(F.array(*scores))
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    toks = _token_array(F.col(text_col))
+    n = F.size(toks)
+    n_win = F.when(n > 0, F.floor((n - 1) / window) + 1).otherwise(
+        F.lit(0)
+    ).cast("long")
+    wins = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_win.cast("int")),
+            lambda i: F.slice(toks, (i - 1) * window + 1, window),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    base = df.select(
+        "doc_id",
+        _pred(toks).alias("doc_lang"),
+        n_win.alias("n_windows"),
+        F.transform(wins, _pred).alias("win_langs"),
+    )
+    n_agree = F.size(
+        F.filter(F.col("win_langs"), lambda l: l == F.col("doc_lang"))
+    ).cast("long")
+    mix = F.when(
+        F.col("n_windows") > 0,
+        F.round(
+            F.lit(1.0)
+            - n_agree.cast("double") / F.col("n_windows").cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        "doc_lang",
+        "n_windows",
+        F.when(F.col("n_windows") > 0, n_agree).otherwise(F.lit(0))
+        .cast("long").alias("n_agree"),
+        mix.alias("mix_frac"),
+        (mix >= mix_threshold).alias("is_mixed"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text
     (exact-dup key that survives formatting changes)."""
