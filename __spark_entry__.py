@@ -3178,7 +3178,8 @@ WITH uni AS (
 m2 AS (SELECT doc_id, t, len(t) AS n,
   CAST(CASE WHEN len(t) = 0 THEN 0 ELSE ((len(t) - 1) // 20) + 1 END
        AS BIGINT) AS n_windows
-  FROM (SELECT doc_id, {_TOKS} AS t FROM uni) _b),
+  FROM (SELECT doc_id,
+          coalesce({_TOKS}, CAST([] AS VARCHAR[])) AS t FROM uni) _b),
 wins AS (SELECT doc_id,
   unnest(list_transform(range(1, n_windows + 1),
                         i -> t[((i - 1) * 20 + 1):(i * 20)])) AS w
@@ -3197,11 +3198,7 @@ SELECT m2.doc_id, dl.doc_lang, m2.n_windows,
           - CAST(coalesce(agg.n_agree, 0) AS DOUBLE)
             / CAST(m2.n_windows AS DOUBLE), 4)
   ELSE CAST(0 AS DOUBLE) END AS mix_frac,
-  (CASE WHEN m2.n_windows > 0 THEN
-    round(CAST(1 AS DOUBLE)
-          - CAST(coalesce(agg.n_agree, 0) AS DOUBLE)
-            / CAST(m2.n_windows AS DOUBLE), 4)
-  ELSE CAST(0 AS DOUBLE) END) >= CAST(0.3 AS DOUBLE) AS is_mixed
+  mix_frac >= CAST(0.3 AS DOUBLE) AS is_mixed
 FROM m2 JOIN dl USING (doc_id) LEFT JOIN agg USING (doc_id)
 """
 

@@ -42,7 +42,24 @@ def widen_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
     cores and this returns the input UNCHANGED — the extra shuffle
     exists only where the data is tiny enough for it to cost
     milliseconds. Hash-partitioning on ``key`` keeps placement
-    deterministic (round-robin would depend on input row order)."""
+    deterministic (round-robin would depend on input row order).
+
+    Derived inputs (anything whose plan already contains a join,
+    aggregate, window, or repartition) are returned untouched WITHOUT
+    the partition probe: their shuffles already re-parallelize the
+    data, and probing them via ``df.rdd`` would force physical
+    planning — under AQE that can eagerly EXECUTE the upstream shuffle
+    stages just to count partitions, work the real query then redoes.
+    The probe therefore only ever runs on plain scan/filter/project
+    lineage, where ``.rdd`` is a metadata-only conversion."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    import re as _re
+
+    if _re.search(
+        r"\b(Join|Aggregate|Window|Sort|Distinct|Repartition|Generate)",
+        plan,
+    ):
+        return df
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= par:

@@ -226,7 +226,7 @@ def write_wet(df: DataFrame, out_dir: str,
                     f = open(path, "wb")
                 f.write(
                     format_conversion_record(
-                        row["url"], row["ts"] or "", row["text"] or ""
+                        row["url"] or "", row["ts"] or "", row["text"] or ""
                     )
                 )
                 n += 1
@@ -270,7 +270,8 @@ def write_warc(df: DataFrame, out_dir: str,
                 if f is None:
                     f = open(path, "wb")
                 payload = bytes(row["html"]) if row["html"] is not None else b""
-                f.write(format_record(row["url"], row["ts"] or "", payload))
+                f.write(format_record(row["url"] or "", row["ts"] or "",
+                                      payload))
                 n += 1
         finally:
             if f is not None:
