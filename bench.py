@@ -69,6 +69,11 @@ def main() -> None:
     # per-executor heap is constant on a real cluster, and 8g showed
     # GC-pressure windows on the 32-thread crawl at sf0.1
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    # pre-fault the heap before the timed queries (see
+    # BENCH/scaling_worker.py — fresh-JVM heap growth otherwise lands
+    # as kernel page-zeroing stalls inside the first heavy entries)
+    os.environ.setdefault("VYNTR_DRIVER_JAVA_OPTS",
+                          "-Xms16g -XX:+AlwaysPreTouch")
     sf = sf_of(sf_dir)
     n_pages, n_hosts = pages_scale(sf)
 
