@@ -545,3 +545,73 @@ def test_lang_mix_detects_code_switching(spark):
     import math
     n_tok = len((en * 3).split())
     assert got[1]["n_windows"] == math.ceil(n_tok / 20)
+
+
+def test_char_entropy_invariances(spark):
+    # entropy is a bag-of-chars statistic: permuting the text and
+    # doubling it (same distribution) must not change entropy_micro;
+    # the uniform alphabet is the maximum
+    base = "the quick brown fox jumps over the lazy dog 0123456789"
+    rows = [
+        (1, base),
+        (2, base[::-1]),            # permutation: same char bag
+        (3, base + base),           # doubled: same distribution
+        (4, "abcdefghijklmnopqrstuvwxyz0123456789"),  # uniform max
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.char_entropy(df).collect()}
+    assert got[1]["entropy_micro"] == got[2]["entropy_micro"]
+    assert got[1]["entropy_micro"] == got[3]["entropy_micro"]
+    assert got[3]["n_chars"] == 2 * got[1]["n_chars"]
+    for d in (1, 2, 3):
+        assert got[d]["entropy_micro"] < got[4]["entropy_micro"]
+    import math
+    assert got[4]["entropy_micro"] == 36 * math.floor(
+        (math.log(36) / 36) * 1e6 + 0.5)
+
+
+def test_lang_mix_partitioning_invariant(spark):
+    rows = [(i, ("the cat of the mat " if i % 2 else "el perro es la casa ")
+             * (i % 7 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, textstats.lang_mix(df).collect()))
+    b = sorted(map(tuple, textstats.lang_mix(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_widen_small_scan_is_identity_on_derived_frames(spark):
+    from pyspark.sql import functions as F
+    from vyntr_spark.operators.textstats import widen_small_scan
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(10)], "doc_id long, text string")
+    # aggregate / join / generate lineage: returned untouched, no probe
+    agg = docs.groupBy("doc_id").count()
+    assert widen_small_scan(agg) is agg
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert widen_small_scan(joined) is joined
+    exploded = docs.select(F.explode(F.split("text", "")).alias("c"))
+    assert widen_small_scan(exploded) is exploded
+    # one-partition scan-like frame: widened to defaultParallelism
+    par = spark.sparkContext.defaultParallelism
+    narrow = docs.coalesce(1)
+    out = widen_small_scan(narrow)
+    if out is not narrow:  # coalesce is Repartition-family in some plans
+        assert out.rdd.getNumPartitions() == par
+
+
+def test_dsir_partitioning_invariant_and_quota(spark):
+    from vyntr_spark.operators import sampling
+
+    rows = [(i, "tgt" if i < 5 else "raw",
+             f"alpha beta gamma doc{i} common words here")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(map(tuple, sampling.dsir_select(
+        df, target_source="tgt", n_buckets=64, quota=7).collect()))
+    b = sorted(map(tuple, sampling.dsir_select(
+        df.repartition(5), target_source="tgt", n_buckets=64,
+        quota=7).collect()))
+    assert a == b
+    sel = [r for r in a if r[-1]]
+    assert len(sel) == 7  # exact quota when enough raw candidates
