@@ -113,17 +113,23 @@ def connected_components(
     stable (checksum compare). On convergence the edges form stars
     (child > root), so the assignment is one projection + the roots."""
     spark = edges.sparkSession
+    # eager localCheckpoint of the RAW edges FIRST: the pair-generating
+    # plan (minhash over shingles etc.) runs exactly once, and BOTH
+    # consumers — the node universe and the canonical edge set — read
+    # the materialized rows. (Deriving nodes straight from `edges`
+    # would re-execute the whole pair generation at final-action time
+    # for the roots anti-join: a lazy .persist() on nodes never
+    # materializes before this function unpersists it.)
+    e_raw = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e_raw.select(F.col(src).alias("node"))
+        .union(e_raw.select(F.col(dst).alias("node")))
         .distinct()
-        .persist()
     )
-    # eager localCheckpoint: truncates lineage so each round's plan is
-    # O(1)-sized regardless of how complex the pair-generating plan was
-    # (minhash over shingles etc.), and makes the subsequent unpersist of
-    # the previous round safe (the new edge set is self-contained)
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    # second checkpoint: truncates lineage so each round's plan is
+    # O(1)-sized, and makes the unpersist of the previous round safe
+    # (the new edge set is self-contained)
+    e = _canonical_edges(e_raw, src, dst).localCheckpoint(eager=True)
     prev_sum = _checksum(e)
     prev_df = e
     for it in range(max_iter):
@@ -138,9 +144,7 @@ def connected_components(
     roots = nodes.join(assign, "node", "left_anti").select(
         "node", F.col("node").alias("component")
     )
-    out = assign.union(roots)
-    nodes.unpersist()
-    return out
+    return assign.union(roots)
 
 
 def neardup_components(
