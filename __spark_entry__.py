@@ -1746,6 +1746,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e10b_bpe_tokens"] = lambda s, sf: textstats.bpe_token_count(_docs(s, sf))
 
+    # tokenizer fertility: subword pieces per word, exact milli-units
+    q["e10c_fertility"] = lambda s, sf: textstats.tokenizer_fertility(
+        _docs(s, sf)
+    )
+
     def t_bpe(s, sf):
         # corpus-wide round-0 BPE pair counts (the first step of
         # tokenizer training); total order (cnt desc, left, right) makes
@@ -4105,6 +4110,19 @@ WITH p AS (SELECT doc_id,
 SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
  CAST(len(list_filter(pieces, x -> NOT regexp_matches(x, '^[ \t\n]+$')))
       AS BIGINT) AS n_tokens
+FROM p
+"""
+
+    # fertility: exact BIGINT // on both engines (Spark floor of an
+    # exact double ratio — numerator < 2^53)
+    o["e10c_fertility"] = f"""
+WITH p AS (SELECT doc_id,
+  CAST(len(list_filter(regexp_extract_all(coalesce(text, ''), '{_bpe}'),
+       x -> NOT regexp_matches(x, '^[ \t\n]+$'))) AS BIGINT) AS n_pieces,
+  CAST(coalesce(len({_TOKS}), 0) AS BIGINT) AS n_words FROM documents)
+SELECT doc_id, n_words, n_pieces,
+  CAST(CASE WHEN n_words > 0 THEN (n_pieces * 1000) // n_words
+       ELSE 0 END AS BIGINT) AS fertility_milli
 FROM p
 """
 

@@ -615,3 +615,23 @@ def test_dsir_partitioning_invariant_and_quota(spark):
     assert a == b
     sel = [r for r in a if r[-1]]
     assert len(sel) == 7  # exact quota when enough raw candidates
+
+
+def test_tokenizer_fertility_exact(spark):
+    rows = [
+        (1, "hello world abc123"),   # "abc123" -> 2 pieces: 4/3 words
+        (2, "a.b,c!d 99x"),          # punct soup: 9 pieces / 5 words
+        (3, "plain words here"),     # 1.0 fertility
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"], r["fertility_milli"])
+           for r in textstats.tokenizer_fertility(df).collect()}
+    assert got[1] == (3, 4, 1333)
+    assert got[2] == (5, 9, 1800)
+    assert got[3] == (3, 3, 1000)
+    assert got[4] == (0, 0, 0)
+    assert got[5] == (0, 0, 0)
+    # noisy text must out-score clean prose
+    assert got[2][2] > got[3][2]

@@ -1127,6 +1127,41 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility — subword pieces per whitespace word, the
+    standard "how tokenizer-unfriendly is this text" signal (high
+    fertility = digit soup, mashed punctuation, non-target scripts —
+    text that explodes into many pieces per word and wastes training
+    context). Composes the two counting conventions already proven
+    here: pieces = :data:`BPE_SPLIT_PATTERN` non-whitespace matches
+    (bpe_token_count's billable pieces), words = the [a-z0-9]
+    whitespace tokenizer (:func:`token_count`).
+
+    fertility_milli = (n_pieces·1000) // n_words — exact integer
+    division, no floats anywhere, so the DuckDB oracle matches by
+    value. Zero-word docs report 0. Pure per-row exprs: no shuffle,
+    rides the scan."""
+    pieces = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_SPLIT_PATTERN), 0
+    )
+    n_pieces = F.coalesce(
+        F.size(F.filter(pieces, lambda p: ~p.rlike("^[ \t\n]+$"))), F.lit(0)
+    ).cast("long")
+    n_words = F.size(_token_array(F.col(text_col))).cast("long")
+    n_words = F.when(n_words > 0, n_words).otherwise(F.lit(0)).cast("long")
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_pieces.alias("n_pieces"),
+        F.when(
+            n_words > 0,
+            # floor of an exact double ratio == BIGINT // for positives
+            # (numerator < 2^53 by construction)
+            F.floor((n_pieces * 1000).cast("double") / n_words),
+        ).otherwise(F.lit(0)).cast("long").alias("fertility_milli"),
+    )
+
+
 def dup_spans(df: DataFrame, k: int = 8, text_col: str = "text",
               flag_frac: float = 0.5) -> DataFrame:
     """Cross-document duplicated-substring mass (the metric behind exact
