@@ -6,7 +6,9 @@ an order-insensitive value hash — using the SAME canonicalization shape
 the driver uses (pandas sort_values over name-sorted columns), so any
 column type the driver cannot hash (arrays, maps) fails HERE first.
 
-Usage: python BENCH/gate_replica.py [sf_dir]
+Usage: python BENCH/gate_replica.py [sf_dir] [name ...]
+(trailing args, if given, restrict the run to those query names —
+for targeted re-checks after editing an operator)
 """
 
 import hashlib
@@ -57,6 +59,13 @@ def main():
     spark = get_spark()
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+            sys.exit(2)
+        qs = {k: v for k, v in qs.items() if k in only}
     results, n_fail = {}, 0
     for name, qfn in qs.items():
         rec = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}

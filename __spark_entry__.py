@@ -2456,7 +2456,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_bpe_encode"] = t_bpe_enc
 
-    return q
+    return _gate_rotated(q)
+
+
+# Round-3 gate rotation (VERDICT r2 "Next round" #1): the driver's
+# correctness gate samples only the FIRST 50 registered queries per
+# round. Rounds 1-2 earned hard driver rows for 68 distinct queries;
+# 91 registrations had only replica/pytest evidence. This list front-
+# loads 48 of those never-driver-checked queries (all 22 TPC-H shapes,
+# all 8 graph ops, the extraction/canonicalization kernels, the ANN/
+# dedup t_* family, and the 3 remaining mm_* entries — registered at
+# the end of the window per the scalar-surface shadowing rule) plus two
+# stable cross-round sentinels (c4, d1). The 43 still-unchecked
+# registrations come immediately after position 50 so round 4's
+# rotation covers the remainder. Every name here passed the driver-
+# faithful gate replica (BENCH/gate_replica.py) at sf0.01 before this
+# rotation landed.
+_GATE_WINDOW_R3 = [
+    "c4_dedup_exact", "d1_clean_regex",          # sentinels (r1+r2 green)
+    "c2_canonicalize", "c3_domain", "c15_extract",
+    "h1_pricing_summary", "h2_min_cost_supp", "h3_top_orders",
+    "h4_priority_late", "h5_nation_revenue", "h6_forecast_revenue",
+    "h7_volume_shipping", "h8_market_share", "h9_product_profit",
+    "h10_returned_items", "h11_important_parts", "h12_priority_lines",
+    "h13_order_distribution", "h14_promo_revenue", "h15_top_supplier",
+    "h16_supplier_cnt", "h17_small_qty", "h18_large_volume",
+    "h19_disjunctive_parts", "h20_excess_suppliers",
+    "h21_waiting_suppliers", "h22_idle_customers",
+    "g1_pagerank", "g2_neardup_components", "g2b_dedup_keep",
+    "g3_anchor_text", "g4_hits", "g5_triangles", "g6_clustering",
+    "g7_degree_hist",
+    "t_sessionize", "t_asof_join", "t_window_rollup",
+    "t_pq_encode", "t_pq_adc_topk", "t_ivfpq_topk",
+    "t_kmeans_ivf", "t_ann_kmeans", "t_semdedup",
+    "t_dedup_verdict", "t_decontaminate", "t_dsir_select",
+    "mm_resize_plan", "mm_frame_sample", "mm_phash_neardup",
+]
+
+# Next-in-line for round 4's window: the registrations still without a
+# hard driver row after r3 runs. Kept contiguous right after the window
+# so the r4 rotation is a list swap, not a re-audit.
+_GATE_NEXT_R4 = [
+    "c24_sitemap_parse", "c25_recrawl_schedule", "c26_redirect_resolve",
+    "c27_trap_hosts", "c29_capture_dedup", "c10d_robots_eval",
+    "t_c4_filters", "t_ccnet_buckets", "e10b_bpe_tokens",
+    "e10c_fertility", "t_bpe_pairs", "t_mixture_weights",
+    "t_seq_packing", "t_shard_plan", "t_train_prep_e2e",
+    "t_char_entropy", "t_gopher_quality", "t_para_dedup",
+    "t_dup_spans", "t_dup_remove", "t_sample_det", "t_stratified_topn",
+    "t_domain_rollup", "t_window_anomalies", "t_sliding_window",
+    "t_pii_scrub", "t_boiler_strip", "t_unigram_nll", "t_gopher_rep",
+    "t_hash_classifier", "t_quantize_int8", "t_ann_ivf_topk",
+    "t_hll_distinct_words", "t_kmv_distinct_words", "t_hll_union",
+    "t_cms_word_freq", "t_chi2_terms", "t_bigram_nll",
+    "t_collocations", "t_containment", "t_cms_heavy_hitters",
+    "t_sampled_quantiles", "t_lang_mix",
+]
+
+
+def _gate_rotated(q: dict) -> dict:
+    """Reorder registrations: r3 gate window first, r4 candidates next,
+    then everything else in original registration order (t_bpe_encode,
+    the only oracle-less entry, stays last among the leftovers by
+    construction)."""
+    ordered: dict = {}
+    for name in _GATE_WINDOW_R3 + _GATE_NEXT_R4:
+        if name in q:
+            ordered[name] = q[name]
+    for name, fn in q.items():
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -3825,8 +3895,12 @@ FROM urls u LEFT JOIN m ON m.url = u.url AND m.rn = 1
         "JOIN part ON l_partkey = p_partkey "
         "WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO' "
         "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
-        "AND l_suppkey NOT IN "
-        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        # NOT EXISTS, not NOT IN: the Spark side is a null-tolerant
+        # left_anti join, and NOT IN returns zero rows if any selected
+        # s_suppkey is NULL — equivalent on this fixture but a latent
+        # cross-engine divergence on nullable keys (ADVICE r2).
+        "AND NOT EXISTS (SELECT 1 FROM supplier "
+        "WHERE s_suppkey = l_suppkey AND s_acctbal < 0) "
         "GROUP BY 1, 2, 3"
     )
 
@@ -5084,7 +5158,8 @@ FROM base b LEFT JOIN topd t USING (doc_id)
         "ag AS (SELECT source, count(*) AS n, max(h) AS kth FROM rk "
         "WHERE rn <= 32 GROUP BY 1) "
         "SELECT source, round(CASE WHEN n < 32 THEN CAST(n AS DOUBLE) "
-        f"ELSE 31.0 * {repr(float(1 << 60))} / CAST(kth AS DOUBLE) END, "
+        f"ELSE 31.0 * {repr(float(1 << 60))} "
+        "/ CAST(greatest(kth, 1) AS DOUBLE) END, "
         "4) + 0.0 AS kmv_estimate FROM ag"
     )
 

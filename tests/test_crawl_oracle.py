@@ -184,6 +184,42 @@ def test_resume_mid_frontier(spark, tmp_path, tiny_web):
     _assert_parity(store, infos, orc, rows)
 
 
+def test_inprocess_retry_recounts_frontier(spark, tmp_path, tiny_web,
+                                           monkeypatch):
+    """A round that raises mid-flight must leave the tracked frontier
+    size invalidated (crawl.py run_round sets it to None for the round's
+    duration), so an in-process retry on the SAME engine re-counts
+    instead of making budget/empty decisions on a stale number — and the
+    retried crawl still matches the sequential oracle exactly."""
+    from vyntr_spark import crawl as crawl_mod
+    from vyntr_spark.crawl import CrawlEngine
+
+    rows, seeds = tiny_web
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7)
+
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    eng = CrawlEngine(spark, store, _pages_df(spark, rows),
+                      max_pages=10_000, collect_debug=True, seed=7)
+    eng.init_from_seeds(seeds)
+    infos = [eng.run_round()]  # round 0 clean
+
+    # poison the tracked size, then blow up round 1 after it is read
+    real_select = crawl_mod.politeness_select
+    def boom(*a, **kw):
+        raise RuntimeError("injected mid-round failure")
+    monkeypatch.setattr(crawl_mod, "politeness_select", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.run_round()
+    assert eng._frontier_size is None, (
+        "failed round must invalidate the tracked frontier size"
+    )
+    monkeypatch.setattr(crawl_mod, "politeness_select", real_select)
+
+    # retry on the same engine instance: re-counts, crawls to completion
+    infos += eng.run(max_rounds=100)
+    _assert_parity(store, infos, orc, rows)
+
+
 def test_robots_gating(spark, tmp_path, tiny_web):
     rows, seeds = tiny_web
     robots = {"host0.example": ["/p1", "/p3"]}

@@ -448,22 +448,15 @@ def anchor_text_agg(
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
-    """Global triangle count by degree-ordered orientation (the
-    compact-forward / node-iterator++ algorithm every distributed
-    triangle counter uses — e.g. Suri & Vassilvitskii WWW'11): orient
-    each undirected edge from the lower (degree, id) endpoint to the
-    higher, so every vertex's out-neighborhood is bounded by ~sqrt(m)
-    on any graph (arboricity bound) and the wedge join never explodes
-    on hubs — the naive neighbor self-join is quadratic in the max
-    degree; this is the difference between feasible and not on a
-    web graph whose degree distribution is a power law.
-
-    Each triangle {x,y,z} with orientation ranks x<y<z is counted
-    exactly once: as the wedge (x→y, x→z) closed by the oriented edge
-    y→z. Plan: two self-equi-joins on the oriented edge set, one
-    count — no windows, no Python. Returns one row (n_triangles)."""
+def _oriented_edges(edges: DataFrame, src: str, dst: str):
+    """Degree table + degree-oriented edge set shared by triangle_count
+    and clustering_coefficient. The oriented frame is referenced three
+    times in the wedge/closure self-joins, so it is materialized ONCE
+    via an eager localCheckpoint — without it the whole upstream
+    canonicalize + two degree joins replan and re-execute 3× (the same
+    recompute hazard fixed for connected_components). Returns
+    (deg, oriented) where oriented is checkpointed and deg is the lazy
+    degree aggregate (cheap: one hash-agg over the edge list)."""
     e = _canonical_edges(edges, src, dst)
     deg = (
         e.select(F.col("u").alias("n")).unionAll(
@@ -483,7 +476,27 @@ def triangle_count(edges: DataFrame, src: str = "src",
     o = with_deg.select(
         F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
-    )
+    ).localCheckpoint(eager=True)
+    return deg, o
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count by degree-ordered orientation (the
+    compact-forward / node-iterator++ algorithm every distributed
+    triangle counter uses — e.g. Suri & Vassilvitskii WWW'11): orient
+    each undirected edge from the lower (degree, id) endpoint to the
+    higher, so every vertex's out-neighborhood is bounded by ~sqrt(m)
+    on any graph (arboricity bound) and the wedge join never explodes
+    on hubs — the naive neighbor self-join is quadratic in the max
+    degree; this is the difference between feasible and not on a
+    web graph whose degree distribution is a power law.
+
+    Each triangle {x,y,z} with orientation ranks x<y<z is counted
+    exactly once: as the wedge (x→y, x→z) closed by the oriented edge
+    y→z. Plan: two self-equi-joins on the oriented edge set, one
+    count — no windows, no Python. Returns one row (n_triangles)."""
+    _, o = _oriented_edges(edges, src, dst)
     x, y, z = o.alias("x"), o.alias("y"), o.alias("z")
     wedges = x.join(y, F.col("x.s") == F.col("y.s")).filter(
         F.col("x.d") != F.col("y.d")
@@ -506,26 +519,7 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     exploded back out so every node collects its own count; wedge
     capacity is pure integer math on the degree table. Returns
     (node, deg, n_triangles, coeff 4dp) for nodes with deg >= 2."""
-    e = _canonical_edges(edges, src, dst)
-    deg = (
-        e.select(F.col("u").alias("n")).unionAll(
-            e.select(F.col("v").alias("n"))
-        )
-        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
-    )
-    with_deg = (
-        e.join(deg.select(F.col("n").alias("u"),
-                          F.col("deg").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"),
-                         F.col("deg").alias("dv")), "v")
-    )
-    lower_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = with_deg.select(
-        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
-    )
+    deg, o = _oriented_edges(edges, src, dst)
     x, y, z = o.alias("x"), o.alias("y"), o.alias("z")
     tri = (
         x.join(y, F.col("x.s") == F.col("y.s"))

@@ -129,11 +129,15 @@ def kmv_distinct(df: DataFrame, col: str, group_col: str = "source",
     agg = topk.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
     )
+    # Divisor clamped to >= 1: a 0 hash as the k-th order statistic is
+    # only reachable at k=1 (hashes are distinct) — ~2^-60 odds, but
+    # adversarial input can force it, and the estimate must saturate,
+    # not divide by zero. The oracle SQL applies the same greatest().
     est = F.when(
         F.col("n") < k, F.col("n").cast("double")
     ).otherwise(
         F.lit(float(k - 1)) * F.lit(float(1 << HASH_BITS))
-        / F.col("kth").cast("double")
+        / F.greatest(F.col("kth"), F.lit(1)).cast("double")
     )
     return agg.select(
         F.col("grp").alias(group_col),

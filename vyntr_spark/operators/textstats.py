@@ -28,6 +28,21 @@ def _token_array(col):
     return F.array_remove(F.split(F.lower(col), TOKEN_SPLIT), "")
 
 
+# Logical-plan node classes whose presence means the data is already
+# re-parallelized by a shuffle (or row counts change under a Generate),
+# so widen_small_scan must leave the frame alone. "Distinct" appears as
+# Deduplicate in analyzed plans; both are listed defensively.
+_RESHUFFLING_NODES = frozenset(
+    {
+        "Join", "Aggregate", "Window", "Sort", "Deduplicate", "Distinct",
+        "Repartition", "RepartitionByExpression", "Generate",
+    }
+)
+
+# (session id, analyzed-plan semanticHash) -> scan partition count.
+_SCAN_PROBE_CACHE: dict = {}
+
+
 def widen_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Repartition an input whose scan yields fewer partitions than the
     session's core count — the single-row-group small-file guard for
@@ -51,18 +66,34 @@ def widen_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
     planning — under AQE that can eagerly EXECUTE the upstream shuffle
     stages just to count partitions, work the real query then redoes.
     The probe therefore only ever runs on plain scan/filter/project
-    lineage, where ``.rdd`` is a metadata-only conversion."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    import re as _re
+    lineage, where ``.rdd`` is a metadata-only conversion.
 
-    if _re.search(
-        r"\b(Join|Aggregate|Window|Sort|Distinct|Repartition|Generate)",
-        plan,
-    ):
-        return df
+    Classification walks the analyzed logical plan's NODE CLASSES
+    (``nodeName`` per node, depth-first via py4j) rather than regexing
+    the plan's ``toString()`` — a column alias or string literal that
+    happens to contain "Join"/"Sort"/... must not silently disable the
+    widening. The probe result is memoized per (session, plan
+    semanticHash) so repeated calls over the same scan lineage — common
+    across a bench/gate run — force physical planning only once."""
+    plan = df._jdf.queryExecution().analyzed()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _RESHUFFLING_NODES:
+            return df
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    cache_key = (id(df.sparkSession), plan.semanticHash())
+    n_parts = _SCAN_PROBE_CACHE.get(cache_key)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        if len(_SCAN_PROBE_CACHE) > 256:  # bound driver-side memory
+            _SCAN_PROBE_CACHE.clear()
+        _SCAN_PROBE_CACHE[cache_key] = n_parts
+    if n_parts >= par:
         return df
     k = key if key in df.columns else df.columns[0]
     return df.repartition(par, k)
@@ -1537,11 +1568,21 @@ def bigram_logprob(df: DataFrame, train: DataFrame | None = None,
             ).alias("p"),
         ).select("doc_id", "p.w1", "p.w2")
 
+    # One pass over the training pair explode: the bigram table is the
+    # only aggregate that needs the raw pairs; c(w1·), c(·w2) and
+    # N_pairs are all marginals of c(w1,w2), so they derive from the
+    # (vocabulary-sized, materialized-once) bigram table instead of
+    # re-executing the full explode three more times. localCheckpoint
+    # cuts the lineage so the four consumers below read the cached
+    # blocks, never the corpus.
     tp = _pairs(tr)
-    big = tp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx = tp.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    second = tp.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    n_pairs = tp.count() or 1
+    big = (
+        tp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    second = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n_pairs = (big.agg(F.sum("c12")).collect()[0][0] or 0) or 1
 
     sp = (
         _pairs(df)
@@ -1594,14 +1635,22 @@ def chi2_terms(df: DataFrame, k: int = 5, text_col: str = "text",
     per group by (χ²_milli desc, term asc) is engine-deterministic.
     Returns (group, term, a = in-group count, chi2 4dp-from-milli,
     rnk)."""
-    toks = df.select(
+    # Single pass over the token explode: group totals, term totals and
+    # the corpus total are all marginals of the (grp, term) contingency
+    # table, so only a_tab ever reads the exploded tokens; it is
+    # materialized once (localCheckpoint) and the other three derive
+    # from its cached blocks instead of re-running the explode.
+    toks = widen_small_scan(df).select(
         F.col(group_col).alias("grp"),
         F.explode(_token_array(F.col(text_col))).alias("term"),
     )
-    a_tab = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("a"))
-    grp_tot = toks.groupBy("grp").agg(F.count(F.lit(1)).alias("g_tot"))
-    term_tot = toks.groupBy("term").agg(F.count(F.lit(1)).alias("t_tot"))
-    n_tot = toks.count() or 1
+    a_tab = (
+        toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("a"))
+        .localCheckpoint(eager=True)
+    )
+    grp_tot = a_tab.groupBy("grp").agg(F.sum("a").alias("g_tot"))
+    term_tot = a_tab.groupBy("term").agg(F.sum("a").alias("t_tot"))
+    n_tot = (a_tab.agg(F.sum("a")).collect()[0][0] or 0) or 1
 
     j = (
         a_tab.join(F.broadcast(grp_tot), "grp")
