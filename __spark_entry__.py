@@ -136,6 +136,12 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/embeddings.parquet")
 
 
+# fixed BPE merge fixture shared by t_bpe_encode and e2b_bpe_chunks
+# (training order = list order)
+_BPE_FIXED_MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+                     ("i", "n"), ("e", "r"), ("o", "n"), ("s", "t")]
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -334,6 +340,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p6b_phrase_search"] = p6b
 
+    def p6c(s, sf):
+        # P6 QueryParser tail (server.rs:165-173): phrase slop "a b"~N
+        # (in-order, total slack <= N) with a clause boost ^2, OR'd with
+        # a plain term — boosts multiply the matched clause's BM25
+        # contribution, slop relaxes adjacency via positional postings
+        from vyntr_spark.operators import boolquery
+
+        idx = pulse.build_index(_docs(s, sf), with_positions=True)
+        return boolquery.search_boolean(
+            idx, '"part filter"~1^2 spark', k=10
+        )
+
+    q["p6c_slop_boost"] = p6c
+
     def p4b(s, sf):
         # P4 full semantics (pulse/src/main.rs:114-118): nsfw = OR over
         # domain-of(content/title/url) membership; title row exercises
@@ -529,6 +549,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w7b_unit_full"] = w7b
 
+    def w7c(s, sf):
+        # W7c: parseUnitQuery grammar + full UNIT_ALIASES resolution
+        # (unitParser.ts:10-214) feeding the convertUnit twin. Fixture
+        # mixes all four patterns, alias hits, category mismatches
+        # (mph -> 'km/h' truncates to 'km': length vs speed -> null)
+        # and no-match garbage — null propagation is part of parity.
+        from vyntr_spark.operators.units import (convert_units,
+                                                 parse_unit_query)
+
+        v = (F.col("doc_id") % 50 + 1).cast("string")
+        tmpl = F.array(
+            F.concat(F.lit("convert "), v, F.lit(" km to miles")),
+            F.concat(v, F.lit(" kg in lbs")),
+            F.concat(F.lit("how many miles in "), v, F.lit(" km")),
+            F.concat(v, F.lit(" c to f")),
+            F.concat(v, F.lit(" mph to km/h")),
+            F.lit("what is love"),
+            F.concat(v, F.lit(" hours to minutes")),
+            F.concat(F.lit("how many light years in "), v,
+                     F.lit(" parsecs")),
+            F.concat(v, F.lit(" stone to kg")),
+            F.concat(F.lit("convert "), v, F.lit(" gb in mb")),
+        )
+        qdf = _docs(s, sf).select(
+            "doc_id",
+            F.element_at(tmpl, (F.col("doc_id") % 10).cast("int") + 1)
+            .alias("q"),
+        )
+        return convert_units(parse_unit_query(qdf)).select(
+            "doc_id", "q", "value", "from_unit", "to_unit", "category",
+            F.round("result", 4).alias("result"),
+        )
+
+    q["w7c_unit_parse"] = w7c
+
+    def w6c(s, sf):
+        # W6c: parseDateQuery grammar (date.ts:308-360) — unit
+        # detection, since/from lookback, prefix strip, holiday
+        # substring match in table order ('easter monday' resolving to
+        # 'easter' is reference behavior), 'tomorrow'; now pinned.
+        from vyntr_spark.operators.serving import parse_date_query_df
+
+        tmpl = F.array(
+            F.lit("days until christmas"),
+            F.lit("how many weeks until easter"),
+            F.lit("days since labor day"),
+            F.lit("hours to thanksgiving"),
+            F.lit("months before halloween"),
+            F.lit("days until tomorrow"),
+            F.lit("nothing to see"),
+            F.lit("seconds from new year"),
+            F.lit("days until easter monday"),
+        )
+        qdf = _docs(s, sf).select(
+            "doc_id",
+            F.element_at(tmpl, (F.col("doc_id") % 9).cast("int") + 1)
+            .alias("q"),
+        )
+        return parse_date_query_df(qdf)
+
+    q["w6c_date_parse"] = w6c
+
+    def w10b(s, sf):
+        # W10b: full-size bang table (100k synthesized rows in the
+        # bangs.ts shape) + handleBangQuery parity — bang anywhere in
+        # the query, unknown bangs skipped, matched word removed by
+        # position, encodeURIComponent substitution into '{{{s}}}'.
+        from vyntr_spark.sources.bangs import bang_resolve, synth_bangs
+
+        n = (F.col("doc_id") * 7 % 150000).cast("string")
+        tmpl = F.array(
+            F.concat(F.lit("find !b"), n, F.lit(" deep learning")),
+            F.concat(F.lit("!b"), n, F.lit(" spark sql")),
+            F.concat(F.lit("weather !zzz now !b"), n, F.lit(" rain")),
+            F.lit("plain query no bang"),
+            F.concat(F.lit("C++ & tilde~ !b"), n),
+        )
+        qdf = _docs(s, sf).select(
+            F.element_at(tmpl, (F.col("doc_id") % 5).cast("int") + 1)
+            .alias("q"),
+        )
+        return bang_resolve(qdf, synth_bangs(s, 100_000))
+
+    q["w10b_bang_full"] = w10b
+
     def c10b(s, sf):
         # robots.txt -> rules table (the gate's input): parse generated
         # two-group bodies; '*' group prefixes survive, the vyntr-only
@@ -692,6 +797,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["e2_token_chunks"] = lambda s, sf: vectors.token_chunks(
         _docs(s, sf), max_tokens=16, overlap=4
     ).withColumn("chunk_id", F.col("chunk_id").cast("long"))
+
+    def e2b(s, sf):
+        # E2b: tokenizer-faithful chunking — windows measured in BPE
+        # SUBWORD tokens with the reference's effective-window/stride
+        # math (generate_embeddings.py:107-165; production 512/50/15
+        # scaled to the fixture), fixed merge list shared with
+        # t_bpe_encode. Fully native (marker-wrapped replace-chain
+        # encoder), hence fully oracle-checked, unlike the trained-list
+        # path.
+        from vyntr_spark.operators.bpe import bpe_token_chunks
+
+        return bpe_token_chunks(_docs(s, sf), _BPE_FIXED_MERGES)
+
+    q["e2b_bpe_chunks"] = e2b
 
     q["e3_stub_embed"] = lambda s, sf: vectors.stub_embed(
         vectors.token_chunks(_docs(s, sf), max_tokens=16, overlap=4), dim=8
@@ -2450,9 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def t_bpe_enc(s, sf):
         from vyntr_spark.operators import bpe
 
-        fixed = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
-                 ("i", "n"), ("e", "r"), ("o", "n"), ("s", "t")]
-        return bpe.bpe_encode(_docs(s, sf), fixed)
+        return bpe.bpe_encode(_docs(s, sf), _BPE_FIXED_MERGES)
 
     q["t_bpe_encode"] = t_bpe_enc
 
@@ -2511,6 +2628,10 @@ _GATE_NEXT_R4 = [
     "t_cms_word_freq", "t_chi2_terms", "t_bigram_nll",
     "t_collocations", "t_containment", "t_cms_heavy_hitters",
     "t_sampled_quantiles", "t_lang_mix",
+    # new in r3 (replica-verified before registration, per the gate
+    # stability rule): W-table breadth, tokenizer-faithful E2, slop/boost
+    "w7c_unit_parse", "w6c_date_parse", "w10b_bang_full",
+    "e2b_bpe_chunks", "p6c_slop_boost",
 ]
 
 
@@ -2883,6 +3004,169 @@ FROM (SELECT j.*,
       FROM j) jj
 """
 
+    # W7c: parseUnitQuery + alias map + conversion — regexes, alias
+    # CASE, unit multipliers and the conversion arithmetic are ALL
+    # generated from the same Python constants the Spark side uses
+    from vyntr_spark.operators.units import (UNIT_QUERY_PATTERNS,
+                                             oracle_alias_case)
+
+    _p = [p for p, _ in UNIT_QUERY_PATTERNS]  # [convert-to, to, in, how-many]
+    _w7c_conv = """
+  round(CASE
+    WHEN fm IS NULL OR tm IS NULL THEN NULL
+    WHEN category = 'temperature' THEN
+      (CASE WHEN tu = 'celsius' THEN kk - 273.15
+            WHEN tu = 'fahrenheit' THEN (kk - 273.15) * 1.8 + 32
+            WHEN tu = 'kelvin' THEN kk
+            WHEN tu = 'rankine' THEN kk * 1.8 END)
+    WHEN category = 'fuel' AND fu = 'litersPer100km'
+         AND tu = 'litersPer100km' THEN v
+    WHEN category = 'fuel' AND fu = 'litersPer100km' THEN (100 / v) * tm
+    WHEN category = 'fuel' AND tu = 'litersPer100km' THEN 100 / (v / fm)
+    ELSE v / fm * tm END, 4)"""
+    o["w7c_unit_parse"] = f"""
+WITH ut(category, unit, multiplier) AS (VALUES {oracle_units_values()}),
+d AS (SELECT doc_id, CAST(doc_id % 50 + 1 AS VARCHAR) AS n
+      FROM documents),
+qq AS (SELECT doc_id, CASE doc_id % 10
+  WHEN 0 THEN 'convert ' || n || ' km to miles'
+  WHEN 1 THEN n || ' kg in lbs'
+  WHEN 2 THEN 'how many miles in ' || n || ' km'
+  WHEN 3 THEN n || ' c to f'
+  WHEN 4 THEN n || ' mph to km/h'
+  WHEN 5 THEN 'what is love'
+  WHEN 6 THEN n || ' hours to minutes'
+  WHEN 7 THEN 'how many light years in ' || n || ' parsecs'
+  WHEN 8 THEN n || ' stone to kg'
+  WHEN 9 THEN 'convert ' || n || ' gb in mb' END AS q FROM d),
+m AS (SELECT doc_id, q,
+  CASE WHEN regexp_matches(q, '{_p[0]}') THEN 1
+       WHEN regexp_matches(q, '{_p[1]}') THEN 2
+       WHEN regexp_matches(q, '{_p[2]}') THEN 3
+       WHEN regexp_matches(q, '{_p[3]}') THEN 4 END AS pi FROM qq),
+g AS (SELECT doc_id, q,
+  CASE pi WHEN 1 THEN regexp_extract(q, '{_p[0]}', 1)
+          WHEN 2 THEN regexp_extract(q, '{_p[1]}', 1)
+          WHEN 3 THEN regexp_extract(q, '{_p[2]}', 1)
+          WHEN 4 THEN regexp_extract(q, '{_p[3]}', 2) END AS vtxt,
+  CASE pi WHEN 1 THEN regexp_extract(q, '{_p[0]}', 2)
+          WHEN 2 THEN regexp_extract(q, '{_p[1]}', 2)
+          WHEN 3 THEN regexp_extract(q, '{_p[2]}', 2)
+          WHEN 4 THEN regexp_extract(q, '{_p[3]}', 3) END AS ftxt,
+  CASE pi WHEN 1 THEN regexp_extract(q, '{_p[0]}', 3)
+          WHEN 2 THEN regexp_extract(q, '{_p[1]}', 3)
+          WHEN 3 THEN regexp_extract(q, '{_p[2]}', 3)
+          WHEN 4 THEN regexp_extract(q, '{_p[3]}', 1) END AS ttxt
+  FROM m),
+a AS (SELECT doc_id, q, TRY_CAST(vtxt AS DOUBLE) AS v,
+  {oracle_alias_case("lower(trim(ftxt))")} AS fu,
+  {oracle_alias_case("lower(trim(ttxt))")} AS tu FROM g),
+j AS (SELECT a.*, f.category AS category, f.multiplier AS fm,
+             t.multiplier AS tm
+      FROM a LEFT JOIN ut f ON f.unit = a.fu
+      LEFT JOIN ut t ON t.unit = a.tu AND t.category = f.category),
+jj AS (SELECT j.*,
+        CASE WHEN fu = 'celsius' THEN v + 273.15
+             WHEN fu = 'fahrenheit' THEN (v - 32) / 1.8 + 273.15
+             WHEN fu = 'kelvin' THEN v
+             WHEN fu = 'rankine' THEN v / 1.8 END AS kk FROM j)
+SELECT doc_id, q, v AS value, fu AS from_unit, tu AS to_unit, category,
+  {_w7c_conv} AS result
+FROM jj
+"""
+
+    # W6c: parseDateQuery — unit regex, prefix strip, lookback flag,
+    # holiday table (generated from the same HOLIDAY_RULES + pinned
+    # date), first-key-in-insertion-order via min(ord)
+    from vyntr_spark.operators.serving import (DATE_QUERY_PREFIX,
+                                               TIME_UNIT_PATTERN,
+                                               oracle_holiday_values,
+                                               oracle_time_units_values)
+
+    o["w6c_date_parse"] = f"""
+WITH tu(unit, mult, dec) AS (VALUES {oracle_time_units_values()}),
+hol(ord, key, name, fwd, back) AS (VALUES {oracle_holiday_values()}),
+qq AS (SELECT doc_id, CASE doc_id % 9
+  WHEN 0 THEN 'days until christmas'
+  WHEN 1 THEN 'how many weeks until easter'
+  WHEN 2 THEN 'days since labor day'
+  WHEN 3 THEN 'hours to thanksgiving'
+  WHEN 4 THEN 'months before halloween'
+  WHEN 5 THEN 'days until tomorrow'
+  WHEN 6 THEN 'nothing to see'
+  WHEN 7 THEN 'seconds from new year'
+  WHEN 8 THEN 'days until easter monday' END AS q FROM documents),
+u AS (SELECT doc_id, q,
+  nullif(regexp_extract(lower(q), '{TIME_UNIT_PATTERN}', 1), '') AS unit,
+  (contains(lower(q), 'since') OR contains(lower(q), 'from')) AS lb,
+  regexp_replace(lower(q), '{DATE_QUERY_PREFIX}', '') AS stripped
+  FROM qq),
+hm AS (SELECT u.doc_id, min(h.ord) AS ord
+       FROM u JOIN hol h ON contains(u.stripped, h.key) GROUP BY 1),
+j AS (SELECT u.*, h.name AS hname,
+        CASE WHEN u.lb THEN h.back ELSE h.fwd END AS hdate
+      FROM u LEFT JOIN hm ON u.doc_id = hm.doc_id
+      LEFT JOIN hol h ON h.ord = hm.ord),
+t AS (SELECT *,
+  CASE WHEN hdate IS NOT NULL THEN hdate
+       WHEN stripped = 'tomorrow' THEN DATE '2025-06-16' END AS target,
+  CASE WHEN hdate IS NOT NULL THEN hname
+       WHEN stripped = 'tomorrow' THEN 'Tomorrow' END AS descr FROM j),
+dd AS (SELECT *, CAST(datediff('day', DATE '2025-06-15', target)
+                      AS BIGINT) * 86400000 AS dms FROM t),
+fin AS (SELECT dd.*, tu.mult, tu.dec,
+        (dd.unit IS NOT NULL AND dd.target IS NOT NULL) AS keep
+        FROM dd LEFT JOIN tu ON tu.unit = dd.unit)
+SELECT doc_id, q,
+  CASE WHEN keep THEN unit END AS unit,
+  CASE WHEN keep THEN descr END AS description,
+  CASE WHEN keep THEN CAST(target AS VARCHAR) END AS target_date,
+  CASE WHEN keep THEN dms END AS delta_ms,
+  CASE WHEN keep THEN
+    (CASE WHEN dec = 0 THEN round(abs(dms) * mult, 0)
+          ELSE round(abs(dms) * mult, 1) END) END AS amount
+FROM fin
+"""
+
+    # W10b: handleBangQuery over the synthesized 100k-row bang table —
+    # same range() derivation, same first-matching-'!'-word rule, same
+    # by-position word removal and percent-encoding
+    _w10b_enc = (
+        "array_to_string(list_transform(string_split(term, ''), "
+        "c -> CASE WHEN regexp_matches(c, "
+        "'^[A-Za-z0-9\\-_.!~*''()]$') THEN c "
+        "ELSE '%' || lpad(upper(to_hex(ascii(c))), 2, '0') END), '')"
+    )
+    o["w10b_bang_full"] = f"""
+WITH bangs AS (SELECT 'b' || CAST(i AS VARCHAR) AS t,
+        'https://site' || CAST(i % 997 AS VARCHAR) ||
+        '.example.com/search?q={{{{{{s}}}}}}&r=' ||
+        CAST(i % 13 AS VARCHAR) AS u
+      FROM range(100000) r(i)),
+d AS (SELECT doc_id, CAST(doc_id * 7 % 150000 AS VARCHAR) AS n
+      FROM documents),
+qq AS (SELECT DISTINCT CASE doc_id % 5
+  WHEN 0 THEN 'find !b' || n || ' deep learning'
+  WHEN 1 THEN '!b' || n || ' spark sql'
+  WHEN 2 THEN 'weather !zzz now !b' || n || ' rain'
+  WHEN 3 THEN 'plain query no bang'
+  WHEN 4 THEN 'C++ & tilde~ !b' || n END AS q FROM d),
+w AS (SELECT q, string_split(q, ' ') AS words FROM qq),
+cand AS (SELECT q, words, unnest(range(1, len(words) + 1)) AS pos FROM w),
+bw AS (SELECT q, words, pos, lower(substring(words[pos], 2)) AS tag
+       FROM cand WHERE substring(words[pos], 1, 1) = '!'),
+hit AS (SELECT bw.*, b.u FROM bw JOIN bangs b ON b.t = bw.tag),
+first AS (SELECT q, min(pos) AS pos FROM hit GROUP BY q),
+pick AS (SELECT h.q, h.tag, h.u, h.words, h.pos
+         FROM hit h JOIN first f ON h.q = f.q AND h.pos = f.pos),
+term_t AS (SELECT q, tag, u,
+  array_to_string(list_concat(words[1:pos-1], words[pos+1:len(words)]),
+                  ' ') AS term FROM pick)
+SELECT q, tag AS bang,
+  replace(u, '{{{{{{s}}}}}}', {_w10b_enc}) AS redirect_url
+FROM term_t
+"""
+
     # winnowing: same md5-first-8-hex-digit hash, same k=5 grams and
     # window=4 minima, via DuckDB list_transform lambdas
     _h8 = " + ".join(
@@ -2964,6 +3248,37 @@ SELECT doc_id, round(sum(contrib), 4) AS score FROM (
          * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
          AS contrib
   FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
+  WHERE p.doc_id IN (SELECT doc_id FROM matched)
+) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    # P6c: 2-word slop-1 phrase (b.pos within a.pos+1 .. a.pos+2) OR'd
+    # with a bare term; boosts ride a (term, boost) VALUES table and
+    # multiply the per-term contribution — same BM25 math as p6b
+    o["p6c_slop_boost"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tl FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS term, generate_subscripts(tl, 1) AS pos
+        FROM toks),
+ph AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+       WHERE a.term = 'part' AND b.term = 'filter'),
+matched AS (SELECT doc_id FROM ph UNION
+            SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ds AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl
+           FROM ds),
+qt(term, boost) AS (VALUES ('part', 2.0), ('filter', 2.0), ('spark', 1.0)),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+          WHERE term IN (SELECT term FROM qt) GROUP BY term)
+SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+  SELECT p.doc_id,
+         ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         * CAST(q.boost AS DOUBLE)
+         AS contrib
+  FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id)
+       JOIN qt q USING (term), corpus c
   WHERE p.doc_id IN (SELECT doc_id FROM matched)
 ) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """
@@ -4185,6 +4500,38 @@ SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
  CAST(len(list_filter(pieces, x -> NOT regexp_matches(x, '^[ \t\n]+$')))
       AS BIGINT) AS n_tokens
 FROM p
+"""
+
+    # E2b: same pretokenizer, same marker-wrapped replace-chain merge
+    # application (chr(2)/chr(3) symbol markers), same window math —
+    # eff/stride inlined from the shared chunk_params()
+    from vyntr_spark.operators.bpe import chunk_params as _cp
+
+    _e2b_eff, _e2b_stride = _cp(48, 8, 2, 15)
+    _enc = ("array_to_string(list_transform(string_split(w, ''), "
+            "c -> chr(2) || c || chr(3)), '')")
+    for _a, _b in _BPE_FIXED_MERGES:
+        _enc = (f"replace({_enc}, chr(2)||'{_a}'||chr(3)||chr(2)||"
+                f"'{_b}'||chr(3), chr(2)||'{_a}{_b}'||chr(3))")
+    o["e2b_bpe_chunks"] = f"""
+WITH t AS (SELECT doc_id,
+  list_filter(regexp_extract_all(coalesce(text, ''), '{_bpe}'),
+              w -> NOT regexp_matches(w, '^[ \t\n]+$')) AS words
+  FROM documents),
+e AS (SELECT doc_id, flatten(list_transform(words, w ->
+        regexp_extract_all({_enc}, '[^\\x02\\x03]+'))) AS toks FROM t),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM e),
+kk AS (SELECT *, CASE WHEN n <= 0 THEN 0 WHEN n <= {_e2b_eff} THEN 1
+        ELSE CAST(ceil(CAST(n AS DOUBLE) / {_e2b_stride}) AS INT)
+        END AS k FROM n),
+c AS (SELECT doc_id, toks, unnest(range(0, k)) AS i FROM kk)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+  CAST(i * {_e2b_stride} AS INT) AS start_tok,
+  CAST(len(toks[i * {_e2b_stride} + 1 :
+              i * {_e2b_stride} + {_e2b_eff}]) AS BIGINT) AS n_tokens,
+  md5(array_to_string(toks[i * {_e2b_stride} + 1 :
+              i * {_e2b_stride} + {_e2b_eff}], ' ')) AS chunk_hash
+FROM c
 """
 
     # fertility: exact BIGINT // on both engines (Spark floor of an

@@ -214,3 +214,104 @@ def test_has_phrase_gates_positional_index():
         assert boolquery.has_phrase(boolquery.parse_boolean(q)), q
     for q in skips:
         assert not boolquery.has_phrase(boolquery.parse_boolean(q)), q
+
+
+# ---------------------------------------------------------------------------
+# p6c: phrase slop + clause boosts (server.rs:165-173 QueryParser tail)
+# ---------------------------------------------------------------------------
+
+
+def _naive_slop(words, slop):
+    """In-order sloppy phrase: exists increasing positions with total
+    slack (span - (k-1)) <= slop."""
+    out = set()
+    for doc_id, text, _ in DOCS:
+        toks = _naive_tokens(text)
+        pos = {w: [i for i, t in enumerate(toks) if t == w] for w in words}
+        if any(not pos[w] for w in words):
+            continue
+
+        def ok(idx, prev, start):
+            if idx == len(words):
+                return True
+            return any(
+                p > prev and p - start - idx <= slop and ok(idx + 1, p, start)
+                for p in pos[words[idx]]
+            )
+
+        if any(ok(1, p0, p0) for p0 in pos[words[0]]):
+            out.add(doc_id)
+    return out
+
+
+def test_parse_slop_and_boost():
+    n = boolquery.parse_boolean('"quick brown"~2')
+    assert isinstance(n, boolquery.Phrase) and n.slop == 2 and n.boost == 1.0
+    n = boolquery.parse_boolean('"quick brown"^1.5')
+    assert isinstance(n, boolquery.Phrase) and n.slop == 0 and n.boost == 1.5
+    n = boolquery.parse_boolean('"quick brown"~3^2')
+    assert n.slop == 3 and n.boost == 2.0
+    n = boolquery.parse_boolean("fox^2")
+    assert isinstance(n, boolquery.Term) and n.boost == 2.0
+    n = boolquery.parse_boolean("language:en^3")
+    assert isinstance(n, boolquery.FieldFilter) and n.boost == 3.0
+    # suffix must NOT swallow an ordinary following term
+    n = boolquery.parse_boolean('"quick brown"~1 fox')
+    assert isinstance(n, boolquery.Or)
+    assert isinstance(n.children[0], boolquery.Phrase)
+    assert n.children[0].slop == 1
+    assert isinstance(n.children[1], boolquery.Term)
+
+
+def test_phrase_slop_matching(index):
+    # slop 0: adjacency only; slop 1 admits one gap ("quick x brown");
+    # slop never admits reversed order (doc 2)
+    for slop in (0, 1, 2):
+        got = _ids(boolquery.search_boolean(
+            index, f'"quick brown"~{slop}', k=10))
+        assert got == _naive_slop(["quick", "brown"], slop), f"slop={slop}"
+    assert 5 in _ids(boolquery.search_boolean(index, '"quick brown"~1', k=10))
+    assert 2 not in _ids(boolquery.search_boolean(index, '"quick brown"~9', k=10))
+
+
+def test_phrase_slop_three_words(spark):
+    rows = [
+        (0, "alpha beta gamma"),             # slack 0
+        (1, "alpha x beta gamma"),           # slack 1
+        (2, "alpha x beta y gamma"),         # slack 2
+        (3, "alpha beta x y z gamma"),       # slack 3
+        (4, "gamma beta alpha"),             # out of order
+        (5, "alpha beta"),                   # missing word
+        (6, "alpha alpha x x beta gamma"),   # best chain uses 2nd alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = pulse.build_index(df, with_positions=True)
+    global DOCS
+    saved = DOCS
+    DOCS = [(i, t, "en") for i, t in rows]  # reuse the naive evaluator
+    try:
+        for slop in (0, 1, 2, 3):
+            got = _ids(boolquery.search_boolean(
+                idx, f'"alpha beta gamma"~{slop}', k=10))
+            want = _naive_slop(["alpha", "beta", "gamma"], slop)
+            assert got == want, f"slop={slop}: {got} != {want}"
+    finally:
+        DOCS = saved
+
+
+def test_boost_scales_term_contribution(index):
+    base = {r["doc_id"]: r["score"]
+            for r in boolquery.search_boolean(index, "fox dog", k=10).collect()}
+    boosted = {r["doc_id"]: r["score"]
+               for r in boolquery.search_boolean(index, "fox^2 dog", k=10).collect()}
+    assert set(base) == set(boosted)
+    # doc 3 has both fox and dog; doc 0 only fox; doc 1 only dog.
+    # Boosting fox must raise fox-docs proportionally and leave
+    # dog-only docs untouched.
+    assert boosted[1] == base[1]
+    assert boosted[0] == pytest.approx(2 * base[0], abs=2e-4)
+    assert boosted[3] > base[3]
+    # boost 1.0 must be bit-identical to no boost
+    same = {r["doc_id"]: r["score"]
+            for r in boolquery.search_boolean(index, "fox^1 dog", k=10).collect()}
+    assert same == base

@@ -122,3 +122,94 @@ def test_bpe_encode_matches_reference(spark):
         len(w) for w in re.findall(BPE_SPLIT_PATTERN, texts[0][1])
         if not re.fullmatch(r"[ \t\n]+", w)
     )
+
+
+def _ref_chunk_token_ids(tokens, max_tokens, overlap,
+                         num_special=2, safety=15):
+    """Pure-Python re-specification of the reference's
+    chunk_text_yield_token_ids (generate_embeddings.py:107-165),
+    operating on an already-encoded token list."""
+    if not tokens:
+        return
+    effective = max(1, max_tokens - num_special - safety)
+    if effective <= overlap:
+        overlap = max(0, effective // 4)
+    if (max_tokens - num_special) <= 0:
+        return
+    if len(tokens) <= effective:
+        yield tokens[:max_tokens] if len(tokens) > max_tokens else tokens
+        return
+    stride = effective - overlap
+    if stride <= 0:
+        stride = max(1, effective // 2)
+    pos = 0
+    while pos < len(tokens):
+        chunk = tokens[pos:pos + effective]
+        if not chunk:
+            break
+        yield chunk
+        pos += stride
+
+
+def test_bpe_token_chunks_reference_parity(spark):
+    """e2b chunking must reproduce the reference generator chunk by
+    chunk: same chunk_id sequence, same window starts (stride math),
+    same window contents — including the short trailing window and the
+    single-chunk fast path."""
+    import hashlib
+
+    from vyntr_spark.operators.bpe import (_encode_word,
+                                           apply_merges_expr,  # noqa: F401
+                                           bpe_token_chunks)
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+              ("i", "n"), ("e", "r"), ("o", "n"), ("s", "t")]
+    texts = [
+        (1, "the theater is on and in there, standing another era " * 9),
+        (2, "short one"),
+        (3, ""),
+        (4, None),
+        (5, "x" * 200),  # one long word -> one token per merge-free char
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in bpe_token_chunks(df, merges, max_tokens=48, overlap=8).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+
+    for doc_id, text in texts:
+        pieces = [w for w in re.findall(BPE_SPLIT_PATTERN, text or "")
+                  if not re.fullmatch(r"[ \t\n]+", w)]
+        toks = [t for w in pieces for t in _encode_word(w, merges)]
+        want = list(_ref_chunk_token_ids(toks, 48, 8))
+        rows = sorted(got.get(doc_id, []), key=lambda r: r["chunk_id"])
+        assert len(rows) == len(want), f"doc {doc_id} chunk count"
+        eff, stride = 48 - 2 - 15, (48 - 2 - 15) - 8
+        for i, (row, chunk) in enumerate(zip(rows, want)):
+            assert row["chunk_id"] == i
+            assert row["start_tok"] == (0 if len(toks) <= eff else i * stride)
+            assert row["n_tokens"] == len(chunk)
+            assert row["chunk_hash"] == hashlib.md5(
+                " ".join(chunk).encode()).hexdigest(), f"doc {doc_id} c{i}"
+
+
+def test_apply_merges_expr_matches_encode_word(spark):
+    """The native replace-chain encoder must agree with the pure-Python
+    leftmost-scan BPE applier on boundary-hazard words (symbol whose
+    tail equals a merge's left half; cascaded and repeated merges)."""
+    import pyspark.sql.functions as F
+
+    from vyntr_spark.operators.bpe import _encode_word, apply_merges_expr
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("s", "t")]
+    words = ["the", "ath", "tth", "aaaa", "aaa", "sthe", "stst",
+             "theater", "xyz", "t", ""]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    out = df.select(
+        "w",
+        F.regexp_extract_all(
+            apply_merges_expr(F.col("w"), merges),
+            F.lit(r"[^\x02\x03]+"), 0,
+        ).alias("toks"),
+    ).collect()
+    for r in out:
+        assert list(r["toks"]) == _encode_word(r["w"], merges), r["w"]

@@ -135,3 +135,39 @@ def test_perform_search_query_log_increment(spark, docs, tmp_path):
         .agg(F.sum("count").alias("n")).collect()
     }
     assert rolled == {"spark": 2}
+
+
+def test_query_log_compaction_bounds_row_count(spark, docs, tmp_path):
+    """The inline compaction trigger must keep the increment log's
+    read-side row count bounded by (distinct queries + compact window),
+    not O(total searches), while counts stay exact."""
+    from pyspark.sql import types as T
+
+    from vyntr_spark.tables import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    schema = T.StructType(
+        [
+            T.StructField("query", T.StringType(), False),
+            T.StructField("count", T.LongType(), False),
+        ]
+    )
+    log = store.table("search_queries", schema)
+    every = 4
+    queries = ["spark", "join", "spark", "shuffle", "spark", "join",
+               "spark", "plan", "spark", "join", "spark", "shuffle"]
+    last = {}
+    for qq in queries:
+        out = perform_search(docs, qq, k=1, today=TODAY, query_log=log,
+                             query_log_compact_every=every)
+        last[qq] = out["query_count"]
+
+    import collections
+    want = collections.Counter(queries)
+    assert last == dict(want)  # final read-back per query is exact
+    # bounded: at most one rolled row per distinct query + the
+    # uncompacted tail of increment appends
+    n_rows = log.read().count()
+    assert n_rows <= len(want) + every, n_rows
+    # and compaction actually fired at least once
+    assert any(s.mode == "replace" for s in log.snapshots())

@@ -67,17 +67,23 @@ def postings_positions(df: DataFrame, text_col: str = "text",
 @dataclass
 class Term:
     word: str
+    boost: float = 1.0
 
 
 @dataclass
 class Phrase:
     words: list[str]
+    slop: int = 0       # "a b"~N (Tantivy QueryParser slop suffix)
+    boost: float = 1.0  # "a b"^2 / "a b"~2^1.5
 
 
 @dataclass
 class FieldFilter:
     name: str
     value: str
+    boost: float = 1.0  # parsed for grammar completeness; filters
+    #                     don't score, so the boost is inert like
+    #                     Tantivy's boost on a pure filter occur
 
 
 @dataclass
@@ -185,20 +191,44 @@ class _Parser:
         if kind == "PHRASE":
             words = [w for w in re.split(TOKEN_SPLIT, val.lower()) if w]
             if not words:
+                # a suffix token after an empty phrase is still consumed
+                self._phrase_suffix()
                 return None
-            return Term(words[0]) if len(words) == 1 else Phrase(words)
+            slop, boost = self._phrase_suffix()
+            if len(words) == 1:
+                return Term(words[0], boost=boost)
+            return Phrase(words, slop=slop, boost=boost)
         if kind == "WORD":
             return self._word_node(val)
         return None
 
+    _SUFFIX_RE = re.compile(r"^(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$")
+
+    def _phrase_suffix(self) -> tuple[int, float]:
+        """Consume a '~N' / '^B' / '~N^B' WORD token right after a
+        closing quote (the lexer splits on whitespace, so Tantivy's
+        '"a b"~2^1.5' arrives as PHRASE then WORD '~2^1.5')."""
+        kind, val = self.peek()
+        if kind == "WORD" and val:
+            m = self._SUFFIX_RE.match(val)
+            if m and (m.group(1) or m.group(2)):
+                self.take()
+                return (int(m.group(1) or 0),
+                        float(m.group(2) or 1.0))
+        return 0, 1.0
+
     @staticmethod
     def _word_node(val: str):
+        boost = 1.0
+        m = re.match(r"^(.*?)\^(\d+(?:\.\d+)?)$", val)
+        if m and m.group(1):
+            val, boost = m.group(1), float(m.group(2))
         if ":" in val:
             name, v = val.split(":", 1)
             if name and v:
-                return FieldFilter(name, v)
+                return FieldFilter(name, v, boost=boost)
         w = re.sub(TOKEN_SPLIT, "", val.lower())
-        return Term(w) if w else None
+        return Term(w, boost=boost) if w else None
 
 
 def parse_boolean(q: str):
@@ -225,16 +255,64 @@ def has_phrase(node) -> bool:
 
 
 def _phrase_docs(index: BM25Index, words: list[str],
-                 id_col: str) -> DataFrame:
+                 id_col: str, slop: int = 0) -> DataFrame:
     """Docs where the words occur at consecutive positions: shift each
     term's position list by its offset and intersect — a per-term
     (bucket-pruned) postings lookup + doc_id equi-joins, never a corpus
-    scan."""
+    scan.
+
+    ``slop > 0`` ("a b"~N, server.rs:165-173 — Tantivy's QueryParser
+    slop suffix) relaxes adjacency to IN-ORDER occurrence with total
+    slack <= slop: exists p_0 < p_1 < ... < p_{k-1} with
+    p_{k-1} - p_0 - (k-1) <= slop — Lucene/Tantivy's sloppy-phrase
+    distance for in-order matches (out-of-order transposition matches,
+    which Lucene admits at cost 2 per swap, are NOT matched; documented
+    divergence). Evaluated as a per-doc chain fold over the position
+    lists: the chain set stays bounded by tf(word_i), all inside one
+    native higher-order expression per join step — no Python, no
+    explode of the position lists."""
     if "positions" not in index.postings.columns:
         raise ValueError(
             "phrase query needs positional postings "
             "(build_index(..., with_positions=True))"
         )
+    if slop > 0:
+        cur = index.term_postings(words[0]).select(
+            F.col(id_col),
+            F.transform(
+                "positions",
+                lambda p: F.struct(p.alias("s"), p.alias("e")),
+            ).alias("_chains"),
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = index.term_postings(w).select(
+                F.col(id_col), F.col("positions").alias("_pos")
+            )
+            step = (lambda off: (lambda q: F.filter(
+                F.col("_chains"),
+                lambda c: (c["e"] < q) & ((q - c["s"] - off) <= slop),
+            )))(i)
+            cur = (
+                cur.join(nxt, id_col)
+                .withColumn(
+                    "_chains",
+                    # array_distinct: two chains with the same start
+                    # collapse once extended to the same q — without it
+                    # the chain list can grow multiplicatively
+                    F.array_distinct(F.flatten(F.transform(
+                        "_pos",
+                        lambda q: F.transform(
+                            step(q),
+                            lambda c: F.struct(
+                                c["s"].alias("s"), q.alias("e")
+                            ),
+                        ),
+                    ))),
+                )
+                .filter(F.size("_chains") > 0)
+                .drop("_pos")
+            )
+        return cur.select(id_col)
     cur = index.term_postings(words[0]).select(
         F.col(id_col), F.col("positions").alias("_starts")
     )
@@ -260,7 +338,7 @@ def _eval_docs(node, index: BM25Index, id_col: str) -> DataFrame:
     if isinstance(node, Term):
         return index.term_postings(node.word).select(id_col).distinct()
     if isinstance(node, Phrase):
-        return _phrase_docs(index, node.words, id_col)
+        return _phrase_docs(index, node.words, id_col, slop=node.slop)
     if isinstance(node, FieldFilter):
         if index.docmeta is None or node.name not in index.docmeta.columns:
             return index.docstats.select(id_col)  # unknown field: no-op
@@ -304,18 +382,20 @@ def _eval_docs(node, index: BM25Index, id_col: str) -> DataFrame:
     raise TypeError(f"unknown node {node!r}")
 
 
-def _positive_terms(node, negated: bool = False) -> list[str]:
-    """Scoring terms: every Term/Phrase word under an even number of
-    NOTs (Tantivy scores the positive clauses of a boolean query)."""
+def _positive_terms(node, negated: bool = False) -> list[tuple[str, float]]:
+    """Scoring terms with their clause boosts: every Term/Phrase word
+    under an even number of NOTs (Tantivy scores the positive clauses
+    of a boolean query; '^B' multiplies that clause's score,
+    server.rs:165-173 QueryParser grammar)."""
     if node is None or isinstance(node, FieldFilter):
         return []
     if isinstance(node, Term):
-        return [] if negated else [node.word]
+        return [] if negated else [(node.word, node.boost)]
     if isinstance(node, Phrase):
-        return [] if negated else list(node.words)
+        return [] if negated else [(w, node.boost) for w in node.words]
     if isinstance(node, Not):
         return _positive_terms(node.child, not negated)
-    out: list[str] = []
+    out: list[tuple[str, float]] = []
     for c in node.children:
         out.extend(_positive_terms(c, negated))
     return out
@@ -333,10 +413,14 @@ def search_boolean(index: BM25Index, query: str, k: int = 10,
             .withColumn("score", F.lit(0.0))
         )
     matched = _eval_docs(node, index, id_col)
-    terms = list(dict.fromkeys(_positive_terms(node)))  # dedup, keep order
-    if not terms:
+    # dedup terms keeping first occurrence's boost (a term repeated
+    # under different boosts scores once, at its first clause's weight)
+    weights: dict[str, float] = {}
+    for w, b in _positive_terms(node):
+        weights.setdefault(w, b)
+    if not weights:
         return matched.limit(k).withColumn("score", F.lit(0.0))
     return bm25_topk_from_index(
-        index.postings, index.docstats, index.stats, terms,
-        k=k, id_col=id_col, restrict=matched,
+        index.postings, index.docstats, index.stats, list(weights),
+        k=k, id_col=id_col, restrict=matched, weights=weights,
     )

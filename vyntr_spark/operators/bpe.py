@@ -228,3 +228,144 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
             F.coalesce("token_hash", F.md5(F.lit(""))).alias("token_hash"),
         )
     )
+
+
+# -- E2b: tokenizer-faithful chunking ---------------------------------------
+
+# Symbol markers for the native merge applier below. Any two characters
+# outside the corpus alphabet work; STX/ETX never appear in text fields.
+_SYM_L, _SYM_R = "\x02", "\x03"
+_SYM_TOKEN_RE = r"[^\x02\x03]+"
+
+
+def apply_merges_expr(word_col, merges: list[tuple[str, str]]):
+    """Apply a FIXED ranked merge list to one pretokenizer piece as a
+    pure native expression — no Python UDF.
+
+    Representation: every symbol rides marker-wrapped (\\x02 sym \\x03),
+    so a merge (a, b) is one string replace of '<a><b>' with '<ab>' —
+    replace() scans left-to-right non-overlapping, which is exactly
+    BPE's leftmost-first application order, and the markers make symbol
+    boundaries explicit (naive separator-joins would merge across
+    boundaries: ['at','h'] must NOT match merge ('t','h')). A left fold
+    equals the scan because a merged symbol can never equal its own
+    left half. This works for any FIXED merge list; the trained-list
+    path (bpe_encode) keeps its vocabulary-table Arrow UDF.
+
+    Returns the marker-wrapped symbol string; extract tokens with
+    regexp_extract_all(_SYM_TOKEN_RE)."""
+    s = F.array_join(
+        F.transform(
+            F.split(word_col, ""),
+            lambda c: F.concat(F.lit(_SYM_L), c, F.lit(_SYM_R)),
+        ),
+        "",
+    )
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(_SYM_L + a + _SYM_R + _SYM_L + b + _SYM_R),
+            F.lit(_SYM_L + a + b + _SYM_R),
+        )
+    return s
+
+
+def chunk_params(max_tokens: int, overlap: int,
+                 num_special: int = 2, safety: int = 15
+                 ) -> tuple[int, int]:
+    """The reference's effective-window/stride math
+    (generate_embeddings.py:107-146): effective = max(1, max_tokens -
+    num_special_tokens - SAFETY_BUFFER); if effective <= overlap the
+    overlap degrades to effective//4; stride = effective - overlap,
+    floored at effective//2 (>=1). Returns (effective, stride)."""
+    eff = max(1, max_tokens - num_special - safety)
+    if eff <= overlap:
+        overlap = max(0, eff // 4)
+    stride = eff - overlap
+    if stride <= 0:
+        stride = max(1, eff // 2)
+    return eff, stride
+
+
+def bpe_token_chunks(df: DataFrame, merges: list[tuple[str, str]],
+                     max_tokens: int = 48, overlap: int = 8,
+                     num_special: int = 2, safety: int = 15,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """E2 chunking windowed by SUBWORD tokens (the trained-BPE stand-in
+    for the reference's HF token ids — generate_embeddings.py
+    chunk_text_yield_token_ids, :107-165): window = max_tokens −
+    num_special − SAFETY_BUFFER subwords, stride = window − overlap,
+    text that fits the window yields ONE whole chunk, otherwise windows
+    start at 0, stride, 2·stride, … while the start is inside the token
+    stream (the final window may be short — reference keeps it). The
+    production config is max_tokens=512, overlap=50, safety=15
+    (generate_embeddings.py:34-43); the defaults here scale that shape
+    down to the fixture corpus.
+
+    Wholly native plan: pretokenize (regexp_extract_all), per-piece
+    fixed-merge BPE via apply_merges_expr, flatten to the doc's token
+    stream, one explode over the window index sequence — zero Python,
+    zero shuffle beyond the input scan.
+
+    Returns (id_col, chunk_id, start_tok, n_tokens, chunk_hash) where
+    chunk_hash = md5 of the space-joined token slice — the value
+    witness the DuckDB oracle replays exactly."""
+    from vyntr_spark.operators.textstats import (BPE_SPLIT_PATTERN,
+                                                 widen_small_scan)
+
+    if (max_tokens - num_special) <= 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, chunk_id int, start_tok int, "
+                "n_tokens long, chunk_hash string")
+    eff, stride = chunk_params(max_tokens, overlap, num_special, safety)
+
+    pieces = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(BPE_SPLIT_PATTERN), 0)
+    words = F.filter(pieces, lambda w: ~w.rlike("^[ \t\n]+$"))
+    toks = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.regexp_extract_all(
+                apply_merges_expr(w, merges), F.lit(_SYM_TOKEN_RE), 0
+            ),
+        )
+    )
+    base = widen_small_scan(df, id_col).select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    n = F.col("n")
+    k = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= eff, F.lit(1))
+        .otherwise(F.ceil(n.cast("double") / stride).cast("int"))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * stride).cast("int").alias("start_tok"),
+            F.slice(F.col("toks"), i * stride + 1, eff).alias("sl"),
+        ),
+    )
+    return (
+        base.select(
+            id_col,
+            F.explode(
+                F.when(k > 0, chunks).otherwise(
+                    F.array().cast(
+                        "array<struct<chunk_id:int,start_tok:int,"
+                        "sl:array<string>>>"
+                    )
+                )
+            ).alias("c"),
+        )
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.size("c.sl").cast("long").alias("n_tokens"),
+            F.md5(F.array_join(F.col("c.sl"), " ")).alias("chunk_hash"),
+        )
+    )

@@ -96,7 +96,9 @@ def prune_terms(post: DataFrame, query_terms: list[str],
 def bm25_topk_from_index(post: DataFrame, ds: DataFrame, stats: DataFrame,
                          query_terms: list[str], k: int = 10,
                          id_col: str = "doc_id",
-                         restrict: DataFrame | None = None) -> DataFrame:
+                         restrict: DataFrame | None = None,
+                         weights: dict[str, float] | None = None
+                         ) -> DataFrame:
     """P8 serving path: BM25 top-K straight from the materialized index
     tables (postings/docstats/corpus-stats) — the query never touches the
     raw corpus, so per-query cost is O(df(term)) not O(corpus). This is
@@ -105,7 +107,10 @@ def bm25_topk_from_index(post: DataFrame, ds: DataFrame, stats: DataFrame,
 
     ``restrict`` (optional, ids to keep) is applied to the scored
     candidates only; idf stays corpus-level like Tantivy's boolean
-    filter clauses. Score rounded to 4dp; ties broken by id.
+    filter clauses. ``weights`` (optional term -> boost) multiplies a
+    term's BM25 contribution — QueryParser's '^B' clause boosts
+    (server.rs:165-173); omitted terms weigh 1.0, and an all-1.0 map is
+    bit-identical to no map. Score rounded to 4dp; ties broken by id.
     """
     spark = post.sparkSession
     row = stats.collect()[0]  # 1-row stats table — the only driver fetch
@@ -116,7 +121,10 @@ def bm25_topk_from_index(post: DataFrame, ds: DataFrame, stats: DataFrame,
     n_buckets = row["n_buckets"] if "n_buckets" in stats.columns else None
     post = prune_terms(post, query_terms, n_buckets)
 
-    qterms = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    qterms = spark.createDataFrame(
+        [(t, float((weights or {}).get(t, 1.0))) for t in query_terms],
+        "term string, _boost double",
+    )
     qpost = post.join(F.broadcast(qterms), "term")
     dfreq = qpost.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     cand = qpost if restrict is None else qpost.join(
@@ -132,7 +140,8 @@ def bm25_topk_from_index(post: DataFrame, ds: DataFrame, stats: DataFrame,
             "contrib",
             idf
             * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+            * F.col("_boost"),
         )
         .groupBy(id_col)
         .agg(F.round(F.sum("contrib"), 4).alias("score"))

@@ -455,3 +455,142 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int = 60,
         .limit(topk)
         .select(id_col, F.round("_s", 6).alias("rrf_score"))
     )
+
+
+# W6c: TIME_UNITS (time.ts:3-40 — multipliers FROM milliseconds, data
+# mirrored; insertion order matters, it is the regex alternation order)
+TIME_UNITS: dict[str, tuple[float, int]] = {
+    "quectoseconds": (1e30 * 1e9, 0), "rontoseconds": (1e27 * 1e9, 0),
+    "yoctoseconds": (1e24 * 1e9, 0), "zeptoseconds": (1e21 * 1e9, 0),
+    "attoseconds": (1e18 * 1e9, 0), "femtoseconds": (1e15 * 1e9, 0),
+    "picoseconds": (1e12 * 1e9, 0), "nanoseconds": (1_000_000, 0),
+    "microseconds": (1000, 0), "milliseconds": (1, 0),
+    "centiseconds": (1 / 10, 1), "deciseconds": (1 / 100, 1),
+    "seconds": (1 / 1000, 1), "decaseconds": (1 / 1000 / 10, 1),
+    "minutes": (1 / 1000 / 60, 1), "hours": (1 / 1000 / 60 / 60, 1),
+    "days": (1 / 1000 / 60 / 60 / 24, 1),
+    "weeks": (1 / 1000 / 60 / 60 / 24 / 7, 1),
+    "months": (1 / 1000 / 60 / 60 / 24 / 30.44, 1),
+    "years": (1 / 1000 / 60 / 60 / 24 / 365.25, 1),
+    "decades": (1 / 1000 / 60 / 60 / 24 / 365.25 / 10, 1),
+    "centuries": (1 / 1000 / 60 / 60 / 24 / 365.25 / 100, 1),
+    "millennia": (1 / 1000 / 60 / 60 / 24 / 365.25 / 1000, 1),
+    "megaannums": (1 / 1000 / 60 / 60 / 24 / 365.25 / 1e6, 1),
+    "eons": (1 / 1000 / 60 / 60 / 24 / 365.25 / 1e9, 1),
+}
+
+_UNIT_ALTERNATION = "|".join(TIME_UNITS)
+# date.ts:10-11 — UNIT_PATTERN finds the unit anywhere; QUERY_PATTERN
+# strips the leading "how many <unit> until/before/to/since/from "
+TIME_UNIT_PATTERN = rf"\b({_UNIT_ALTERNATION})\b"
+DATE_QUERY_PREFIX = (
+    rf"^(how many )?({_UNIT_ALTERNATION}) (until|before|to|since|from) "
+)
+
+
+def parse_date_query_df(df: DataFrame, query_col: str = "q",
+                        today: str = "2025-06-15") -> DataFrame:
+    """parseDateQuery parity (date.ts:308-360) over a DataFrame of query
+    strings, with 'now' PINNED to ``today`` midnight UTC so the result
+    is deterministic and oracle-checkable (the reference reads the wall
+    clock; every downstream branch only compares calendar dates, so a
+    pinned date exercises identical logic).
+
+    Covered grammar: unit detection (TIME_UNIT_PATTERN — no unit, no
+    result), lookingBack on 'since'/'from' substrings, prefix strip,
+    holiday substring match in HOLIDAY_RULES insertion order (the
+    reference's Object.entries loop), and the 'tomorrow' literal. The
+    trailing JS ``new Date(query)`` free-text fallback is NOT ported —
+    its grammar is engine-specific (documented gap, SURVEY §2.5).
+
+    Returns (query_col, unit, description, target_date, delta_ms,
+    amount): delta_ms = (target - today) in milliseconds (date.ts:327),
+    amount = formatTimeDifference's rounded |delta| in the requested
+    unit (time.ts:42-50). Holiday dates for today/today±1y are
+    precomputed driver-side from HOLIDAY_RULES (22 rows x 2 — a literal
+    array in the plan); everything else is native expressions."""
+    from datetime import timedelta as _td
+
+    t0 = _date.fromisoformat(today)
+    rows = []
+    for key, (name, rule) in HOLIDAY_RULES.items():
+        this_year = rule(t0.year)
+        fwd = this_year if this_year >= t0 else rule(t0.year + 1)
+        back = this_year if this_year <= t0 else rule(t0.year - 1)
+        rows.append((key, name, fwd.isoformat(), back.isoformat()))
+    hol_arr = F.array(*[
+        F.struct(
+            F.lit(k).alias("key"), F.lit(n).alias("name"),
+            F.lit(fw).alias("fwd"), F.lit(bk).alias("back"),
+        )
+        for k, n, fw, bk in rows
+    ])
+
+    ql = F.lower(F.col(query_col))
+    unit = F.nullif(F.regexp_extract(ql, TIME_UNIT_PATTERN, 1), F.lit(""))
+    looking_back = ql.contains("since") | ql.contains("from")
+    stripped = F.regexp_replace(ql, DATE_QUERY_PREFIX, "")
+
+    matches = F.filter(hol_arr, lambda h: stripped.contains(h["key"]))
+    # first in insertion order; try_element_at -> null on no match
+    # (plain element_at raises under ANSI mode on the empty array)
+    hol = F.try_element_at(matches, F.lit(1))
+
+    target = (
+        F.when(hol.isNotNull(),
+               F.when(looking_back, hol["back"]).otherwise(hol["fwd"]))
+        .when(stripped == "tomorrow",
+              F.lit((t0 + _td(days=1)).isoformat()))
+    ).cast("date")
+    desc = (
+        F.when(hol.isNotNull(), hol["name"])
+        .when(stripped == "tomorrow", F.lit("Tomorrow"))
+    )
+    delta_ms = (
+        F.datediff(target, F.lit(today).cast("date")).cast("long")
+        * F.lit(86_400_000)
+    )
+
+    # formatTimeDifference: |ms| * multiplier, rounded to the unit's
+    # decimals — one multiply per unit with the SAME float literal the
+    # oracle uses, so both engines do one identical IEEE op
+    amount = F.lit(None).cast("double")
+    for uname, (mult, dec) in TIME_UNITS.items():
+        amount = F.when(
+            unit == uname,
+            F.round(F.abs(delta_ms).cast("double") * F.lit(mult), dec),
+        ).otherwise(amount)
+
+    keep = unit.isNotNull() & target.isNotNull()
+    return df.select(
+        *df.columns,
+        F.when(keep, unit).alias("unit"),
+        F.when(keep, desc).alias("description"),
+        F.when(keep, target.cast("string")).alias("target_date"),
+        F.when(keep, delta_ms).alias("delta_ms"),
+        F.when(keep, amount).alias("amount"),
+    )
+
+
+def oracle_time_units_values() -> str:
+    """DuckDB VALUES rows (unit, multiplier, decimals) generated from
+    the same TIME_UNITS dict — no drift."""
+    return ",".join(
+        f"('{u}',{m!r},{d})" for u, (m, d) in TIME_UNITS.items()
+    )
+
+
+def oracle_holiday_values(today: str = "2025-06-15") -> str:
+    """DuckDB VALUES rows (ord, key, name, fwd, back) from the same
+    HOLIDAY_RULES table and pinned date as parse_date_query_df."""
+    from datetime import date as _d
+
+    t0 = _d.fromisoformat(today)
+    out = []
+    for i, (key, (name, rule)) in enumerate(HOLIDAY_RULES.items()):
+        this_year = rule(t0.year)
+        fwd = this_year if this_year >= t0 else rule(t0.year + 1)
+        back = this_year if this_year <= t0 else rule(t0.year - 1)
+        nm = name.replace("'", "''")
+        out.append(f"({i},'{key}','{nm}',DATE '{fwd}',DATE '{back}')")
+    return ",".join(out)

@@ -176,3 +176,139 @@ def oracle_units_values() -> str:
         for cat, units in UNITS.items()
         for unit, m in units.items()
     )
+
+
+# W7c: the full UNIT_ALIASES shorthand map (unitParser.ts:21-166 — data
+# mirrored for parity, not code). Keys containing non-alphabetic
+# characters ('km/h', 'mm²', '°c', ...) are kept for table breadth even
+# though parseUnitQuery's word regex can never capture them — exactly
+# the reference's behavior (the map is shared with other UI surfaces).
+UNIT_ALIASES: dict[str, str] = {
+    # length
+    "mm": "millimeters", "cm": "centimeters", "m": "meters",
+    "km": "kilometers", "in": "inches", "inch": "inches", "ft": "feet",
+    "foot": "feet", "yd": "yards", "yard": "yards", "mi": "miles",
+    "mile": "miles", "nm": "nauticalMiles",
+    "nautical mile": "nauticalMiles", "light year": "lightYears",
+    "light years": "lightYears", "au": "astronomicalUnits",
+    "pc": "parsecs", "parsec": "parsecs",
+    # area
+    "mm²": "squareMillimeters", "cm²": "squareCentimeters",
+    "m²": "squareMeters", "km²": "squareKilometers", "ha": "hectares",
+    "hectare": "hectares", "in²": "squareInches", "ft²": "squareFeet",
+    "yd²": "squareYards", "mi²": "squareMiles", "acre": "acres",
+    # data storage & transfer
+    "bit": "bits", "b": "bytes", "byte": "bytes", "kb": "kilobytes",
+    "mb": "megabytes", "gb": "gigabytes", "tb": "terabytes",
+    "pb": "petabytes", "kib": "kibibytes", "mib": "mebibytes",
+    "gib": "gibibytes", "tib": "tebibytes", "bps": "bitsPerSecond",
+    "kbps": "kilobitsPerSecond", "mbps": "megabitsPerSecond",
+    "gbps": "gigabitsPerSecond", "b/s": "bytesPerSecond",
+    "kb/s": "kilobytesPerSecond", "mb/s": "megabytesPerSecond",
+    "gb/s": "gigabytesPerSecond",
+    # energy
+    "j": "joules", "joule": "joules", "kj": "kilojoules",
+    "cal": "calories", "kcal": "kilocalories", "wh": "wattHours",
+    "kwh": "kilowattHours", "ev": "electronvolts",
+    # frequency
+    "hz": "hertz", "khz": "kilohertz", "mhz": "megahertz",
+    "ghz": "gigahertz", "rpm": "revolutionsPerMinute",
+    "bpm": "beatsPerMinute",
+    # fuel economy
+    "mpg": "milesPerGallon", "km/l": "kilometersPerLiter",
+    "l/100km": "litersPer100km", "mi/l": "milesPerLiter",
+    # mass
+    "mg": "milligrams", "g": "grams", "kg": "kilograms",
+    "t": "metricTons", "oz": "ounces", "lb": "pounds", "lbs": "pounds",
+    "st": "stones", "stone": "stones",
+    # plane angle
+    "deg": "degrees", "°": "degrees", "rad": "radians",
+    "grad": "gradians", "gon": "gradians", "arcmin": "arcminutes",
+    "arcsec": "arcseconds", "rev": "revolutions",
+    # pressure
+    "pa": "pascals", "hpa": "hectopascals", "kpa": "kilopascals",
+    "atm": "atmospheres", "mmhg": "torr", "psi": "psi",
+    # speed
+    "m/s": "metersPerSecond", "km/h": "kilometersPerHour",
+    "kph": "kilometersPerHour", "mph": "milesPerHour",
+    "fps": "feetPerSecond", "ft/s": "feetPerSecond", "knot": "knots",
+    # temperature
+    "c": "celsius", "°c": "celsius", "celsius": "celsius",
+    "f": "fahrenheit", "°f": "fahrenheit", "k": "kelvin", "r": "rankine",
+    # time
+    "ms": "milliseconds", "s": "seconds", "sec": "seconds",
+    "min": "minutes", "h": "hours", "hr": "hours", "d": "days",
+    "w": "weeks", "y": "years", "yr": "years",
+}
+
+# parseUnitQuery's four patterns (unitParser.ts:10-19), tried in order,
+# FIRST MATCH WINS — even when its units later fail alias/category
+# resolution (the reference returns null then; it never falls through
+# to the next pattern). Same regex source works in Java (Spark) and
+# RE2 (DuckDB): non-capturing groups, \d, \s, (?i) are common subset.
+_NUM = r"(\d+(?:\.\d+)?)"
+_WORDS = r"([a-zA-Z]+(?:\s+[a-zA-Z]+)*)"
+UNIT_QUERY_PATTERNS: list[tuple[str, bool]] = [
+    # (pattern, reversed) — reversed=True means groups are (to, value, from)
+    (rf"(?i)convert\s+{_NUM}\s*{_WORDS}\s+to\s+{_WORDS}", False),
+    (rf"(?i){_NUM}\s*{_WORDS}\s+to\s+{_WORDS}", False),
+    (rf"(?i){_NUM}\s*{_WORDS}\s+in\s+{_WORDS}", False),
+    (rf"(?i)how\s+many\s+{_WORDS}\s+in\s+{_NUM}\s*{_WORDS}", True),
+]
+
+
+def _alias_map_expr():
+    """UNIT_ALIASES as a literal MapType expression — ~120 entries ride
+    in the plan (broadcast-by-construction), the lookup is one native
+    element_at, no join and no Python."""
+    kv = []
+    for k, v in UNIT_ALIASES.items():
+        kv.extend([F.lit(k), F.lit(v)])
+    return F.create_map(*kv)
+
+
+def parse_unit_query(df: DataFrame, query_col: str = "q") -> DataFrame:
+    """parseUnitQuery parity (unitParser.ts:168-214) over a DataFrame of
+    query strings: adds (value, from_unit, to_unit) — nulls when no
+    pattern matches. Unit texts are lowercased+trimmed, then resolved
+    through UNIT_ALIASES with raw-text fallback, exactly like the
+    reference; category resolution and the conversion itself live in
+    convert_units (units.ts convertUnit twin)."""
+    q = F.col(query_col)
+    amap = _alias_map_expr()
+
+    # pattern priority via one chained CASE on "did pattern i match"
+    val, ftxt, ttxt = None, None, None
+    for pat, rev in UNIT_QUERY_PATTERNS:
+        hit = F.regexp_extract(q, pat, 0) != ""
+        g = lambda i: F.regexp_extract(q, pat, i)
+        v = g(2) if rev else g(1)
+        ft = g(3) if rev else g(2)
+        tt = g(1) if rev else g(3)
+        if val is None:
+            val = F.when(hit, v)
+            ftxt = F.when(hit, ft)
+            ttxt = F.when(hit, tt)
+        else:
+            val = val.when(hit, v)
+            ftxt = ftxt.when(hit, ft)
+            ttxt = ttxt.when(hit, tt)
+
+    ftxt = F.lower(F.trim(ftxt))
+    ttxt = F.lower(F.trim(ttxt))
+    return df.withColumns({
+        "value": val.cast("double"),
+        "from_unit": F.coalesce(F.element_at(amap, ftxt), ftxt),
+        "to_unit": F.coalesce(F.element_at(amap, ttxt), ttxt),
+    })
+
+
+def oracle_alias_case(col: str) -> str:
+    """DuckDB CASE expression replaying UNIT_ALIASES (generated from the
+    same dict — no drift), with raw-text fallback."""
+    whens = " ".join(
+        f"WHEN {col} = '{k}' THEN '{v}'"
+        for k, v in UNIT_ALIASES.items()
+        if "'" not in k  # no quoted keys exist; guard stays for safety
+    )
+    return f"(CASE {whens} ELSE {col} END)"

@@ -141,6 +141,7 @@ def perform_search(
     summaries: DataFrame | None = None,
     wordnet: DataFrame | None = None,
     query_log=None,
+    query_log_compact_every: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
     index: "pulse.BM25Index | None" = None,
@@ -168,6 +169,28 @@ def perform_search(
             spark.createDataFrame([(norm, 1)], "query string, count long"),
             "append", {"op": "w2_increment"},
         )
+        # compaction trigger: once the increment tail (appends since the
+        # last replace) reaches query_log_compact_every, fold the log
+        # into one row per query — the read-back below then scans
+        # O(distinct queries + tail), not O(total searches). This is the
+        # Iceberg rewrite_data_files maintenance analog, inline because
+        # the reference's upsert keeps the table compact by construction
+        # (search.ts:126-144).
+        if query_log_compact_every:
+            snaps = query_log.snapshots()
+            tail = 0
+            for s_ in reversed(snaps):
+                if s_.mode == "replace":
+                    break
+                tail += 1
+            if tail >= query_log_compact_every:
+                rolled = (
+                    query_log.read().groupBy("query")
+                    .agg(F.sum("count").cast("long").alias("count"))
+                )
+                query_log.commit(
+                    rolled, "replace", {"op": "w2_compact"}, coalesce=1
+                )
         n = (
             query_log.read().filter(F.col("query") == norm)
             .agg(F.sum("count").alias("n")).collect()[0]["n"]
