@@ -21,13 +21,16 @@ def test_bloom_equivalence(spark):
     bloom = BloomShards.sized_for(1000, fpp=0.01, n_shards=4).add_df(seen)
     plain = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
     for route in ("sharded", "broadcast"):
-        via_bloom = {
-            r["url"]
-            for r in bloom_anti_join(cand, seen, bloom, route=route).collect()
-        }
-        assert via_bloom == plain, route
-        # every truly-new url survived (no false negatives by construction)
-        assert "http://new.example/x" in via_bloom
+        for confirm in ("shuffle", "broadcast"):
+            via_bloom = {
+                r["url"]
+                for r in bloom_anti_join(
+                    cand, seen, bloom, route=route, confirm=confirm
+                ).collect()
+            }
+            assert via_bloom == plain, (route, confirm)
+            # every truly-new url survived (no false negatives by design)
+            assert "http://new.example/x" in via_bloom
 
 
 def test_bloom_prefilter_rate(spark):
@@ -92,3 +95,161 @@ def test_crawl_parity_with_bloom(spark, tmp_path):
         use_bloom=True, bloom_expected_n=10_000,
     )
     _assert_parity(store, infos, orc, rows)
+
+
+def test_confirm_broadcast_never_shuffles_seen(spark):
+    """Plan pin for the broadcast-flip confirm: the physical plan must
+    contain no SortMergeJoin / shuffle Exchange — seen is streamed through
+    BroadcastHashJoins only (the whole point of the flip at 10^10 seen)."""
+    seen = spark.createDataFrame(
+        [(f"http://a.example/{i}",) for i in range(2000)], "url string"
+    )
+    cand = spark.createDataFrame(
+        [(f"http://a.example/{i}",) for i in range(1900, 2100)], "url string"
+    )
+    bloom = BloomShards.sized_for(4000, fpp=0.01, n_shards=4).add_df(seen)
+    out = bloom_anti_join(cand, seen, bloom, confirm="broadcast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_bloom_save_load_roundtrip(spark, tmp_path):
+    seen = spark.createDataFrame(
+        [(f"http://a.example/{i}",) for i in range(1500)], "url string"
+    )
+    bloom = BloomShards.sized_for(3000, fpp=0.01, n_shards=8).add_df(seen)
+    p = str(tmp_path / "bloom_ckpt.parquet")
+    bloom.save(p, watermark=7)
+    loaded, wm = BloomShards.load(p)
+    assert wm == 7
+    assert loaded.m_bits == bloom.m_bits
+    assert loaded.k_hashes == bloom.k_hashes
+    assert loaded.n_shards == bloom.n_shards
+    for a, b in zip(loaded.shards, bloom.shards):
+        assert (a == b).all()
+    # no watermark round-trips as None
+    bloom.save(p)
+    _, wm2 = BloomShards.load(p)
+    assert wm2 is None
+
+
+def test_read_appended_since(spark, tmp_path):
+    from vyntr_spark.tables import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    t = store.table("seen")
+    mk = lambda urls: spark.createDataFrame(
+        [(u,) for u in urls], "url string"
+    ).select(F.hash("url").alias("url_hash"), "url")
+    s1 = t.commit(mk(["http://a/1", "http://a/2"]), "append")
+    s2 = t.commit(mk(["http://a/3"]), "append")
+    delta = t.read_appended_since(s1)
+    assert {r["url"] for r in delta.collect()} == {"http://a/3"}
+    assert t.read_appended_since(s2).count() == 0
+    # a replace after the watermark makes the delta undefined
+    t.commit(mk(["http://a/9"]), "replace")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_appended_since(s1)
+
+
+def test_crawl_bloom_checkpoint_resume(spark, tmp_path):
+    """Kill-after-round-k with use_bloom: a fresh engine on the same store
+    loads the checkpointed shards, catches up from the watermark, and the
+    final state matches the sequential oracle — and the resumed engine's
+    bloom must contain every committed seen url (no false negatives vs
+    the table, the invariant that prevents duplicate re-crawls)."""
+    from tests.test_crawl_oracle import (
+        _assert_parity, _pages_map, _run_engine,
+    )
+    from vyntr_spark.crawl import CrawlEngine
+    from vyntr_spark.oracle import run_oracle
+    from vyntr_spark.synth import default_seeds, generate_pages
+    from vyntr_spark.tables import SnapshotStore
+
+    rows = generate_pages(60, 4, seed=11)
+    seeds = default_seeds(60, 4, k=2)
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=11)
+
+    whdir = str(tmp_path / "wh")
+    store = SnapshotStore(spark, whdir)
+    from vyntr_spark.tables import PAGES
+
+    pages = spark.createDataFrame(rows, PAGES)
+    eng1 = CrawlEngine(spark, store, pages, max_pages=10_000, seed=11,
+                       use_bloom=True, bloom_expected_n=10_000,
+                       compact_every=1)  # checkpoint every round
+    eng1.init_from_seeds(seeds)
+    eng1.run(max_rounds=2)  # killed after round 2
+    import os
+
+    assert os.path.exists(eng1._bloom_ckpt_path())
+
+    # resume: fresh engine + fresh store handle on the same warehouse
+    store2 = SnapshotStore(spark, whdir)
+    eng2 = CrawlEngine(spark, store2, pages, max_pages=10_000, seed=11,
+                       use_bloom=True, bloom_expected_n=10_000,
+                       compact_every=1)
+    infos2 = eng2.run(max_rounds=50)
+    # bloom ⊇ committed seen (zero false negatives against the table)
+    seen_df = store2.table("seen").read().select("url")
+    flagged = eng2._bloom.flag_maybe_sharded(seen_df)
+    assert flagged.filter(~F.col("_maybe")).count() == 0
+
+    # full-state parity vs the oracle needs the COMBINED round infos;
+    # re-run uninterrupted for the canonical comparison
+    store3, infos3 = _run_engine(
+        spark, tmp_path / "wh3", rows, seeds, seed=11,
+        use_bloom=True, bloom_expected_n=10_000, compact_every=1,
+    )
+    _assert_parity(store3, infos3, orc, rows)
+    # resumed store's final tables match the uninterrupted run's
+    a = {r["url"] for r in store2.table("seen").read().collect()}
+    b = {r["url"] for r in store3.table("seen").read().collect()}
+    assert a == b, "seen"
+    a = {(r["url"], r["title"], r["content_text"])
+         for r in store2.table("analyses").read().collect()}
+    b = {(r["url"], r["title"], r["content_text"])
+         for r in store3.table("analyses").read().collect()}
+    assert a == b, "analyses"
+
+
+def test_build_routes_equivalent(spark):
+    """'partial' and 'shuffled' builds must produce identical bitmaps —
+    the route only changes WHERE the ORs happen, never the bits."""
+    urls = spark.createDataFrame(
+        [(f"http://r{i % 31}.example/p{i}",) for i in range(3000)],
+        "url string",
+    ).repartition(9)
+    base = BloomShards.sized_for(6000, fpp=0.01, n_shards=8)
+    a = base.add_df(urls, build_route="partial")
+    b = base.add_df(urls, build_route="shuffled")
+    for sa, sb in zip(a.shards, b.shards):
+        assert (sa == sb).all()
+
+
+def test_confirm_hash_probe_equivalence(spark):
+    """seen_hash_col (stored F.hash(url) int key + string residual) must
+    be exactly the plain anti-join — int collisions are resolved by the
+    residual equality."""
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 5}.example/p{i}",) for i in range(1000)],
+        "url string",
+    ).select(F.hash("url").alias("url_hash"), "url")
+    cand = spark.createDataFrame(
+        [(f"http://h{i % 5}.example/p{i}",) for i in range(900, 1400)],
+        "url string",
+    )
+    from vyntr_spark.operators.bloom import flag_maybe, split_by_flag
+
+    bloom = BloomShards.sized_for(2000, fpp=0.01, n_shards=4).add_df(seen)
+    plain = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    flagged = flag_maybe(bloom, cand)
+    got = {
+        r["url"]
+        for r in split_by_flag(flagged, seen, confirm="broadcast",
+                               seen_hash_col="url_hash").collect()
+    }
+    assert got == plain

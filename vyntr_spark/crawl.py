@@ -87,6 +87,7 @@ class CrawlEngine:
         collect_debug: bool = False,
         use_bloom: bool = False,
         bloom_expected_n: int = 1_000_000,
+        bloom_confirm: str = "auto",
         io_coalesce: int | None = 4,
         parallel_commits: bool = True,
         frontier_mode: str = "log",
@@ -112,6 +113,11 @@ class CrawlEngine:
         self.collect_debug = collect_debug
         self.use_bloom = use_bloom
         self.bloom_expected_n = bloom_expected_n
+        # exact-confirm strategy for bloom survivors: 'auto' counts the
+        # (persisted) survivor set per round and takes the broadcast flip
+        # while it fits — seen is then scanned once, never shuffled
+        # (operators/bloom.py split_by_flag); 'shuffle'/'broadcast' pin it
+        self.bloom_confirm = bloom_confirm
         # overlap the three independent round-tail jobs (frontier commit,
         # seen commit, metrics agg) via concurrent job submission — they
         # share only persisted inputs, and the per-table snapshot commit
@@ -139,12 +145,58 @@ class CrawlEngine:
         # (genesis/src/main.rs:106-108)
         self.logger = logger
         self._bloom = None  # built lazily from the seen table, then extended
+        # seen-table snapshot id whose rows the bloom includes (checkpoint
+        # watermark: resume catches up on just the appended delta)
+        self._bloom_wm: int | None = None
+        # previous round's candidate count: bounds this round's bloom
+        # survivors for the free confirm-mode pick (see run_round)
+        self._last_n_cand: int | None = None
         self._state_cache: tuple[int, int] | None = None
         # tracked frontier row count: lets a round skip the up-front
         # politeness-count job whenever the budget cannot bind (n_sel ≤
         # frontier_size ≤ remaining); None = unknown (fresh resume), one
         # count job re-establishes it
         self._frontier_size: int | None = None
+
+    # -- bloom checkpoint (C4 scale path maintenance) ----------------------
+    def _bloom_ckpt_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, "bloom_ckpt.parquet")
+
+    def _load_or_build_bloom(self, seen_t):
+        """Checkpointed bloom with watermark catch-up: a resumed crawl
+        loads the saved shards and adds only the seen rows appended after
+        the checkpoint's snapshot watermark — at 10^10 URLs a from-scratch
+        rebuild is a full seen scan plus 10^10 insertions, while the
+        catch-up is O(rows since last checkpoint). Falls back to a full
+        rebuild when the delta is unreadable (replace/expiry intervened).
+        The bloom stays a SUPERSET of no table state it shouldn't: the
+        watermark is only advanced to snapshot ids whose rows were added,
+        so a crash between the seen commit and the checkpoint can only
+        make the loaded bloom MISS recent rows — which the catch-up then
+        re-adds (false negatives against committed seen would re-crawl
+        duplicates; this path cannot produce them)."""
+        import os
+
+        from .operators.bloom import BloomShards
+
+        p = self._bloom_ckpt_path()
+        if os.path.exists(p):
+            try:
+                bloom, wm = BloomShards.load(p)
+                delta = (seen_t.read_appended_since(wm) if wm is not None
+                         else seen_t.read())
+                bloom = bloom.add_df(delta)
+                self._bloom_wm = seen_t.current_snapshot_id()
+                return bloom
+            except (ValueError, KeyError):
+                pass
+        bloom = BloomShards.sized_for(
+            self.bloom_expected_n, fpp=0.01, n_shards=8
+        ).add_df(seen_t.read())
+        self._bloom_wm = seen_t.current_snapshot_id()
+        return bloom
 
     # -- state -----------------------------------------------------------
     def _round_state(self) -> tuple[int, int]:
@@ -420,14 +472,34 @@ class CrawlEngine:
             # the anti-join; exact confirm keeps it false-negative-free.
             # Flag ONCE and persist — split_by_flag's two union branches
             # both read the flagged frame.
-            from .operators.bloom import BloomShards, flag_maybe, split_by_flag
+            from .operators.bloom import (
+                BROADCAST_CONFIRM_MAX_ROWS, flag_maybe, split_by_flag,
+            )
 
             if self._bloom is None:
-                self._bloom = BloomShards.sized_for(
-                    self.bloom_expected_n, fpp=0.01, n_shards=8
-                ).add_df(seen_t.read())
+                self._bloom = self._load_or_build_bloom(seen_t)
             flagged = flag_maybe(self._bloom, cand).persist()
-            new = split_by_flag(flagged, seen_t.read())
+            confirm = self.bloom_confirm
+            if confirm == "auto":
+                # take the broadcast flip while the survivor set fits (a
+                # politeness-bounded round's candidates always do; seen
+                # grows without bound — exactly the flip's regime).
+                # Steady state is free: survivors ≤ candidates, and last
+                # round's candidate count bounds this round's within the
+                # 4x headroom margin; only the first round (no history)
+                # pays one count job over the just-persisted flagged frame.
+                if (self._last_n_cand is not None
+                        and self._last_n_cand * 4 <= BROADCAST_CONFIRM_MAX_ROWS):
+                    confirm = "broadcast"
+                else:
+                    n_surv = flagged.filter(F.col("_maybe")).count()
+                    confirm = ("broadcast"
+                               if n_surv <= BROADCAST_CONFIRM_MAX_ROWS
+                               else "shuffle")
+            # the seen table stores url_hash = F.hash(url): the broadcast
+            # confirm keys its probe on the stored int (split_by_flag)
+            new = split_by_flag(flagged, seen_t.read(), confirm=confirm,
+                                seen_hash_col="url_hash")
         else:
             new = cand.join(seen_t.read(), "url", "left_anti")
         obs_new = Observation()
@@ -486,22 +558,32 @@ class CrawlEngine:
                 .collect()
             )
 
+        def _extend_bloom():
+            # incremental: only this round's new URLs are inserted (never
+            # a rebuild); reads the persisted `new` frame, so overlapping
+            # it with the commits at worst duplicates one cache fill
+            return self._bloom.add_df(new.select("url"))
+
         if self.parallel_commits:
-            # the three jobs are independent (they share only the persisted
+            # the four jobs are independent (they share only the persisted
             # sel/fetched_slim/cand/new DFs); overlapping them removes the
             # constant per-round serial tail that otherwise caps scaling —
-            # at 4N cores the extract stage shrinks but 3 x ~1 s of
+            # at 4N cores the extract stage shrinks but 3-4 x ~1 s of
             # back-to-back small jobs would not
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            with ThreadPoolExecutor(max_workers=4) as pool:
                 fut_f = pool.submit(_commit_frontier)
                 fut_s = pool.submit(_commit_seen)
                 fut_m = pool.submit(_metrics_rows)
+                fut_b = (pool.submit(_extend_bloom)
+                         if self.use_bloom else None)
                 fut_f.result()
                 fut_s.result()
                 part_rows = fut_m.result()
-            _mark('frontier+seen+metrics (overlapped)')
+                if fut_b is not None:
+                    self._bloom = fut_b.result()
+            _mark('frontier+seen+metrics+bloom (overlapped)')
         else:
             _commit_frontier()
             _mark('frontier_commit+expansion')
@@ -509,10 +591,16 @@ class CrawlEngine:
             _mark('seen_commit')
             part_rows = _metrics_rows()
             _mark('metrics_agg_collect')
+            if self.use_bloom:
+                self._bloom = _extend_bloom()
+                _mark('bloom_extend')
         n_cand = _obs_count(obs_cand, cand)
+        self._last_n_cand = n_cand
         n_new = _obs_count(obs_new, new)
-        if self.use_bloom and n_new:
-            self._bloom = self._bloom.add_df(new.select("url"))
+        if self.use_bloom:
+            # watermark advances to the seen snapshot that carries exactly
+            # the rows just inserted (committed above)
+            self._bloom_wm = self.store.table("seen").current_snapshot_id()
         n_succ = sum(r["success"] for r in part_rows)
         wall_ms = int((time.monotonic() - t0) * 1000)
         metric_tuples = [
@@ -581,6 +669,13 @@ class CrawlEngine:
                 keep_last=self.expire_keep
             )
             _mark('snapshot_expiry')
+
+        if self.use_bloom and (rnd + 1) % self.compact_every == 0:
+            # checkpoint the shards on the same maintenance cadence as
+            # compaction/expiry: resume then catches up from the watermark
+            # instead of rebuilding from the full seen table
+            self._bloom.save(self._bloom_ckpt_path(), self._bloom_wm)
+            _mark('bloom_checkpoint')
 
         info = RoundInfo(
             round=rnd, selected=n_sel, success=n_succ, new_urls=n_new,

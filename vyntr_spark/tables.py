@@ -281,6 +281,31 @@ class SnapshotTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*paths)
 
+    def read_appended_since(self, snapshot_id: int) -> DataFrame:
+        """Rows committed by APPEND snapshots after ``snapshot_id`` — the
+        incremental-read primitive (Iceberg's incremental scan between two
+        snapshot ids). Lets a consumer with a watermark (e.g. a bloom
+        checkpoint) catch up on just the delta instead of re-reading the
+        table. Raises if a replace snapshot intervened (the delta is then
+        not expressible as appended rows) or if an appended snapshot's
+        data files were expired — callers fall back to a full read."""
+        snaps = self._load()
+        newer = [s for s in snaps if s.snapshot_id > snapshot_id]
+        if any(s.mode == "replace" for s in newer):
+            raise ValueError(
+                f"table {self.name!r}: replace snapshot after "
+                f"{snapshot_id}; incremental append read undefined"
+            )
+        paths = [s.path for s in newer]
+        if any(not p for p in paths):
+            raise ValueError(
+                f"table {self.name!r}: appended snapshot after "
+                f"{snapshot_id} was expired"
+            )
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
     def upsert(self, df: DataFrame, keys: list[str],
                summary: dict[str, Any] | None = None,
                coalesce: int | None = None) -> int:
