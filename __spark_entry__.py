@@ -1177,6 +1177,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["c29_capture_dedup"] = c29
 
+    def c30(s, sf):
+        from vyntr_spark.operators import scheduling
+
+        d = _docs(s, sf)
+        did = F.col("doc_id")
+        # deterministic cross-host link fixture: every doc contributes one
+        # host->host edge; the affine step spreads targets across 40 hosts
+        edges = d.select(
+            F.concat(F.lit("h"), (did % 40).cast("string")).alias("src_host"),
+            F.concat(F.lit("h"), (((did * 7 + 3) % 53) % 40).cast("string"))
+            .alias("dst_host"),
+        )
+        frontier = d.select(
+            F.format_string("https://h%d.example/p%d", did % 40, did)
+            .alias("url"),
+            F.concat(F.lit("h"), (did % 40).cast("string")).alias("host"),
+            (did % 6).cast("long").alias("depth"),
+        )
+        return scheduling.frontier_priority(frontier, edges)
+
+    q["c30_frontier_priority"] = c30
+
+    def c31(s, sf):
+        from vyntr_spark.operators import scheduling
+
+        ev = _events(s, sf)
+        fx = ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string"))
+            .alias("host"),
+            (F.col("event_id") % 10).cast("long").alias("round"),
+            F.when(F.col("value") > 50, F.lit("success"))
+            .otherwise(F.lit("failed")).alias("outcome"),
+        )
+        return scheduling.adaptive_host_rate(fx, base_cap=5, window=3)
+
+    q["c31_adaptive_rate"] = c31
+
     # shared RFC 9309 fixture for the full robots evaluation (host ->
     # (allow, pattern)); regexes derive from pattern_to_regex on BOTH
     # engines so one translation is under test, not two
@@ -2632,6 +2669,9 @@ _GATE_NEXT_R4 = [
     # stability rule): W-table breadth, tokenizer-faithful E2, slop/boost
     "w7c_unit_parse", "w6c_date_parse", "w10b_bang_full",
     "e2b_bpe_chunks", "p6c_slop_boost",
+    # new in r3 (replica-verified before registration): OPIC-style
+    # frontier prioritization + AIMD per-host politeness caps
+    "c30_frontier_priority", "c31_adaptive_rate",
 ]
 
 
@@ -3989,6 +4029,46 @@ SELECT url, digest, cap_id, ts, n_captures FROM (
   row_number() OVER (PARTITION BY url, digest
                      ORDER BY ts DESC, cap_id DESC) AS rn
  FROM caps) WHERE rn = 1
+"""
+
+    o["c30_frontier_priority"] = """
+WITH edges AS (SELECT
+  'h' || CAST(doc_id % 40 AS VARCHAR) AS src_host,
+  'h' || CAST(((doc_id * 7 + 3) % 53) % 40 AS VARCHAR) AS dst_host
+ FROM documents),
+indeg AS (SELECT dst_host AS host,
+  CAST(count(*) AS BIGINT) AS backlink_hosts
+ FROM (SELECT DISTINCT src_host, dst_host FROM edges
+       WHERE src_host <> dst_host)
+ GROUP BY dst_host),
+frontier AS (SELECT
+  printf('https://h%d.example/p%d', doc_id % 40, doc_id) AS url,
+  'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+  CAST(doc_id % 6 AS BIGINT) AS depth
+ FROM documents)
+SELECT f.url, f.host, f.depth,
+  coalesce(i.backlink_hosts, 0) AS backlink_hosts,
+  round(1.0 * ln(1 + coalesce(i.backlink_hosts, 0)) - 0.5 * f.depth, 6)
+    AS priority
+FROM frontier f LEFT JOIN indeg i ON f.host = i.host
+"""
+
+    o["c31_adaptive_rate"] = """
+WITH fx AS (SELECT
+  'h' || CAST(user_id % 25 AS VARCHAR) AS host,
+  CAST(event_id % 10 AS BIGINT) AS round,
+  CASE WHEN value > 50 THEN 'success' ELSE 'failed' END AS outcome
+ FROM events),
+mr AS (SELECT max(round) AS mr FROM fx),
+agg AS (SELECT host,
+  CAST(count(*) AS BIGINT) AS attempts,
+  CAST(sum(CASE WHEN outcome = 'success' THEN 1 ELSE 0 END) AS BIGINT)
+    AS successes
+ FROM fx, mr WHERE fx.round > mr.mr - 3 GROUP BY host)
+SELECT host, attempts, successes,
+  greatest(CAST(1 AS BIGINT),
+           CAST(floor(5 * successes / attempts) AS BIGINT)) AS next_cap
+FROM agg
 """
 
     from vyntr_spark.operators.robots import pattern_to_regex as _p2rx

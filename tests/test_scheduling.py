@@ -141,3 +141,55 @@ def test_capture_dedup_keeps_latest(spark):
     assert out[("u1", "d1")]["n_captures"] == 2
     assert out[("u1", "d2")]["n_captures"] == 1
     assert out[("u2", "d3")]["cap_id"] == 201
+
+
+def test_frontier_priority_ordering_and_unlinked_hosts(spark):
+    """Backlink authority: a host linked from many distinct hosts must
+    outrank an unlinked host at equal depth; depth penalizes; hosts
+    absent from the edge list get backlink_hosts=0, not null."""
+    from vyntr_spark.operators.scheduling import frontier_priority
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("a", "leaf"),
+         ("hub", "hub"),           # self-link must not count
+         ("a", "hub"), ("a", "hub")],  # duplicate edges count once
+        "src_host string, dst_host string",
+    )
+    frontier = spark.createDataFrame(
+        [("https://hub/x", "hub", 1), ("https://leaf/x", "leaf", 1),
+         ("https://lonely/x", "lonely", 1), ("https://hub/deep", "hub", 5)],
+        "url string, host string, depth long",
+    )
+    out = {r["url"]: r for r in frontier_priority(frontier, edges).collect()}
+    assert out["https://hub/x"]["backlink_hosts"] == 3
+    assert out["https://leaf/x"]["backlink_hosts"] == 1
+    assert out["https://lonely/x"]["backlink_hosts"] == 0
+    assert (out["https://hub/x"]["priority"]
+            > out["https://leaf/x"]["priority"]
+            > out["https://lonely/x"]["priority"])
+    # same host, deeper -> strictly lower priority
+    assert out["https://hub/deep"]["priority"] < out["https://hub/x"]["priority"]
+
+
+def test_adaptive_host_rate_aimd(spark):
+    """A fully-failing host drops to the floor cap of 1; a healthy host
+    keeps base_cap; outcomes older than the window are ignored."""
+    from vyntr_spark.operators.scheduling import adaptive_host_rate
+
+    rows = (
+        # healthy host: all success in rounds 8..10
+        [("good", r, "success") for r in (8, 9, 10)]
+        # broken host: all failures in-window
+        + [("bad", r, "failed") for r in (8, 9, 10)]
+        # half-and-half
+        + [("meh", 9, "success"), ("meh", 10, "failed")]
+        # stale host: only old outcomes (round <= 7, outside window 3)
+        + [("stale", 1, "failed")]
+    )
+    df = spark.createDataFrame(rows, "host string, round long, outcome string")
+    out = {r["host"]: r for r in
+           adaptive_host_rate(df, base_cap=5, window=3).collect()}
+    assert out["good"]["next_cap"] == 5
+    assert out["bad"]["next_cap"] == 1          # floor, never 0
+    assert out["meh"]["next_cap"] == 2          # floor(5 * 1/2)
+    assert "stale" not in out                   # outside the window

@@ -443,8 +443,19 @@ class CrawlEngine:
             F.lit(rnd).alias("round"),
             part.alias("src_partition"),
         )
+        # payload-heavy commit: coalesce (no Exchange) at ≥ core-count
+        # width — extraction parallelism stays = cores, and the extracted
+        # text is written by the SAME stage instead of being shuffled
+        # first (the repartition exchange was the widest round's largest
+        # non-scaling cost: ~600 MB of text serialized through the
+        # shuffle per round at sf0.1)
+        n_out = self.io_coalesce
+        shuffle_commit = _os.environ.get("VYNTR_ANALYSES_SHUFFLE") == "1"
+        if n_out is not None and not shuffle_commit:
+            n_out = max(n_out, self.spark.sparkContext.defaultParallelism)
         self.store.table("analyses").commit(
-            analyses, "append", {"round": rnd}, coalesce=self.io_coalesce
+            analyses, "append", {"round": rnd}, coalesce=n_out,
+            shuffle=shuffle_commit,
         )
         if obs_sel is not None:
             # the commit job materialized sel (broadcast build), firing the

@@ -274,3 +274,89 @@ def capture_dedup(df: DataFrame, url_col: str = "url",
         F.col("m.ts").alias(ts_col),
         "n_captures",
     )
+
+
+def frontier_priority(frontier: DataFrame, edges: DataFrame,
+                      host_col: str = "host", url_col: str = "url",
+                      depth_col: str = "depth",
+                      w_backlinks: float = 1.0,
+                      w_depth: float = 0.5) -> DataFrame:
+    """OPIC/backlink-family frontier prioritization: score each frontier
+    URL by the authority of its host minus a depth penalty, so a
+    priority-queue politeness select fetches high-value hosts first
+    (the reference crawls strictly BFS — genesis/src/main.rs frontier is
+    a FIFO per round; a 10^10-URL frontier cannot afford to treat a
+    spam-farm leaf and a hub root as equals).
+
+    authority(host) = ln(1 + #DISTINCT hosts linking to it) — cross-host
+    backlink counting is the classic cheap PageRank surrogate (monotone
+    under graph growth, one pass, no iteration). Shape: edges →
+    cross-host filter → distinct (host-pair shuffle) → hash-agg, then a
+    join back to the frontier; the host-authority table is |hosts|-sized
+    (millions, not 10^10) so at scale it broadcast-joins. Deterministic
+    order: (priority desc, url).
+
+    priority = w_backlinks * ln(1 + backlink_hosts) - w_depth * depth
+    """
+    cross = edges.filter(F.col("src_host") != F.col("dst_host"))
+    indeg = (
+        cross.select("src_host", "dst_host").distinct()
+        .groupBy(F.col("dst_host").alias(host_col))
+        .agg(F.count(F.lit(1)).alias("backlink_hosts"))
+    )
+    return (
+        frontier.join(indeg, host_col, "left")
+        .withColumn("backlink_hosts",
+                    F.coalesce("backlink_hosts", F.lit(0)))
+        .withColumn(
+            "priority",
+            F.round(
+                F.lit(w_backlinks) * F.log1p(F.col("backlink_hosts"))
+                - F.lit(w_depth) * F.col(depth_col),
+                6,
+            ),
+        )
+        .select(url_col, host_col, depth_col, "backlink_hosts", "priority")
+    )
+
+
+def adaptive_host_rate(outcomes: DataFrame, host_col: str = "host",
+                       round_col: str = "round",
+                       outcome_col: str = "outcome",
+                       base_cap: int = 5, window: int = 3) -> DataFrame:
+    """AIMD-style per-host politeness cap from recent fetch outcomes: a
+    host that keeps failing (timeouts, 403s, Cloudflare blocks) gets its
+    per-round page cap multiplicatively decreased; healthy hosts keep
+    the base cap. The reference applies one global MAX_CONCURRENT_TASKS
+    with a fixed per-host politeness; production crawlers adapt per host
+    (additive-increase/multiplicative-decrease, the same control loop as
+    TCP) so one flaky CDN does not burn the round budget.
+
+    next_cap(host) = max(1, floor(base_cap * success_rate_over_last_W))
+    with hosts absent from the window keeping base_cap. Shape: filter to
+    the last W rounds (the window bound rides the scan as a pushed
+    predicate), one hash-agg per host — no windows, no iteration; the
+    output is |hosts|-sized and broadcast-joins into the next round's
+    politeness select.
+    """
+    max_round = outcomes.agg(F.max(round_col).alias("mr"))
+    recent = outcomes.join(F.broadcast(max_round)).filter(
+        F.col(round_col) > F.col("mr") - window
+    )
+    return (
+        recent.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("attempts"),
+            F.sum((F.col(outcome_col) == "success").cast("long"))
+            .alias("successes"),
+        )
+        .withColumn(
+            "next_cap",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(base_cap) * F.col("successes")
+                        / F.col("attempts")).cast("long"),
+            ),
+        )
+        .select(host_col, "attempts", "successes", "next_cap")
+    )

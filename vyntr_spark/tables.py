@@ -180,16 +180,22 @@ class SnapshotTable:
     # -- public API ----------------------------------------------------------
     def commit(self, df: DataFrame, mode: str = "append",
                summary: dict[str, Any] | None = None,
-               coalesce: int | None = None) -> int:
+               coalesce: int | None = None, shuffle: bool = True) -> int:
         snaps = self._load()
         sid = (snaps[-1].snapshot_id + 1) if snaps else 1
         path = os.path.join(self.dir, f"snap-{sid:08d}")
         if coalesce is not None:
-            # avoid the small-file storm of shuffle-partition-count writes
-            # (Iceberg would handle file sizing via its write targets).
-            # repartition, not coalesce: coalesce would collapse the
-            # parallelism of the upstream stage (e.g. the extraction UDF).
-            df = df.repartition(coalesce)
+            # bound the output file count (Iceberg would handle file sizing
+            # via its own write targets). shuffle=True (repartition) is the
+            # safe default: a bare coalesce() narrows the WHOLE upstream
+            # stage to the target, which collapses post-shuffle stages
+            # (e.g. a distinct feeding the frontier commit). shuffle=False
+            # is for payload-heavy map-only plans (the analyses commit:
+            # scan → broadcast join → extract UDF) where the caller keeps
+            # the target ≥ the core count — the write then rides the same
+            # stage with zero Exchange instead of shuffling the full
+            # extracted-text payload before every commit.
+            df = df.repartition(coalesce) if shuffle else df.coalesce(coalesce)
         df.write.mode("overwrite").parquet(path)
         snaps.append(
             Snapshot(
