@@ -193,3 +193,84 @@ def test_adaptive_host_rate_aimd(spark):
     assert out["bad"]["next_cap"] == 1          # floor, never 0
     assert out["meh"]["next_cap"] == 2          # floor(5 * 1/2)
     assert "stale" not in out                   # outside the window
+
+
+def _mk_pages(spark, rows):
+    from vyntr_spark.tables import PAGES
+
+    return spark.createDataFrame(rows, PAGES)
+
+
+def test_adaptive_rate_noop_on_healthy_web(spark, tmp_path):
+    """All-success crawl: AIMD caps never deviate from base, so the
+    adaptive engine must be bit-identical to the fixed-cap engine."""
+    from pyspark.sql import functions as F
+
+    from vyntr_spark.crawl import CrawlEngine
+    from vyntr_spark.synth import default_seeds, generate_pages
+    from vyntr_spark.tables import SnapshotStore
+
+    rows = generate_pages(60, 4, seed=5)
+    seeds = default_seeds(60, 4, k=2)
+    results = []
+    for adaptive in (False, True):
+        wh = str(tmp_path / f"wh_{adaptive}")
+        store = SnapshotStore(spark, wh)
+        eng = CrawlEngine(spark, store, _mk_pages(spark, rows),
+                          max_pages=10_000, seed=5, adaptive_rate=adaptive)
+        eng.init_from_seeds(seeds)
+        infos = eng.run(max_rounds=50)
+        seen = frozenset(r["url"] for r in store.table("seen").read().collect())
+        results.append((tuple((i.round, i.selected, i.success, i.new_urls)
+                              for i in infos), seen))
+    assert results[0] == results[1]
+
+
+def test_adaptive_rate_throttles_failing_host(spark, tmp_path):
+    """A host whose fetches all go missing gets capped at 1 from the
+    next round on, while healthy hosts keep the full cap."""
+    import datetime
+
+    from vyntr_spark.crawl import CrawlEngine
+    from vyntr_spark.tables import SnapshotStore
+
+    ts = datetime.datetime(2026, 1, 1)
+    # hostA: 12 real pages, each links to 3 more hostA pages and 3
+    # hostX pages; hostX pages are NOT in the pages table -> 'missing'
+    def a(i):
+        return f"http://a.example/p{i}.html"
+
+    def x(i):
+        return f"http://x.example/p{i}.html"
+
+    rows = []
+    for i in range(12):
+        links = "".join(
+            f'<a href="{a(j)}">l</a>' for j in (i + 1, i + 2, i + 3)
+        ) + "".join(f'<a href="{x(i * 3 + k)}">m</a>' for k in range(3))
+        html = f"<html><body><p>page {i}</p>{links}</body></html>"
+        rows.append((a(i), ts, bytearray(html.encode()), f"page {i}",
+                     "en", "text/html", 200, ""))
+    pages = _mk_pages(spark, rows)
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    eng = CrawlEngine(spark, store, pages, max_pages=10_000, seed=1,
+                      cap=5, adaptive_rate=True, rate_window=3,
+                      collect_debug=True)
+    eng.init_from_seeds([a(0), a(1)])
+    infos = eng.run(max_rounds=4)
+    per_round_x = [
+        sum(1 for u in i.selected_urls if u.startswith("http://x."))
+        for i in infos
+    ]
+    # round 0 fetches only seeds; once x.example urls enter the frontier
+    # and fail, every later round selects exactly 1 x url (floor cap),
+    # while a.example keeps up to 5
+    first_x = next(i for i, n in enumerate(per_round_x) if n > 0)
+    assert per_round_x[first_x] > 1  # full cap before any failure signal
+    for n in per_round_x[first_x + 1:]:
+        assert n <= 1
+    per_round_a = [
+        sum(1 for u in i.selected_urls if u.startswith("http://a."))
+        for i in infos
+    ]
+    assert max(per_round_a) > 1  # healthy host never throttled

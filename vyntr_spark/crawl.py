@@ -92,6 +92,8 @@ class CrawlEngine:
         parallel_commits: bool = True,
         frontier_mode: str = "log",
         compact_every: int = 8,
+        adaptive_rate: bool = False,
+        rate_window: int = 3,
         expire_keep: int | None = 4,
         logger=None,
     ):
@@ -133,6 +135,14 @@ class CrawlEngine:
         # rewrite-per-round (VERDICT r1 called it the load-bearing gap).
         self.frontier_mode = frontier_mode
         self.compact_every = compact_every
+        # AIMD politeness (C6 extension, operators/scheduling.py): each
+        # round appends per-host fetch aggregates to the host_stats table
+        # and the NEXT round's politeness select caps failing hosts at
+        # max(1, floor(cap * success_rate over the last rate_window
+        # rounds)) — healthy hosts keep `cap`, so an all-success crawl is
+        # bit-identical to adaptive_rate=False (tested).
+        self.adaptive_rate = adaptive_rate
+        self.rate_window = rate_window
         # post-compaction maintenance: expire superseded frontier
         # snapshot data files (Iceberg expire_snapshots analog) keeping
         # this many recent snapshots of time travel; None disables
@@ -314,7 +324,18 @@ class CrawlEngine:
         # fsize on successful completion)
         self._frontier_size = None
 
-        sel = politeness_select(frontier, self.cap, self.salt_buckets)
+        host_caps = None
+        if self.adaptive_rate:
+            hs_t = self.store.table("host_stats")
+            if not hs_t.is_empty():
+                from .operators.scheduling import adaptive_caps_from_stats
+
+                host_caps = adaptive_caps_from_stats(
+                    hs_t.read(), base_cap=self.cap,
+                    window=self.rate_window, upto_round=rnd - 1,
+                )
+        sel = politeness_select(frontier, self.cap, self.salt_buckets,
+                                host_caps=host_caps)
         obs_sel: Observation | None = None
         if fsize > remaining:
             # budget MIGHT bind (C9): pay the count job; truncate in
@@ -416,6 +437,9 @@ class CrawlEngine:
         )
         outcome_rows = fetched_slim.select("url", "outcome").unionByName(
             missing.select("url", "outcome")
+        )
+        outcome_hosts = fetched_slim.select("host", "outcome").unionByName(
+            missing.select("host", "outcome")
         )
 
         # -- extraction (C15) on successes only ------------------------------
@@ -575,6 +599,24 @@ class CrawlEngine:
             # it with the commits at worst duplicates one cache fill
             return self._bloom.add_df(new.select("url"))
 
+        def _commit_host_stats() -> None:
+            # per-host aggregates feeding the NEXT round's AIMD caps
+            # (adaptive_caps_from_stats): one hash-agg over the cached
+            # slim outcome rows, host-dimension output
+            agg = (
+                outcome_hosts.groupBy("host")
+                .agg(
+                    F.count(F.lit(1)).alias("attempts"),
+                    F.sum((F.col("outcome") == "success").cast("long"))
+                    .alias("successes"),
+                )
+                .select("host", F.lit(rnd).alias("round"),
+                        "attempts", "successes")
+            )
+            self.store.table("host_stats").commit(
+                agg, "append", {"round": rnd}, coalesce=self.io_coalesce
+            )
+
         if self.parallel_commits:
             # the four jobs are independent (they share only the persisted
             # sel/fetched_slim/cand/new DFs); overlapping them removes the
@@ -583,17 +625,21 @@ class CrawlEngine:
             # back-to-back small jobs would not
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            with ThreadPoolExecutor(max_workers=5) as pool:
                 fut_f = pool.submit(_commit_frontier)
                 fut_s = pool.submit(_commit_seen)
                 fut_m = pool.submit(_metrics_rows)
                 fut_b = (pool.submit(_extend_bloom)
                          if self.use_bloom else None)
+                fut_h = (pool.submit(_commit_host_stats)
+                         if self.adaptive_rate else None)
                 fut_f.result()
                 fut_s.result()
                 part_rows = fut_m.result()
                 if fut_b is not None:
                     self._bloom = fut_b.result()
+                if fut_h is not None:
+                    fut_h.result()
             _mark('frontier+seen+metrics+bloom (overlapped)')
         else:
             _commit_frontier()
@@ -605,6 +651,9 @@ class CrawlEngine:
             if self.use_bloom:
                 self._bloom = _extend_bloom()
                 _mark('bloom_extend')
+            if self.adaptive_rate:
+                _commit_host_stats()
+                _mark('host_stats_commit')
         n_cand = _obs_count(obs_cand, cand)
         self._last_n_cand = n_cand
         n_new = _obs_count(obs_new, new)

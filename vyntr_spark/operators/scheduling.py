@@ -360,3 +360,42 @@ def adaptive_host_rate(outcomes: DataFrame, host_col: str = "host",
         )
         .select(host_col, "attempts", "successes", "next_cap")
     )
+
+
+def adaptive_caps_from_stats(stats: DataFrame, base_cap: int = 5,
+                             window: int = 3,
+                             upto_round: int | None = None) -> DataFrame:
+    """AIMD caps from the engine's per-round host_stats table (host,
+    round, attempts, successes) — the aggregated twin of
+    :func:`adaptive_host_rate` for the crawl loop, which already has
+    per-round aggregates and must not keep raw outcome rows around.
+    Reads are crash-idempotent: a crash-rerun can append the same
+    (host, round) row twice, so rows dedupe by max() per (host, round)
+    before the window sum. Output: (host, cap) for politeness_select's
+    host_caps — only hosts whose cap differs from base_cap are emitted,
+    keeping the broadcast at the size of the throttled set, not the
+    whole host dimension."""
+    if upto_round is not None:
+        stats = stats.filter(F.col("round") <= upto_round)
+        lo = upto_round - window
+        stats = stats.filter(F.col("round") > lo)
+    dedup = (
+        stats.groupBy("host", "round")
+        .agg(F.max("attempts").alias("attempts"),
+             F.max("successes").alias("successes"))
+    )
+    return (
+        dedup.groupBy("host")
+        .agg(F.sum("attempts").alias("attempts"),
+             F.sum("successes").alias("successes"))
+        .withColumn(
+            "cap",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(base_cap) * F.col("successes")
+                        / F.col("attempts")).cast("int"),
+            ),
+        )
+        .filter(F.col("cap") != base_cap)
+        .select("host", "cap")
+    )

@@ -404,6 +404,17 @@ class SnapshotStore:
         "analyses": ANALYSES,
         "metrics": METRICS,
         "round_state": ROUND_STATE,
+        # per-round per-host fetch aggregates feeding the AIMD politeness
+        # caps (CrawlEngine adaptive_rate mode): host-dimension rows,
+        # appended each round, deduped by max() per (host, round) at read
+        "host_stats": T.StructType(
+            [
+                T.StructField("host", T.StringType(), False),
+                T.StructField("round", T.IntegerType(), False),
+                T.StructField("attempts", T.LongType(), False),
+                T.StructField("successes", T.LongType(), False),
+            ]
+        ),
     }
 
     def __init__(self, spark: SparkSession, root: str):
