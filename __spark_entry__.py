@@ -354,6 +354,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p6c_slop_boost"] = p6c
 
+    def p6d(s, sf):
+        # P6 QueryParser fuzzy tail: 'word~1' expands against the term
+        # dictionary (native levenshtein over the distinct postings
+        # terms, closest-first cap 50 — Tantivy's FuzzyTermQuery walks
+        # its dictionary with a Levenshtein automaton) and the expansion
+        # scores as an OR of plain terms
+        from vyntr_spark.operators import boolquery
+
+        idx = pulse.build_index(_docs(s, sf))
+        return boolquery.search_boolean(idx, "spark~1", k=10)
+
+    q["p6d_fuzzy_search"] = p6d
+
     def p4b(s, sf):
         # P4 full semantics (pulse/src/main.rs:114-118): nsfw = OR over
         # domain-of(content/title/url) membership; title row exercises
@@ -2670,8 +2683,9 @@ _GATE_NEXT_R4 = [
     "w7c_unit_parse", "w6c_date_parse", "w10b_bang_full",
     "e2b_bpe_chunks", "p6c_slop_boost",
     # new in r3 (replica-verified before registration): OPIC-style
-    # frontier prioritization + AIMD per-host politeness caps
-    "c30_frontier_priority", "c31_adaptive_rate",
+    # frontier prioritization + AIMD per-host politeness caps + fuzzy
+    # term queries (QueryParser grammar tail closed)
+    "c30_frontier_priority", "c31_adaptive_rate", "p6d_fuzzy_search",
 ]
 
 
@@ -3319,6 +3333,32 @@ SELECT doc_id, round(sum(contrib), 4) AS score FROM (
          AS contrib
   FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id)
        JOIN qt q USING (term), corpus c
+  WHERE p.doc_id IN (SELECT doc_id FROM matched)
+) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["p6d_fuzzy_search"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tl FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS term FROM toks),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ds AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl
+           FROM ds),
+exp AS (SELECT term FROM (
+          SELECT DISTINCT term FROM post
+          WHERE length(term) BETWEEN 4 AND 6
+            AND levenshtein(term, 'spark') <= 1)
+        ORDER BY levenshtein(term, 'spark'), term LIMIT 50),
+matched AS (SELECT DISTINCT doc_id FROM post
+            WHERE term IN (SELECT term FROM exp)),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+          WHERE term IN (SELECT term FROM exp) GROUP BY term)
+SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+  SELECT p.doc_id,
+         ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         AS contrib
+  FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
   WHERE p.doc_id IN (SELECT doc_id FROM matched)
 ) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
 """

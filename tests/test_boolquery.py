@@ -315,3 +315,44 @@ def test_boost_scales_term_contribution(index):
     same = {r["doc_id"]: r["score"]
             for r in boolquery.search_boolean(index, "fox^1 dog", k=10).collect()}
     assert same == base
+
+
+def test_fuzzy_parse_forms():
+    from vyntr_spark.operators.boolquery import (
+        FuzzyTerm, Term, parse_boolean,
+    )
+
+    n = parse_boolean("spark~1")
+    assert isinstance(n, FuzzyTerm) and (n.word, n.distance) == ("spark", 1)
+    n = parse_boolean("spark~")
+    assert isinstance(n, FuzzyTerm) and n.distance == 2
+    # ~0 is exact -> plain Term; boost composes after the fuzzy suffix
+    assert isinstance(parse_boolean("spark~0"), Term)
+    n = parse_boolean("spark~1^2")
+    assert isinstance(n, FuzzyTerm) and n.boost == 2.0 and n.distance == 1
+    # field filters never go fuzzy (the suffix stays in the value)
+    from vyntr_spark.operators.boolquery import FieldFilter
+
+    assert isinstance(parse_boolean("lang:en~1"), FieldFilter)
+
+
+def test_fuzzy_search_matches_typo(spark):
+    """'grphics~1' must match docs containing 'graphics' via dictionary
+    expansion, rank exact-vocabulary neighbours too, and an
+    out-of-vocabulary word with no neighbours matches nothing."""
+    from vyntr_spark.operators import pulse
+    from vyntr_spark.operators.boolquery import search_boolean
+
+    docs = spark.createDataFrame(
+        [(0, "graphics card review"), (1, "graphic novels are books"),
+         (2, "totally unrelated text"), (3, "graphics graphics graphics")],
+        "doc_id long, text string",
+    )
+    idx = pulse.build_index(docs)
+    got = {r["doc_id"] for r in search_boolean(idx, "grphics~1", k=10).collect()}
+    assert 0 in got and 3 in got
+    assert 2 not in got
+    # distance 2 additionally reaches 'graphic'
+    got2 = {r["doc_id"] for r in search_boolean(idx, "grphics~2", k=10).collect()}
+    assert 1 in got2 and got <= got2
+    assert search_boolean(idx, "zzzzqqqq~1", k=10).count() == 0

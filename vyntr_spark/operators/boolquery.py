@@ -78,6 +78,13 @@ class Phrase:
 
 
 @dataclass
+class FuzzyTerm:
+    word: str
+    distance: int = 2   # 'term~' (Lucene-classic default 2) / 'term~1'
+    boost: float = 1.0
+
+
+@dataclass
 class FieldFilter:
     name: str
     value: str
@@ -223,12 +230,24 @@ class _Parser:
         m = re.match(r"^(.*?)\^(\d+(?:\.\d+)?)$", val)
         if m and m.group(1):
             val, boost = m.group(1), float(m.group(2))
+        # fuzzy suffix on a bare term: 'term~' (distance 2, the
+        # Lucene-classic default) / 'term~1' / 'term~2' — distances are
+        # capped at 2 like Lucene/Tantivy's FuzzyTermQuery
+        fuzzy = None
+        fm = re.match(r"^(.+?)~([0-2]?)$", val)
+        if fm and fm.group(1) and ":" not in fm.group(1):
+            val = fm.group(1)
+            fuzzy = int(fm.group(2)) if fm.group(2) else 2
         if ":" in val:
             name, v = val.split(":", 1)
             if name and v:
                 return FieldFilter(name, v, boost=boost)
         w = re.sub(TOKEN_SPLIT, "", val.lower())
-        return Term(w, boost=boost) if w else None
+        if not w:
+            return None
+        if fuzzy:
+            return FuzzyTerm(w, distance=fuzzy, boost=boost)
+        return Term(w, boost=boost)
 
 
 def parse_boolean(q: str):
@@ -401,12 +420,55 @@ def _positive_terms(node, negated: bool = False) -> list[tuple[str, float]]:
     return out
 
 
+def _fuzzy_expand(index: BM25Index, word: str, distance: int,
+                  cap: int = 50) -> list[str]:
+    """Vocabulary terms within ``distance`` edits of ``word``. Tantivy's
+    FuzzyTermQuery walks the term dictionary with a Levenshtein
+    automaton; the Spark shape filters the term DIMENSION (distinct
+    postings terms — never the corpus) with the native levenshtein
+    expression, a length-difference prefilter pruning most of the scan.
+    Deterministic cap: closest-first, ties by term (Tantivy caps
+    expansion at 50 terms too, via its automaton's term limit)."""
+    lw = len(word)
+    cand = (
+        index.postings.select("term").distinct()
+        .filter(F.length("term").between(lw - distance, lw + distance))
+        .withColumn("_d", F.levenshtein(F.col("term"), F.lit(word)))
+        .filter(F.col("_d") <= distance)
+        .orderBy("_d", "term")
+        .limit(cap)
+        .collect()
+    )
+    return [r["term"] for r in cand]
+
+
+def _rewrite_fuzzy(node, index: BM25Index):
+    """Replace FuzzyTerm nodes with the OR of their vocabulary expansion
+    (every variant scores at the clause's boost), so matching AND
+    scoring downstream see plain Terms. A word with an empty expansion
+    degrades to its exact Term (which matches nothing, like Tantivy)."""
+    if isinstance(node, FuzzyTerm):
+        words = _fuzzy_expand(index, node.word, node.distance)
+        if not words:
+            return Term(node.word, boost=node.boost)
+        if len(words) == 1:
+            return Term(words[0], boost=node.boost)
+        return Or([Term(w, boost=node.boost) for w in words])
+    if isinstance(node, Not):
+        return Not(_rewrite_fuzzy(node.child, index))
+    if isinstance(node, (And, Or)):
+        return type(node)([_rewrite_fuzzy(c, index) for c in node.children])
+    return node
+
+
 def search_boolean(index: BM25Index, query: str, k: int = 10,
                    id_col: str = "doc_id") -> DataFrame:
     """Full P6 query semantics served from the index: boolean/phrase/
     field matching as doc-set algebra, BM25 scoring of the positive
-    terms restricted to the matched set (corpus-level idf)."""
+    terms restricted to the matched set (corpus-level idf). Fuzzy terms
+    ('word~N') expand against the term dictionary first."""
     node = parse_boolean(query)
+    node = _rewrite_fuzzy(node, index)
     if node is None:
         return (
             index.docstats.select(id_col).limit(0)
