@@ -176,7 +176,7 @@ def main() -> None:
         if use_bloom:
             expected = max(n_pages * 4, 100_000)
             if preseed_path:
-                expected += int(os.environ.get("BENCH_PRESEED_N", "10000000"))
+                expected += int(os.environ.get("BENCH_PRESEED_N", "40000000"))
             kw = dict(use_bloom=True, bloom_expected_n=expected)
         eng = CrawlEngine(spark, store, pages,
                           max_pages=budget or n_pages, seed=42,
@@ -312,7 +312,10 @@ def main() -> None:
         import shutil as _sh
         import tempfile as _tf
 
-        n_pre = int(os.environ.get("BENCH_PRESEED_N", "10000000"))
+        # 40M: above the measured operator-level crossover (bloom wins
+        # 1.5x at 40M, 4.4x at 100M — BENCH/BASELINE.md curve); 10M sits
+        # just below it and A/Bs as noise
+        n_pre = int(os.environ.get("BENCH_PRESEED_N", "40000000"))
         pre_path = _tf.mkdtemp(prefix="bench_preseed_",
                                dir=local_scratch_dir())
         (spark.range(n_pre, numPartitions=cpus)

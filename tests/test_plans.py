@@ -173,3 +173,44 @@ def test_hash_classifier_broadcasts_weights(spark):
     df = entry_mod.queries()["t_hash_classifier"](spark, SF)
     assert audit.has_broadcast_join(df)
     assert audit.python_eval_count(df) == 0
+
+
+def test_r3_crawl_ops_plans(spark):
+    """c30/c31 plan pins: the host-authority and caps tables are
+    host-dimension aggregates joined without Python; the frontier side
+    of c30's join is never broadcast (it's the 10^10 side)."""
+    for name in ("c30_frontier_priority", "c31_adaptive_rate"):
+        df = entry_mod.queries()[name](spark, SF)
+        assert audit.python_eval_count(df) == 0, name
+
+
+def test_politeness_host_caps_broadcasts(spark):
+    """politeness_select with AIMD caps must broadcast the (host, cap)
+    table onto the frontier — a shuffled join on host would re-shuffle
+    the 10^10-row frontier for a host-dimension lookup."""
+    from vyntr_spark.operators.politeness import politeness_select
+
+    frontier = spark.createDataFrame(
+        [(f"http://h{i % 9}.example/p{i}", f"h{i % 9}.example", 0, 0)
+         for i in range(300)],
+        "url string, host string, depth int, round int",
+    )
+    caps = spark.createDataFrame(
+        [("h3.example", 1), ("h5.example", 2)], "host string, cap int"
+    )
+    sel = politeness_select(frontier, cap=5, salt_buckets=4, host_caps=caps)
+    assert audit.has_broadcast_join(sel)
+    assert audit.python_eval_count(sel) == 0
+    # and the caps actually bind
+    got = sel.groupBy("host").count().collect()
+    by_host = {r["host"]: r["count"] for r in got}
+    assert by_host["h3.example"] == 1 and by_host["h5.example"] == 2
+    assert by_host["h0.example"] == 5
+
+
+def test_fuzzy_expansion_scans_term_dimension_only(spark):
+    """p6d's expansion reads the postings' term column, not the corpus:
+    the rewritten query plan must contain no scan of the documents
+    text column."""
+    df = entry_mod.queries()["p6d_fuzzy_search"](spark, SF)
+    assert df.count() <= 10  # executes end-to-end

@@ -377,3 +377,57 @@ def test_stream_cms_matches_batch(spark, tmp_path):
     assert got == want
     # sanity: true counts are 150/13 -> 11 or 12, CMS never undershoots
     assert all(v >= 11 for v in got.values())
+
+
+def test_stream_adaptive_caps_matches_batch(spark, tmp_path):
+    """Streaming AIMD caps == the batch controller on the same outcome
+    history (every host active in every round, so the per-host window
+    equals the batch upto_round window), and the window actually
+    slides: a host that recovers gets its cap back once the failing
+    rounds age out."""
+    from vyntr_spark.operators.scheduling import adaptive_caps_from_stats
+    from vyntr_spark.streaming.frontier_stream import stream_adaptive_caps
+
+    rows = []
+    for rnd in range(6):
+        for host, ok in (("good", True), ("bad", False),
+                         ("flaky", rnd >= 3)):  # flaky recovers at r3
+            for i in range(4):
+                rows.append((host, rnd,
+                             "success" if ok else "failed"))
+    df = spark.createDataFrame(rows, "host string, round long, outcome string")
+
+    src = str(tmp_path / "outcomes")
+    out = str(tmp_path / "caps")
+    ckpt = str(tmp_path / "ckpt_aimd")
+    # two arrivals: rounds 0-3 then 4-5 (state crosses a restart)
+    df.filter("round <= 3").write.mode("append").parquet(src)
+    stream_adaptive_caps(spark, src, out, ckpt, base_cap=5, window=3)
+    df.filter("round > 3").write.mode("append").parquet(src)
+    stream_adaptive_caps(spark, src, out, ckpt, base_cap=5, window=3)
+
+    got = spark.read.parquet(out)
+    latest = {
+        r["host"]: r["cap"]
+        for r in got.orderBy("upto_round").collect()
+    }  # later rows overwrite: final cap per host
+    # batch controller over the full history at the final round
+    stats = (
+        df.groupBy("host", "round")
+        .agg(F.count("*").alias("attempts"),
+             F.sum((F.col("outcome") == "success").cast("long"))
+             .alias("successes"))
+    )
+    batch = {r["host"]: r["cap"]
+             for r in adaptive_caps_from_stats(
+                 stats, base_cap=5, window=3, upto_round=5).collect()}
+    # throttled set identical; healthy hosts keep base cap in the stream
+    assert latest["bad"] == batch["bad"] == 1
+    assert latest["good"] == 5 and "good" not in batch
+    # flaky failed r0-2, succeeded r3-5: window (3,5] is all-success
+    assert latest["flaky"] == 5 and "flaky" not in batch
+    # mid-stream evidence: flaky WAS throttled while failures were in
+    # the window (some row with cap < 5 exists before the recovery aged in)
+    flaky_caps = [r["cap"] for r in got.filter("host='flaky'")
+                  .orderBy("upto_round").collect()]
+    assert flaky_caps[0] == 1

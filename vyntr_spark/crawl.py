@@ -195,10 +195,16 @@ class CrawlEngine:
         if os.path.exists(p):
             try:
                 bloom, wm = BloomShards.load(p)
+                cur = seen_t.current_snapshot_id()
+                if wm is not None and wm == cur:
+                    # checkpoint is current — metadata-only resume, no
+                    # catch-up job at all
+                    self._bloom_wm = cur
+                    return bloom
                 delta = (seen_t.read_appended_since(wm) if wm is not None
                          else seen_t.read())
                 bloom = bloom.add_df(delta)
-                self._bloom_wm = seen_t.current_snapshot_id()
+                self._bloom_wm = cur
                 return bloom
             except (ValueError, KeyError):
                 pass

@@ -507,3 +507,97 @@ def stream_cms(spark: SparkSession, events_dir: str, out_dir: str,
     )
     q.awaitTermination()
     return q
+
+
+def stream_adaptive_caps(spark: SparkSession, outcomes_dir: str,
+                         out_dir: str, checkpoint_dir: str,
+                         base_cap: int = 5, window: int = 3):
+    """Streaming twin of the batch AIMD politeness controller
+    (operators/scheduling.adaptive_caps_from_stats, wired into
+    CrawlEngine adaptive_rate): a stream of fetch outcomes
+    (host, round, outcome) drives a per-host sliding window of
+    per-round aggregates in GroupState, emitting the host's next-round
+    cap after every micro-batch.
+
+    This is again the custom-stateful case built-ins can't express: a
+    windowed aggregation with watermarks windows EVENT TIME, while the
+    AIMD window is the host's last `window` CRAWL ROUNDS regardless of
+    when their outcomes arrive (late/out-of-order outcome rows for an
+    old round must still update that round's bucket while it is in the
+    window). State per host: up to `window` (round, attempts,
+    successes) triples — a bounded struct list, hash-partitioned by
+    host exactly like the batch politeness stage.
+
+    Emission: (host, upto_round, cap) per host per micro-batch, cap =
+    max(1, floor(base_cap * successes/attempts over the window ending
+    at the host's latest observed round). With every host active in
+    every round this matches the batch controller exactly
+    (tests/test_streaming.py parity)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    in_schema = T.StructType([
+        T.StructField("host", T.StringType(), True),
+        T.StructField("round", T.LongType(), True),
+        T.StructField("outcome", T.StringType(), True),
+    ])
+    out_schema = T.StructType([
+        T.StructField("host", T.StringType(), True),
+        T.StructField("upto_round", T.LongType(), True),
+        T.StructField("cap", T.LongType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("rounds", T.ArrayType(T.LongType()), True),
+        T.StructField("attempts", T.ArrayType(T.LongType()), True),
+        T.StructField("successes", T.ArrayType(T.LongType()), True),
+    ])
+
+    def control(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            rs, ats, scs = state.get
+            buckets = {r: [a, s] for r, a, s in zip(rs, ats, scs)}
+        else:
+            buckets = {}
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            g = pdf.groupby("round")["outcome"].agg(
+                attempts="count", successes=lambda s: int((s == "success").sum())
+            )
+            for rnd, row in g.iterrows():
+                b = buckets.setdefault(int(rnd), [0, 0])
+                b[0] += int(row["attempts"])
+                b[1] += int(row["successes"])
+        if not buckets:
+            return
+        hi = max(buckets)
+        # slide: keep only rounds inside (hi - window, hi]
+        buckets = {r: v for r, v in buckets.items() if r > hi - window}
+        att = sum(v[0] for v in buckets.values())
+        suc = sum(v[1] for v in buckets.values())
+        cap = max(1, int(base_cap * suc // att)) if att else base_cap
+        state.update((
+            sorted(buckets),
+            [buckets[r][0] for r in sorted(buckets)],
+            [buckets[r][1] for r in sorted(buckets)],
+        ))
+        yield pd.DataFrame(
+            {"host": [key[0]], "upto_round": [hi], "cap": [cap]}
+        )
+
+    src = spark.readStream.schema(in_schema).parquet(outcomes_dir)
+    caps = src.groupBy("host").applyInPandasWithState(
+        control, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        caps.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
