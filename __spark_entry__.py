@@ -729,6 +729,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e9_cosine_topk"] = e9
 
+    def t_rerank(s, sf):
+        # two-stage ANN serving: int8-quantized first pass keeps top-50,
+        # exact float cosine reranks to top-10 (vectors.ann_rerank_topk)
+        qvec = (
+            _emb(s, sf).filter(F.col("vec_id") == 0).select("embedding").collect()
+        )[0]["embedding"]
+        return vectors.ann_rerank_topk(
+            _emb(s, sf), [float(x) for x in qvec], k=10, c=50
+        )
+
+    q["t_ann_rerank"] = t_rerank
+
     q["e7_lsh_buckets"] = lambda s, sf: vectors.lsh_sign_buckets(
         _emb(s, sf), n_bits=8, dim=64
     ).withColumn("bucket", F.col("bucket").cast("long"))
@@ -2686,6 +2698,7 @@ _GATE_NEXT_R4 = [
     # frontier prioritization + AIMD per-host politeness caps + fuzzy
     # term queries (QueryParser grammar tail closed)
     "c30_frontier_priority", "c31_adaptive_rate", "p6d_fuzzy_search",
+    "t_ann_rerank",
 ]
 
 
@@ -3387,6 +3400,34 @@ SELECT vec_id, round(
      * sqrt(sum(CAST(q.e[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
 FROM embeddings emb, q, range(64) t(i)
 GROUP BY vec_id ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+    o["t_ann_rerank"] = """
+WITH q AS (SELECT embedding AS e,
+  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+    AS qs
+  FROM embeddings WHERE vec_id = 0),
+m AS (SELECT vec_id, embedding,
+  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+    AS vs
+  FROM embeddings),
+approx AS (
+  SELECT m.vec_id, m.vs * q.qs * sum(
+    CAST(CASE WHEN m.vs > 0
+         THEN round(CAST(m.embedding[i + 1] AS DOUBLE) / m.vs)
+         ELSE 0 END AS BIGINT)
+    * CAST(CASE WHEN q.qs > 0
+           THEN round(CAST(q.e[i + 1] AS DOUBLE) / q.qs)
+           ELSE 0 END AS BIGINT)) AS a
+  FROM m, q, range(64) t(i) GROUP BY m.vec_id, m.vs, q.qs),
+cand AS (SELECT vec_id FROM approx ORDER BY a DESC, vec_id ASC LIMIT 50)
+SELECT emb.vec_id, round(
+  sum(CAST(emb.embedding[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE))
+  / (sqrt(sum(CAST(emb.embedding[i + 1] AS DOUBLE) * CAST(emb.embedding[i + 1] AS DOUBLE)))
+     * sqrt(sum(CAST(q.e[i + 1] AS DOUBLE) * CAST(q.e[i + 1] AS DOUBLE)))), 4) + 0.0 AS cos_sim
+FROM embeddings emb, q, range(64) t(i)
+WHERE emb.vec_id IN (SELECT vec_id FROM cand)
+GROUP BY emb.vec_id ORDER BY cos_sim DESC, emb.vec_id ASC LIMIT 10
 """
 
     o["e7_lsh_buckets"] = f"""

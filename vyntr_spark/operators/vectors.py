@@ -312,6 +312,72 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
     )
 
 
+def _half_away(v: float) -> int:
+    """Round half away from zero — Spark F.round's HALF_UP and DuckDB's
+    round() agree on this; Python's round() is banker's and does NOT."""
+    import math
+
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def ann_rerank_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                    c: int = 50, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval — the standard production ANN serving shape:
+
+    * **stage 1** scores the int8-quantized store (the 4x-smaller scan
+      ``quantize_int8`` materializes; here the codes derive on the fly
+      with the same symmetric per-vector math) against the quantized
+      query — approx = scale_v * scale_q * int-dot, all native exprs —
+      and keeps the top-``c`` candidates via TakeOrderedAndProject
+      (partial per-partition heaps, no full sort);
+    * **stage 2** re-scores ONLY those ``c`` rows with exact float
+      cosine and returns the top-``k``.
+
+    At scale stage 1 reads the int8 store (4 bytes -> 1 byte per dim of
+    IO) and stage 2 touches c rows of the float store — the recall loss
+    is bounded by quantization error, and the exact rerank removes its
+    effect on the final ordering within the candidate set. Ties break
+    by (score desc, vec_id asc) at both stages so the candidate CUT is
+    deterministic and cross-engine reproducible (int-dot is exact
+    integer arithmetic; the scale product is one IEEE double expression
+    with pinned association)."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale_v = mx / F.lit(127.0)
+    qv = F.when(
+        mx > 0,
+        F.transform(xs, lambda x: F.round(x / scale_v).cast("long")),
+    ).otherwise(F.transform(xs, lambda x: F.lit(0).cast("long")))
+    qmx = max(abs(float(x)) for x in query_vec)
+    qscale = qmx / 127.0
+    qq = F.array(*[
+        F.lit(_half_away(float(x) / qscale) if qmx > 0 else 0).cast("long")
+        for x in query_vec
+    ])
+    intdot = F.aggregate(
+        F.zip_with(qv, qq, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    approx = scale_v * F.lit(qscale) * intdot.cast("double")
+    cand = (
+        emb.select(F.col(id_col), F.col(vec_col), approx.alias("_approx"))
+        .orderBy(F.col("_approx").desc(), F.col(id_col).asc())
+        .limit(c)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        cand.select(
+            F.col(id_col),
+            (F.round(score, 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _sqdist(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
