@@ -206,8 +206,16 @@ class CrawlEngine:
                 bloom = bloom.add_df(delta)
                 self._bloom_wm = cur
                 return bloom
-            except (ValueError, KeyError):
-                pass
+            except Exception as e:  # noqa: BLE001 — any unreadable
+                # checkpoint (ValueError/KeyError from shape drift, but
+                # also OSError/ArrowException from a truncated or corrupt
+                # parquet) degrades to the full rebuild the docstring
+                # promises instead of crashing resume (round-3 review)
+                if self.logger is not None:
+                    self.logger.add_entry(
+                        f"bloom checkpoint unreadable ({type(e).__name__}: "
+                        f"{e}); rebuilding from the seen table"
+                    )
         bloom = BloomShards.sized_for(
             self.bloom_expected_n, fpp=0.01, n_shards=8
         ).add_df(seen_t.read())
@@ -526,11 +534,15 @@ class CrawlEngine:
                 # politeness-bounded round's candidates always do; seen
                 # grows without bound — exactly the flip's regime).
                 # Steady state is free: survivors ≤ candidates, and last
-                # round's candidate count bounds this round's within the
-                # 4x headroom margin; only the first round (no history)
-                # pays one count job over the just-persisted flagged frame.
+                # round's candidate count bounds this round's ONLY while
+                # growth stays modest — an outlink burst (budget change,
+                # adaptive caps lifting) can multiply candidates round-
+                # over-round, so the stale bound demands 8x headroom and
+                # anything closer to the 2M-row cap pays the one count
+                # job over the just-persisted flagged frame instead of
+                # risking a driver-OOM broadcast (round-3 review).
                 if (self._last_n_cand is not None
-                        and self._last_n_cand * 4 <= BROADCAST_CONFIRM_MAX_ROWS):
+                        and self._last_n_cand * 8 <= BROADCAST_CONFIRM_MAX_ROWS):
                     confirm = "broadcast"
                 else:
                     n_surv = flagged.filter(F.col("_maybe")).count()
@@ -599,6 +611,8 @@ class CrawlEngine:
                 .collect()
             )
 
+        bloom_before_extend = self._bloom
+
         def _extend_bloom():
             # incremental: only this round's new URLs are inserted (never
             # a rebuild); reads the persisted `new` frame, so overlapping
@@ -608,9 +622,17 @@ class CrawlEngine:
         def _commit_host_stats() -> None:
             # per-host aggregates feeding the NEXT round's AIMD caps
             # (adaptive_caps_from_stats): one hash-agg over the cached
-            # slim outcome rows, host-dimension output
+            # slim outcome rows, host-dimension output. Only FETCH-HEALTH
+            # outcomes count as attempts: robots_blocked and skipped_ct
+            # are content/policy signals, not server-health ones — a host
+            # full of robots-disallowed or non-HTML URLs must not be
+            # throttled to cap 1 when no request ever failed (round-3
+            # review)
             agg = (
-                outcome_hosts.groupBy("host")
+                outcome_hosts
+                .filter(~F.col("outcome").isin("robots_blocked",
+                                               "skipped_ct"))
+                .groupBy("host")
                 .agg(
                     F.count(F.lit(1)).alias("attempts"),
                     F.sum((F.col("outcome") == "success").cast("long"))
@@ -774,6 +796,13 @@ class CrawlEngine:
             df.unpersist()
         if flagged is not None:
             flagged.unpersist()
+        if (bloom_before_extend is not None
+                and bloom_before_extend is not self._bloom):
+            # every job that referenced the superseded bloom's flag UDF
+            # (split_by_flag, commits over `new`, add_df, collect_debug)
+            # has completed by here — drop its executor-resident
+            # broadcast eagerly instead of waiting for GC (round-3 review)
+            bloom_before_extend.release()
         return info
 
     def run(self, max_rounds: int = 1_000) -> list[RoundInfo]:

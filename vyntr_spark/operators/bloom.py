@@ -126,6 +126,22 @@ class BloomShards:
     def total_bytes(self) -> int:
         return sum(s.nbytes for s in self.shards)
 
+    def release(self) -> None:
+        """Drop this instance's executor-resident broadcast eagerly.
+
+        add_df returns a NEW BloomShards each round; without this the
+        superseded instance's broadcast (up to BROADCAST_MAX_BYTES) sits
+        on executors until driver GC + ContextCleaner catch up, so long
+        crawls accumulate stale bloom blobs (round-3 review). Callers
+        (CrawlEngine) invoke it once every job that referenced the old
+        instance's flag UDF has completed."""
+        if self._bc is not None:
+            try:
+                self._bc.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — already destroyed / ctx gone
+                pass
+            self._bc = None
+
     @classmethod
     def sized_for(cls, expected_n: int, fpp: float = 0.01,
                   n_shards: int = 8) -> "BloomShards":

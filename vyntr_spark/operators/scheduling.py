@@ -379,6 +379,17 @@ def adaptive_caps_from_stats(stats: DataFrame, base_cap: int = 5,
         stats = stats.filter(F.col("round") <= upto_round)
         lo = upto_round - window
         stats = stats.filter(F.col("round") > lo)
+    else:
+        # anchor the window at max(round) like adaptive_host_rate does —
+        # a standalone caller must still get a SLIDING controller, not an
+        # all-history sum that never forgives old failures (round-3
+        # review). Broadcast 1-row join keeps it a single pass.
+        mr = stats.agg(F.max("round").alias("_mr"))
+        stats = (
+            stats.join(F.broadcast(mr))
+            .filter(F.col("round") > F.col("_mr") - window)
+            .drop("_mr")
+        )
     dedup = (
         stats.groupBy("host", "round")
         .agg(F.max("attempts").alias("attempts"),
