@@ -161,7 +161,8 @@ def main() -> None:
 
     def crawl_once(use_bloom: bool = False, budget: int | None = None,
                    seed_k: int | None = None,
-                   preseed_path: str | None = None) -> tuple[float, list]:
+                   preseed_path: str | None = None,
+                   adaptive: bool = False) -> tuple[float, list]:
         import shutil
         import tempfile
 
@@ -178,6 +179,8 @@ def main() -> None:
             if preseed_path:
                 expected += int(os.environ.get("BENCH_PRESEED_N", "40000000"))
             kw = dict(use_bloom=True, bloom_expected_n=expected)
+        if adaptive:
+            kw["adaptive_rate"] = True
         eng = CrawlEngine(spark, store, pages,
                           max_pages=budget or n_pages, seed=42,
                           salt_buckets=max(8, cpus), **kw)
@@ -312,10 +315,14 @@ def main() -> None:
         import shutil as _sh
         import tempfile as _tf
 
-        # 40M: above the measured operator-level crossover (bloom wins
-        # 1.5x at 40M, 4.4x at 100M — BENCH/BASELINE.md curve); 10M sits
-        # just below it and A/Bs as noise
-        n_pre = int(os.environ.get("BENCH_PRESEED_N", "40000000"))
+        # 100M: well above the measured operator-level crossover (bloom
+        # wins 1.5x at 40M, 4.4x at 100M — BENCH/BASELINE.md curve). The
+        # r3 artifact recorded the A/B at 40M as single samples and a
+        # bad host window flipped the sign; 100M puts the margin beyond
+        # any observed window, and the pairs below are INTERLEAVED
+        # (exact, bloom, exact, bloom) best-of-2 so both paths see the
+        # same host conditions — the same discipline crawl_rounds uses.
+        n_pre = int(os.environ.get("BENCH_PRESEED_N", "100000000"))
         pre_path = _tf.mkdtemp(prefix="bench_preseed_",
                                dir=local_scratch_dir())
         (spark.range(n_pre, numPartitions=cpus)
@@ -325,20 +332,34 @@ def main() -> None:
              F.lit(".preseed.example/p/"),
              F.col("id").cast("string")).alias("url"))
          .write.mode("overwrite").parquet(pre_path))
-        if want("crawl_preseeded_exact"):
-            _, (dt_in, infos_p), host = host_sample(
-                lambda: crawl_once(preseed_path=pre_path))
-            timings["crawl_preseeded_exact"] = round(dt_in, 3)
-            extras["crawl_preseeded_exact_pages_per_sec"] = round(
+        pair_samples: dict[str, list] = {"exact": [], "bloom": []}
+        pair_hosts: dict[str, list] = {"exact": [], "bloom": []}
+        pair_infos: dict[str, list] = {"exact": None, "bloom": None}
+        for _round_i in range(2):
+            if _round_i > 0 and over_budget(0.85):
+                break
+            for label, kwargs in (("exact", {}),
+                                  ("bloom", {"use_bloom": True})):
+                if not want(f"crawl_preseeded_{label}"):
+                    continue
+                _, (dt_in, infos_p), host = host_sample(
+                    lambda kw=kwargs: crawl_once(preseed_path=pre_path,
+                                                 **kw))
+                pair_samples[label].append(dt_in)
+                pair_hosts[label].append(host)
+                if pair_infos[label] is None or dt_in <= min(pair_samples[label]):
+                    pair_infos[label] = infos_p
+        for label in ("exact", "bloom"):
+            if not pair_samples[label]:
+                continue
+            dt_in = min(pair_samples[label])
+            infos_p = pair_infos[label]
+            timings[f"crawl_preseeded_{label}"] = round(dt_in, 3)
+            extras[f"crawl_preseeded_{label}_pages_per_sec"] = round(
                 sum(i.selected for i in infos_p) / dt_in, 2)
-            extras["crawl_preseeded_exact_host_cores"] = host
-        if want("crawl_preseeded_bloom"):
-            _, (dt_in, infos_p), host = host_sample(
-                lambda: crawl_once(use_bloom=True, preseed_path=pre_path))
-            timings["crawl_preseeded_bloom"] = round(dt_in, 3)
-            extras["crawl_preseeded_bloom_pages_per_sec"] = round(
-                sum(i.selected for i in infos_p) / dt_in, 2)
-            extras["crawl_preseeded_bloom_host_cores"] = host
+            extras[f"crawl_preseeded_{label}_samples_sec"] = [
+                round(s, 3) for s in pair_samples[label]]
+            extras[f"crawl_preseeded_{label}_host_cores"] = pair_hosts[label]
         extras["preseed_n"] = n_pre
         _sh.rmtree(pre_path, ignore_errors=True)
 
@@ -411,6 +432,82 @@ def main() -> None:
     for name in heavy:
         if want(name):
             timed(name, lambda n=name: qmap[n](spark, sf_dir).count())
+
+    # -- adaptive-rate crawl (AIMD caps) vs the default, same host window ----
+    # measures what the r3 feature COSTS (host_stats commit + caps join
+    # per round) on the bench web, where most hosts are healthy
+    if want("crawl_rounds_adaptive"):
+        _, (dt_in, infos_a), host = host_sample(
+            lambda: crawl_once(adaptive=True))
+        timings["crawl_rounds_adaptive"] = round(dt_in, 3)
+        extras["crawl_adaptive_pages_per_sec"] = round(
+            sum(i.selected for i in infos_a) / dt_in, 2)
+        extras["crawl_adaptive_host_cores"] = host
+
+    # -- multimodal decode plumbing (Arrow mapInPandas over binary) ----------
+    if want("mm_decode_meta"):
+        timed("mm_decode_meta",
+              lambda: qmap["mm_decode_meta"](spark, sf_dir).count())
+
+    # -- streaming AIMD caps (GroupState, availableNow batch) ----------------
+    if want("stream_adaptive_caps"):
+        import shutil as _sh2
+        import tempfile as _tf2
+
+        from vyntr_spark.streaming.frontier_stream import stream_adaptive_caps
+
+        sdir = _tf2.mkdtemp(prefix="bench_stream_", dir=local_scratch_dir())
+        src, sout, sckpt = (os.path.join(sdir, d)
+                            for d in ("outcomes", "caps", "ckpt"))
+        n_oc = 2_000_000
+        (spark.range(n_oc, numPartitions=cpus)
+         .select(
+             F.concat(F.lit("h"), (F.col("id") % 50_000).cast("string"),
+                      F.lit(".example")).alias("host"),
+             (F.col("id") % 6).alias("round"),
+             F.when((F.hash("id") % 10) < 7, F.lit("success"))
+              .otherwise(F.lit("failed")).alias("outcome"))
+         .write.mode("overwrite").parquet(src))
+        timed("stream_adaptive_caps",
+              lambda: stream_adaptive_caps(spark, src, sout, sckpt,
+                                           base_cap=5, window=3))
+        extras["stream_adaptive_outcomes"] = n_oc
+        _sh2.rmtree(sdir, ignore_errors=True)
+
+    # -- two-stage ANN serving from the materialized int8 store --------------
+    # the sf embeddings table is tiny; serve a 200k x 64 synthetic store
+    # so the int8 scan's IO advantage is measurable. A/B in the same
+    # window: stage 1 over the written int8_codes table vs deriving the
+    # codes from the float store on the fly (plan parity is pinned in
+    # tests/test_vectors.py; this measures it).
+    if want("ann_rerank_servestore"):
+        from vyntr_spark.operators import vectors as _vec
+
+        n_vec, vdim = 200_000, 64
+        emb_path = os.path.join(CACHE, f"bench_emb_{n_vec}x{vdim}")
+        store_path = os.path.join(CACHE, f"bench_int8_{n_vec}x{vdim}")
+        if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+            (spark.range(n_vec, numPartitions=cpus)
+             .select(
+                 F.col("id").alias("vec_id"),
+                 F.array(*[
+                     ((F.hash(F.col("id"), F.lit(d)) % 1000) / 1000.0)
+                     .cast("double")
+                     for d in range(vdim)
+                 ]).alias("embedding"))
+             .write.mode("overwrite").parquet(emb_path))
+        if not os.path.exists(os.path.join(store_path, "_SUCCESS")):
+            _vec.int8_codes(spark.read.parquet(emb_path)) \
+                .write.mode("overwrite").parquet(store_path)
+        emb_b = spark.read.parquet(emb_path)
+        store_b = spark.read.parquet(store_path)
+        qv = [float(x) for x in
+              emb_b.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        timed("ann_rerank_servestore",
+              lambda: _vec.ann_rerank_topk(emb_b, qv, k=10, c=200,
+                                           store=store_b).count())
+        timed("ann_rerank_onthefly",
+              lambda: _vec.ann_rerank_topk(emb_b, qv, k=10, c=200).count())
 
     # cross-round comparability: `value` grows whenever coverage grows
     # (new operators are added to the timed set every round), so extras

@@ -97,6 +97,36 @@ def test_crawl_parity_with_bloom(spark, tmp_path):
     _assert_parity(store, infos, orc, rows)
 
 
+def test_crawl_parity_with_auto_bloom_flip(spark, tmp_path):
+    """use_bloom='auto' (cost-based path pick): with a tiny crossover
+    the engine starts on the exact anti-join and flips to the bloom
+    path mid-crawl once the tracked seen count crosses it — the crawl
+    must stay bit-identical to the oracle across the flip (the bloom
+    is a prefilter with exact confirm, so the flip can never change
+    results, only plans)."""
+    from tests.test_crawl_oracle import (
+        _assert_parity, _pages_map, _run_engine,
+    )
+    from vyntr_spark.oracle import run_oracle
+    from vyntr_spark.synth import default_seeds, generate_pages
+
+    rows = generate_pages(60, 4, seed=7)
+    seeds = default_seeds(60, 4, k=2)
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7)
+    store, infos = _run_engine(
+        spark, tmp_path, rows, seeds, seed=7,
+        use_bloom="auto", bloom_crossover_rows=10,
+        bloom_expected_n=10_000,
+    )
+    _assert_parity(store, infos, orc, rows)
+    # and with a huge crossover the engine never builds a bloom at all
+    store2, infos2 = _run_engine(
+        spark, tmp_path / "wh2", rows, seeds, seed=7,
+        use_bloom="auto", bloom_crossover_rows=10**12,
+    )
+    _assert_parity(store2, infos2, orc, rows)
+
+
 def test_confirm_broadcast_never_shuffles_seen(spark):
     """Plan pin for the broadcast-flip confirm: the physical plan must
     contain no SortMergeJoin / shuffle Exchange — seen is streamed through

@@ -65,6 +65,38 @@ def test_date_parse_lookback_and_order(spark):
     assert got["nope"]["unit"] is None
 
 
+def test_date_parse_freetext_shapes(spark):
+    # W6d (date.ts:344-351): the new Date(query) fallback's
+    # deterministic shapes — ISO strict, D-month-YYYY, month-D-YYYY
+    # with JS day rollover, year-less month-D -> 2001 (V8 quirk) —
+    # and precedence: holidays/'tomorrow' still beat freetext; all
+    # OFF unless freetext=True (w6c behavior unchanged).
+    rows = [("days until 2027-03-03",), ("weeks until 3 march 2027",),
+            ("days since march 3",), ("days until february 30 2027",),
+            ("days until 2027-02-30",), ("seconds to dec 25, 2030",),
+            ("days until christmas",), ("days until tomorrow",),
+            ("days until notamonth 3",)]
+    df = spark.createDataFrame(rows, "q string")
+    got = {r["q"]: r for r in
+           parse_date_query_df(df, freetext=True).collect()}
+    assert got["days until 2027-03-03"]["target_date"] == "2027-03-03"
+    assert got["days until 2027-03-03"]["description"] == ""
+    assert got["weeks until 3 march 2027"]["target_date"] == "2027-03-03"
+    # year-less -> 2001 (new Date('march 3') == Mar 3 2001 in V8)
+    assert got["days since march 3"]["target_date"] == "2001-03-03"
+    # JS rollover: new Date('february 30 2027') -> Mar 2 2027
+    assert got["days until february 30 2027"]["target_date"] == "2027-03-02"
+    # ISO is strict: new Date('2027-02-30') -> Invalid Date
+    assert got["days until 2027-02-30"]["target_date"] is None
+    assert got["seconds to dec 25, 2030"]["target_date"] == "2030-12-25"
+    assert got["days until christmas"]["description"] == "Christmas Day"
+    assert got["days until tomorrow"]["description"] == "Tomorrow"
+    assert got["days until notamonth 3"]["target_date"] is None
+    # default path ignores freetext entirely
+    off = {r["q"]: r for r in parse_date_query_df(df).collect()}
+    assert off["days until 2027-03-03"]["target_date"] is None
+
+
 def test_date_parse_amount_units(spark):
     df = spark.createDataFrame([("hours until tomorrow",)], "q string")
     r = _one(parse_date_query_df(df))

@@ -85,9 +85,10 @@ class CrawlEngine:
         normalize_seeds: bool = True,
         robots: DataFrame | None = None,
         collect_debug: bool = False,
-        use_bloom: bool = False,
+        use_bloom: bool | str = False,
         bloom_expected_n: int = 1_000_000,
         bloom_confirm: str = "auto",
+        bloom_crossover_rows: int = 40_000_000,
         io_coalesce: int | None = 4,
         parallel_commits: bool = True,
         frontier_mode: str = "log",
@@ -113,7 +114,19 @@ class CrawlEngine:
         self.normalize_seeds = normalize_seeds
         self.robots = robots
         self.collect_debug = collect_debug
+        # use_bloom: False = exact anti-join, True = bloom prefilter,
+        # 'auto' = cost-based pick (round-3 review): the bloom path only
+        # pays once the seen table is large enough that shuffling it per
+        # round beats the flag+confirm overhead — the measured operator
+        # crossover on this class of host is ~40M seen rows at bench
+        # candidate rates (BENCH/bloom_crossover.py: bloom 1.5x at 40M,
+        # 4.4x at 100M). 'auto' counts seen once on start/resume, tracks
+        # it incrementally (+n_new per round), and flips to the bloom
+        # path at bloom_crossover_rows — so the flag stops being a
+        # footgun on small crawls and stops being forgotten on big ones.
         self.use_bloom = use_bloom
+        self.bloom_crossover_rows = bloom_crossover_rows
+        self._seen_rows: int | None = None
         self.bloom_expected_n = bloom_expected_n
         # exact-confirm strategy for bloom survivors: 'auto' counts the
         # (persisted) survivor set per round and takes the broadcast flip
@@ -222,6 +235,24 @@ class CrawlEngine:
         self._bloom_wm = seen_t.current_snapshot_id()
         return bloom
 
+    def _bloom_active(self) -> bool:
+        """Cost-based dedup-path pick. Fixed modes pass through; 'auto'
+        compares the seen-table row count (counted once on start/resume,
+        then tracked incrementally — no per-round count job) against
+        bloom_crossover_rows, the measured regime boundary where the
+        bloom flag+confirm beats shuffling seen into the exact anti-join
+        (BENCH/bloom_crossover.py curve). The flip is one-way in
+        practice (seen only grows), and correctness is path-independent:
+        the bloom is a prefilter with an exact confirm, so both paths
+        produce identical rounds (tested)."""
+        if self.use_bloom != "auto":
+            return bool(self.use_bloom)
+        if self._seen_rows is None:
+            seen_t = self.store.table("seen")
+            self._seen_rows = (0 if seen_t.is_empty()
+                               else seen_t.read().count())
+        return self._seen_rows >= self.bloom_crossover_rows
+
     # -- state -----------------------------------------------------------
     def _round_state(self) -> tuple[int, int]:
         """(next_round, pages_count): cached in-engine after each round; the
@@ -324,6 +355,7 @@ class CrawlEngine:
         remaining = self.max_pages - pages_count
         if remaining <= 0:
             return None
+        use_bloom_now = self._bloom_active()
         frontier = self._read_frontier()
 
         if self._frontier_size is None:
@@ -516,7 +548,7 @@ class CrawlEngine:
         )
         seen_t = self.store.table("seen")
         flagged = None
-        if self.use_bloom:
+        if use_bloom_now:
             # scale path (C4): bloom prefilter shrinks the shuffled side of
             # the anti-join; exact confirm keeps it false-negative-free.
             # Flag ONCE and persist — split_by_flag's two union branches
@@ -658,7 +690,7 @@ class CrawlEngine:
                 fut_s = pool.submit(_commit_seen)
                 fut_m = pool.submit(_metrics_rows)
                 fut_b = (pool.submit(_extend_bloom)
-                         if self.use_bloom else None)
+                         if use_bloom_now else None)
                 fut_h = (pool.submit(_commit_host_stats)
                          if self.adaptive_rate else None)
                 fut_f.result()
@@ -676,7 +708,7 @@ class CrawlEngine:
             _mark('seen_commit')
             part_rows = _metrics_rows()
             _mark('metrics_agg_collect')
-            if self.use_bloom:
+            if use_bloom_now:
                 self._bloom = _extend_bloom()
                 _mark('bloom_extend')
             if self.adaptive_rate:
@@ -685,7 +717,10 @@ class CrawlEngine:
         n_cand = _obs_count(obs_cand, cand)
         self._last_n_cand = n_cand
         n_new = _obs_count(obs_new, new)
-        if self.use_bloom:
+        if self._seen_rows is not None:
+            # auto mode's incremental seen-size tracker (no count job)
+            self._seen_rows += n_new
+        if use_bloom_now:
             # watermark advances to the seen snapshot that carries exactly
             # the rows just inserted (committed above)
             self._bloom_wm = self.store.table("seen").current_snapshot_id()
@@ -758,7 +793,7 @@ class CrawlEngine:
             )
             _mark('snapshot_expiry')
 
-        if self.use_bloom and (rnd + 1) % self.compact_every == 0:
+        if use_bloom_now and (rnd + 1) % self.compact_every == 0:
             # checkpoint the shards on the same maintenance cadence as
             # compaction/expiry: resume then catches up from the watermark
             # instead of rebuilding from the full seen table

@@ -488,8 +488,32 @@ DATE_QUERY_PREFIX = (
 )
 
 
+# W6d: month-name table for the bounded free-text date fallback. V8's
+# new Date(query) accepts full month names and their 3-letter
+# abbreviations case-insensitively; longer prefixes ('janu') also parse
+# in V8 but are outside the documented bound.
+MONTHS: dict[str, int] = {}
+for _i, _mn in enumerate(
+    ["january", "february", "march", "april", "may", "june", "july",
+     "august", "september", "october", "november", "december"], 1,
+):
+    MONTHS[_mn] = _i
+    MONTHS[_mn[:3]] = _i
+_MD_DAY = r"(\d{1,2})"
+_MD_MON = r"([a-z]+)"
+FREETEXT_ISO = r"^(\d{4}-\d{2}-\d{2})$"
+FREETEXT_DMY = rf"^{_MD_DAY} {_MD_MON} (\d{{4}})$"
+FREETEXT_MDY = rf"^{_MD_MON} {_MD_DAY},? (\d{{4}})$"
+FREETEXT_MD = rf"^{_MD_MON} {_MD_DAY}$"
+# V8 quirk, kept for parity: a month-day string WITHOUT a year resolves
+# to year 2001 (new Date('August 19') -> Aug 19 2001), not the current
+# year
+FREETEXT_NOYEAR = 2001
+
+
 def parse_date_query_df(df: DataFrame, query_col: str = "q",
-                        today: str = "2025-06-15") -> DataFrame:
+                        today: str = "2025-06-15",
+                        freetext: bool = False) -> DataFrame:
     """parseDateQuery parity (date.ts:308-360) over a DataFrame of query
     strings, with 'now' PINNED to ``today`` midnight UTC so the result
     is deterministic and oracle-checkable (the reference reads the wall
@@ -499,9 +523,12 @@ def parse_date_query_df(df: DataFrame, query_col: str = "q",
     Covered grammar: unit detection (TIME_UNIT_PATTERN — no unit, no
     result), lookingBack on 'since'/'from' substrings, prefix strip,
     holiday substring match in HOLIDAY_RULES insertion order (the
-    reference's Object.entries loop), and the 'tomorrow' literal. The
-    trailing JS ``new Date(query)`` free-text fallback is NOT ported —
-    its grammar is engine-specific (documented gap, SURVEY §2.5).
+    reference's Object.entries loop), and the 'tomorrow' literal. With
+    ``freetext=True`` (W6d) the trailing JS ``new Date(query)``
+    fallback is covered for the shapes V8 resolves deterministically
+    (ISO date, 'D month YYYY', 'month D[,] YYYY', year-less 'month D'
+    -> 2001); the rest of V8's date grammar remains engine-specific
+    and unported (documented bound, SURVEY §2.5).
 
     Returns (query_col, unit, description, target_date, delta_ms,
     amount): delta_ms = (target - today) in milliseconds (date.ts:327),
@@ -546,6 +573,56 @@ def parse_date_query_df(df: DataFrame, query_col: str = "q",
         F.when(hol.isNotNull(), hol["name"])
         .when(stripped == "tomorrow", F.lit("Tomorrow"))
     )
+
+    if freetext:
+        # W6d — the trailing new Date(query) fallback (date.ts:344-351),
+        # BOUNDED to the shapes V8 resolves deterministically: ISO
+        # YYYY-MM-DD (strict — Feb 30 is Invalid Date), 'D month YYYY',
+        # 'month D[,] YYYY', and year-less 'month D' (-> 2001, the V8
+        # default-year quirk). Out-of-range days 1-31 roll over exactly
+        # like JS Date (Feb 30 2027 -> Mar 2 2027) via first-of-month +
+        # (day-1); createResult passes description '' on this branch.
+        def _mon_num(tok):
+            e = F.lit(None).cast("int")
+            for name, num in MONTHS.items():
+                e = F.when(tok == name, F.lit(num)).otherwise(e)
+            return e
+
+        def _int(tok):
+            # regexp_extract yields '' on no match; nullif keeps the
+            # cast ANSI-safe (the regexes only ever capture digits)
+            return F.nullif(tok, F.lit("")).cast("int")
+
+        def _day(tok):
+            d = _int(tok)
+            return F.when((d >= 1) & (d <= 31), d)
+
+        def _roll(y, m, d):
+            # JS rollover: new Date(y, m, d) == first-of-month + (d-1)
+            return F.date_add(F.make_date(y, m, F.lit(1)), d - F.lit(1))
+
+        iso = F.when(
+            stripped.rlike(FREETEXT_ISO),
+            F.try_to_timestamp(stripped, F.lit("yyyy-MM-dd")).cast("date"),
+        )
+        dmy = _roll(
+            _int(F.regexp_extract(stripped, FREETEXT_DMY, 3)),
+            _mon_num(F.regexp_extract(stripped, FREETEXT_DMY, 2)),
+            _day(F.regexp_extract(stripped, FREETEXT_DMY, 1)),
+        )
+        mdy = _roll(
+            _int(F.regexp_extract(stripped, FREETEXT_MDY, 3)),
+            _mon_num(F.regexp_extract(stripped, FREETEXT_MDY, 1)),
+            _day(F.regexp_extract(stripped, FREETEXT_MDY, 2)),
+        )
+        md = _roll(
+            F.lit(FREETEXT_NOYEAR),
+            _mon_num(F.regexp_extract(stripped, FREETEXT_MD, 1)),
+            _day(F.regexp_extract(stripped, FREETEXT_MD, 2)),
+        )
+        ft = F.coalesce(iso, dmy, mdy, md)
+        target = F.coalesce(target, ft)
+        desc = F.coalesce(desc, F.when(ft.isNotNull(), F.lit("")))
     delta_ms = (
         F.datediff(target, F.lit(today).cast("date")).cast("long")
         * F.lit(86_400_000)
@@ -578,6 +655,12 @@ def oracle_time_units_values() -> str:
     return ",".join(
         f"('{u}',{m!r},{d})" for u, (m, d) in TIME_UNITS.items()
     )
+
+
+def oracle_month_values() -> str:
+    """DuckDB VALUES rows (name, num) from the same MONTHS table as the
+    W6d free-text fallback — no drift."""
+    return ",".join(f"('{n}',{m})" for n, m in MONTHS.items())
 
 
 def oracle_holiday_values(today: str = "2025-06-15") -> str:

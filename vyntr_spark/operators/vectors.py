@@ -320,35 +320,59 @@ def _half_away(v: float) -> int:
     return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
 
 
+def int8_codes(emb: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """The MATERIALIZABLE int8 store for two-stage ANN serving
+    (merge_embeddings.py:69-74 stores float vectors; this is the
+    4x-smaller serving copy): (vec_id, scale, codes array<int>) with
+    the same symmetric per-vector quantization as :func:`quantize_int8`
+    but carrying the codes themselves, and scale UNROUNDED so serving
+    from the written table is bit-identical to deriving codes on the
+    fly. Write it once per store snapshot; ``ann_rerank_topk`` stage 1
+    then scans ONLY this table (1 byte/dim of IO instead of 4)."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    codes = F.when(
+        mx > 0,
+        F.transform(xs, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(xs, lambda x: F.lit(0)))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+
+
 def ann_rerank_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                     c: int = 50, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    store: DataFrame | None = None) -> DataFrame:
     """Two-stage retrieval — the standard production ANN serving shape:
 
-    * **stage 1** scores the int8-quantized store (the 4x-smaller scan
-      ``quantize_int8`` materializes; here the codes derive on the fly
-      with the same symmetric per-vector math) against the quantized
+    * **stage 1** scores the int8-quantized store against the quantized
       query — approx = scale_v * scale_q * int-dot, all native exprs —
       and keeps the top-``c`` candidates via TakeOrderedAndProject
       (partial per-partition heaps, no full sort);
-    * **stage 2** re-scores ONLY those ``c`` rows with exact float
-      cosine and returns the top-``k``.
+    * **stage 2** re-scores ONLY those ``c`` survivors with exact float
+      cosine (a broadcast semi-join of the c-row candidate set back
+      into the float store) and returns the top-``k``.
 
-    At scale stage 1 reads the int8 store (4 bytes -> 1 byte per dim of
-    IO) and stage 2 touches c rows of the float store — the recall loss
-    is bounded by quantization error, and the exact rerank removes its
+    ``store`` is the :func:`int8_codes` table — pass the written
+    (materialized) copy and stage 1's scan touches only (vec_id, scale,
+    codes): 1 byte per dim of IO instead of 4, the whole point of the
+    int8 first pass (plan-pinned in tests/test_plans.py). When ``store``
+    is None the codes derive on the fly from ``emb`` — identical
+    results (scale is unrounded in both), but the scan reads floats, so
+    at scale always pass the materialized store. The recall loss is
+    bounded by quantization error, and the exact rerank removes its
     effect on the final ordering within the candidate set. Ties break
     by (score desc, vec_id asc) at both stages so the candidate CUT is
     deterministic and cross-engine reproducible (int-dot is exact
     integer arithmetic; the scale product is one IEEE double expression
     with pinned association)."""
-    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(xs, lambda x: F.abs(x)))
-    scale_v = mx / F.lit(127.0)
-    qv = F.when(
-        mx > 0,
-        F.transform(xs, lambda x: F.round(x / scale_v).cast("long")),
-    ).otherwise(F.transform(xs, lambda x: F.lit(0).cast("long")))
+    if store is None:
+        store = int8_codes(emb, vec_col=vec_col, id_col=id_col)
     qmx = max(abs(float(x)) for x in query_vec)
     qscale = qmx / 127.0
     qq = F.array(*[
@@ -356,20 +380,24 @@ def ann_rerank_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         for x in query_vec
     ])
     intdot = F.aggregate(
-        F.zip_with(qv, qq, lambda a, b: a * b),
+        F.zip_with(F.col("codes"), qq, lambda a, b: a.cast("long") * b),
         F.lit(0).cast("long"),
         lambda acc, z: acc + z,
     )
-    approx = scale_v * F.lit(qscale) * intdot.cast("double")
+    approx = F.col("scale") * F.lit(qscale) * intdot.cast("double")
     cand = (
-        emb.select(F.col(id_col), F.col(vec_col), approx.alias("_approx"))
-        .orderBy(F.col("_approx").desc(), F.col(id_col).asc())
+        store.select(F.col("vec_id"), approx.alias("_approx"))
+        .orderBy(F.col("_approx").desc(), F.col("vec_id").asc())
         .limit(c)
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     score = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    survivors = emb.join(
+        F.broadcast(cand.select(F.col("vec_id").alias(id_col))),
+        id_col,
+    )
     return (
-        cand.select(
+        survivors.select(
             F.col(id_col),
             (F.round(score, 4) + F.lit(0.0)).alias("cos_sim"),
         )
