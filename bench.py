@@ -162,7 +162,8 @@ def main() -> None:
     def crawl_once(use_bloom: bool = False, budget: int | None = None,
                    seed_k: int | None = None,
                    preseed_path: str | None = None,
-                   adaptive: bool = False) -> tuple[float, list]:
+                   adaptive: bool = False,
+                   priority: bool = False) -> tuple[float, list]:
         import shutil
         import tempfile
 
@@ -181,6 +182,8 @@ def main() -> None:
             kw = dict(use_bloom=True, bloom_expected_n=expected)
         if adaptive:
             kw["adaptive_rate"] = True
+        if priority:
+            kw["priority_frontier"] = True
         eng = CrawlEngine(spark, store, pages,
                           max_pages=budget or n_pages, seed=42,
                           salt_buckets=max(8, cpus), **kw)
@@ -443,6 +446,17 @@ def main() -> None:
         extras["crawl_adaptive_pages_per_sec"] = round(
             sum(i.selected for i in infos_a) / dt_in, 2)
         extras["crawl_adaptive_host_cores"] = host
+
+    # -- priority-frontier crawl (OPIC select, C30 wired in) vs default ------
+    # measures the opt-in cost: host_edges commit per round + the
+    # broadcast authority join in the politeness select
+    if want("crawl_rounds_priority"):
+        _, (dt_in, infos_a), host = host_sample(
+            lambda: crawl_once(priority=True))
+        timings["crawl_rounds_priority"] = round(dt_in, 3)
+        extras["crawl_priority_pages_per_sec"] = round(
+            sum(i.selected for i in infos_a) / dt_in, 2)
+        extras["crawl_priority_host_cores"] = host
 
     # -- multimodal decode plumbing (Arrow mapInPandas over binary) ----------
     if want("mm_decode_meta"):

@@ -274,3 +274,85 @@ def test_adaptive_rate_throttles_failing_host(spark, tmp_path):
         for i in infos
     ]
     assert max(per_round_a) > 1  # healthy host never throttled
+
+
+def test_priority_frontier_deterministic(spark, tmp_path):
+    """priority_frontier=True (C30 wired into the crawl loop): two
+    identical runs must produce identical per-round fetch sets,
+    ordering and expansion — the authority score is a pure function of
+    committed crawl history, never of execution order."""
+    from vyntr_spark.crawl import CrawlEngine
+    from vyntr_spark.synth import default_seeds, generate_pages
+    from vyntr_spark.tables import SnapshotStore
+
+    rows = generate_pages(120, 8, seed=9)
+    seeds = default_seeds(120, 8, k=3)
+    runs = []
+    for tag in ("a", "b"):
+        store = SnapshotStore(spark, str(tmp_path / f"wh_{tag}"))
+        eng = CrawlEngine(spark, store, _mk_pages(spark, rows),
+                          max_pages=60, seed=9, collect_debug=True,
+                          priority_frontier=True)
+        eng.init_from_seeds(seeds)
+        infos = eng.run(max_rounds=20)
+        runs.append([(i.round, tuple(i.selected_urls),
+                      tuple(i.new_url_list)) for i in infos])
+    assert runs[0] == runs[1]
+
+
+def test_priority_frontier_budget_cut_prefers_authority(spark, tmp_path):
+    """When the page budget binds, the priority mode's truncation must
+    take the high-backlink host's URLs first, where BFS order
+    ((round, url)) would take alphabetically-first hosts. Web: 6 hosts;
+    every non-hub seed links to 3 hub pages + 3 same-host pages, so
+    after round 0 hub.example has 5 distinct backlink hosts and every
+    other host has 0."""
+    import datetime
+
+    from vyntr_spark.crawl import CrawlEngine
+    from vyntr_spark.tables import SnapshotStore
+
+    ts = datetime.datetime(2026, 1, 1)
+    hosts = [f"h{i}.example" for i in range(5)] + ["hub.example"]
+
+    def u(host, i):
+        return f"http://{host}/p{i}.html"
+
+    rows = []
+    for host in hosts:
+        for i in range(4):
+            if host == "hub.example":
+                links = "".join(f'<a href="{u(host, j)}">l</a>'
+                                for j in (1, 2, 3))
+            else:
+                links = ("".join(f'<a href="{u("hub.example", j)}">l</a>'
+                                 for j in (1, 2, 3))
+                         + "".join(f'<a href="{u(host, j)}">s</a>'
+                                   for j in (1, 2, 3)))
+            html = f"<html><body><p>pg</p>{links}</body></html>"
+            rows.append((u(host, i), ts, bytearray(html.encode()),
+                         "pg", "en", "text/html", 200, ""))
+    pages = _mk_pages(spark, rows)
+    seeds = [u(h, 0) for h in hosts]
+
+    def run(priority):
+        store = SnapshotStore(
+            spark, str(tmp_path / f"wh_{'p' if priority else 'b'}"))
+        # round 0 fetches the 6 seeds; remaining budget 6 < the ~18
+        # frontier rows of round 1, so the truncation binds there
+        eng = CrawlEngine(spark, store, pages, max_pages=12, seed=3,
+                          collect_debug=True,
+                          priority_frontier=priority)
+        eng.init_from_seeds(seeds)
+        return eng.run(max_rounds=5)
+
+    pri = run(True)
+    bfs = run(False)
+    pri_r1 = set(pri[1].selected_urls)
+    bfs_r1 = set(bfs[1].selected_urls)
+    hub_urls = {u("hub.example", j) for j in (1, 2, 3)}
+    # priority run spends its bound budget on the authoritative host
+    assert hub_urls <= pri_r1
+    # BFS (alphabetical (round, url)) never reaches hub.example in r1
+    assert not (hub_urls & bfs_r1)
+    assert len(pri_r1) == len(bfs_r1) == 6

@@ -95,6 +95,9 @@ class CrawlEngine:
         compact_every: int = 8,
         adaptive_rate: bool = False,
         rate_window: int = 3,
+        priority_frontier: bool = False,
+        priority_w_backlinks: float = 1.0,
+        priority_w_depth: float = 0.5,
         expire_keep: int | None = 4,
         logger=None,
     ):
@@ -156,6 +159,16 @@ class CrawlEngine:
         # bit-identical to adaptive_rate=False (tested).
         self.adaptive_rate = adaptive_rate
         self.rate_window = rate_window
+        # OPIC-style priority frontier (C30 wired in, opt-in — default
+        # off keeps reference BFS parity bit-identical): extraction
+        # appends distinct cross-host link pairs to host_edges; the next
+        # round's politeness select and budget truncation order by
+        # (priority desc, round, url) with priority = w_backlinks *
+        # ln(1 + backlink hosts) - w_depth * depth. Deterministic: the
+        # authority table is a pure function of committed crawl history.
+        self.priority_frontier = priority_frontier
+        self.priority_w_backlinks = priority_w_backlinks
+        self.priority_w_depth = priority_w_depth
         # post-compaction maintenance: expire superseded frontier
         # snapshot data files (Iceberg expire_snapshots analog) keeping
         # this many recent snapshots of time travel; None disables
@@ -380,17 +393,40 @@ class CrawlEngine:
                     hs_t.read(), base_cap=self.cap,
                     window=self.rate_window, upto_round=rnd - 1,
                 )
+        order_cols = None
+        trunc_order = [F.col("round"), F.col("url")]
+        if self.priority_frontier:
+            # OPIC-style priority mode (opt-in; the reference is strictly
+            # BFS): score every frontier row by its host's backlink
+            # authority minus a depth penalty. Within a host the score
+            # varies only by depth (= BFS order), so the mode's real
+            # effect is the CROSS-host pick when the page budget binds —
+            # exactly the regime a 10^10 frontier lives in, where FIFO
+            # treats a hub root and a spam-farm leaf as equals.
+            from .operators.scheduling import with_frontier_priority
+
+            he_t = self.store.table("host_edges")
+            edges = None if he_t.is_empty() else he_t.read()
+            frontier = with_frontier_priority(
+                frontier, edges, w_backlinks=self.priority_w_backlinks,
+                w_depth=self.priority_w_depth,
+            )
+            order_cols = [F.col("priority").desc(), F.col("round"),
+                          F.col("url")]
+            trunc_order = order_cols
         sel = politeness_select(frontier, self.cap, self.salt_buckets,
-                                host_caps=host_caps)
+                                host_caps=host_caps, order_cols=order_cols)
         obs_sel: Observation | None = None
+        sel_cached = None  # the persisted frame when sel is later re-projected
         if fsize > remaining:
             # budget MIGHT bind (C9): pay the count job; truncate in
-            # pinned (round, url) order when it does
+            # pinned (round, url) order — (priority desc, round, url) in
+            # priority mode, where the budget cut IS the priority queue
             sel = sel.persist()
             n_sel = sel.count()
             _mark('politeness_select+count')
             if n_sel > remaining:
-                sel2 = sel.orderBy("round", "url").limit(remaining).persist()
+                sel2 = sel.orderBy(*trunc_order).limit(remaining).persist()
                 sel.unpersist()
                 sel = sel2
                 n_sel = remaining
@@ -402,6 +438,12 @@ class CrawlEngine:
             obs_sel = Observation()
             sel = sel.observe(obs_sel, F.count(F.lit(1)).alias("n")).persist()
             n_sel = -1  # resolved after the commit job fires the observation
+        if self.priority_frontier:
+            # downstream consumers see the reference frontier schema; the
+            # persisted frame keeps the priority column (cleanup below
+            # unpersists sel_cached, not the projection)
+            sel_cached = sel
+            sel = sel.drop("priority")
 
         # -- fetch: stream the big pages table through ONE BroadcastHashJoin
         # (BuildRight on the small batch). The 100-TB side is never
@@ -643,6 +685,29 @@ class CrawlEngine:
                 .collect()
             )
 
+        def _commit_host_edges() -> None:
+            # distinct cross-host pairs from this round's extraction —
+            # |host-pair|-sized (map-side combine collapses the link
+            # explosion before the shuffle), appended for the NEXT
+            # round's authority aggregate
+            src_host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+            e = (
+                extracted.select(src_host.alias("src_host"),
+                                 F.explode("ex.links").alias("_l"))
+                .withColumn("dst_host",
+                            F.lower(F.parse_url(F.col("_l"), F.lit("HOST"))))
+                .filter(
+                    F.col("src_host").isNotNull()
+                    & F.col("dst_host").isNotNull()
+                    & (F.col("dst_host") != "")
+                    & (F.col("src_host") != F.col("dst_host"))
+                )
+                .select("src_host", "dst_host").distinct()
+            )
+            self.store.table("host_edges").commit(
+                e, "append", {"round": rnd}, coalesce=self.io_coalesce
+            )
+
         bloom_before_extend = self._bloom
 
         def _extend_bloom():
@@ -685,7 +750,7 @@ class CrawlEngine:
             # back-to-back small jobs would not
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=5) as pool:
+            with ThreadPoolExecutor(max_workers=6) as pool:
                 fut_f = pool.submit(_commit_frontier)
                 fut_s = pool.submit(_commit_seen)
                 fut_m = pool.submit(_metrics_rows)
@@ -693,6 +758,8 @@ class CrawlEngine:
                          if use_bloom_now else None)
                 fut_h = (pool.submit(_commit_host_stats)
                          if self.adaptive_rate else None)
+                fut_e = (pool.submit(_commit_host_edges)
+                         if self.priority_frontier else None)
                 fut_f.result()
                 fut_s.result()
                 part_rows = fut_m.result()
@@ -700,6 +767,8 @@ class CrawlEngine:
                     self._bloom = fut_b.result()
                 if fut_h is not None:
                     fut_h.result()
+                if fut_e is not None:
+                    fut_e.result()
             _mark('frontier+seen+metrics+bloom (overlapped)')
         else:
             _commit_frontier()
@@ -714,6 +783,9 @@ class CrawlEngine:
             if self.adaptive_rate:
                 _commit_host_stats()
                 _mark('host_stats_commit')
+            if self.priority_frontier:
+                _commit_host_edges()
+                _mark('host_edges_commit')
         n_cand = _obs_count(obs_cand, cand)
         self._last_n_cand = n_cand
         n_new = _obs_count(obs_new, new)
@@ -827,7 +899,8 @@ class CrawlEngine:
             info.outcomes = {r["url"]: r["outcome"] for r in ordered}
             info.new_url_list = [r["url"] for r in new.orderBy("url").collect()]
 
-        for df in (sel, fetched_slim, extracted, cand, new):
+        for df in (sel_cached if sel_cached is not None else sel,
+                   fetched_slim, extracted, cand, new):
             df.unpersist()
         if flagged is not None:
             flagged.unpersist()

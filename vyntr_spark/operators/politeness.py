@@ -54,6 +54,7 @@ def politeness_select(
     cap: int = MAX_PER_DOMAIN,
     salt_buckets: int = 32,
     host_caps: DataFrame | None = None,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Select ≤cap URLs per host in (round, url) order.
 
@@ -65,9 +66,16 @@ def politeness_select(
     phase-1-subset-of-phase-2 containment argument holds per host with
     its own cap.
 
+    ``order_cols`` overrides the within-host pick order (default FIFO =
+    (round, url), the reference's BFS). The priority frontier mode
+    passes (priority desc, round, url); the containment argument holds
+    for ANY total order, so the two-phase skew design is unchanged.
+
     Returns the frontier columns of the selected rows.
     """
     cols = frontier.columns
+    if order_cols is None:
+        order_cols = [F.col("round"), F.col("url")]
     capped = frontier.withColumn("_cap", F.lit(cap))
     if host_caps is not None:
         hc = F.broadcast(
@@ -85,14 +93,14 @@ def politeness_select(
     salted = capped.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
     )
-    w1 = Window.partitionBy("host", "_salt").orderBy("round", "url")
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols)
     survivors = (
         salted.withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= F.col("_cap"))
         .drop("_r1", "_salt")
     )
     # phase 2: exact top-cap per host over ≤ cap·salt_buckets survivors
-    w2 = Window.partitionBy("host").orderBy("round", "url")
+    w2 = Window.partitionBy("host").orderBy(*order_cols)
     return (
         survivors.withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= F.col("_cap"))

@@ -320,6 +320,45 @@ def frontier_priority(frontier: DataFrame, edges: DataFrame,
     )
 
 
+def with_frontier_priority(frontier: DataFrame, edges: DataFrame | None,
+                           host_col: str = "host",
+                           depth_col: str = "depth",
+                           w_backlinks: float = 1.0,
+                           w_depth: float = 0.5) -> DataFrame:
+    """Schema-preserving twin of :func:`frontier_priority` for the crawl
+    loop: appends a ``priority`` column to ALL of the frontier's columns
+    (the loop needs round/url downstream; frontier_priority's projected
+    output is the oracle-checked operator surface). ``edges=None`` (no
+    history yet) scores on the depth penalty alone. The host-authority
+    aggregate is |hosts|-sized and comes in by broadcast — the 10^10
+    frontier side is never re-shuffled for the lookup."""
+    cols = frontier.columns
+    pri_depth = -F.lit(w_depth) * F.col(depth_col)
+    if edges is None:
+        return frontier.select(
+            *cols, F.round(pri_depth, 6).alias("priority")
+        )
+    indeg = (
+        edges.filter(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host").distinct()
+        .groupBy(F.col("dst_host").alias(host_col))
+        .agg(F.count(F.lit(1)).alias("_backlink_hosts"))
+    )
+    return (
+        frontier.join(F.broadcast(indeg), host_col, "left")
+        .withColumn(
+            "priority",
+            F.round(
+                F.lit(w_backlinks)
+                * F.log1p(F.coalesce("_backlink_hosts", F.lit(0)))
+                + pri_depth,
+                6,
+            ),
+        )
+        .select(*cols, "priority")
+    )
+
+
 def adaptive_host_rate(outcomes: DataFrame, host_col: str = "host",
                        round_col: str = "round",
                        outcome_col: str = "outcome",

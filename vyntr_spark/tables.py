@@ -415,6 +415,16 @@ class SnapshotStore:
                 T.StructField("successes", T.LongType(), False),
             ]
         ),
+        # distinct cross-host link pairs observed by extraction, feeding
+        # the OPIC-style frontier priority (CrawlEngine priority_frontier
+        # mode): appended per round, re-deduped by the authority
+        # aggregate at read — |host-pair|-dimension, not |links|
+        "host_edges": T.StructType(
+            [
+                T.StructField("src_host", T.StringType(), False),
+                T.StructField("dst_host", T.StringType(), False),
+            ]
+        ),
     }
 
     def __init__(self, spark: SparkSession, root: str):
