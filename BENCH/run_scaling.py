@@ -163,7 +163,11 @@ for the binary-heavy scan.
 """
     if os.path.exists(path):
         old = open(path).read()
-        cut = old.find("(target ≥ 0.8")
+        # preserve the per-round measurement-note blocks too (they are
+        # self-dated, "> **Round-N notes**"), not just the narrative
+        cut = old.find("> **Round-")
+        if cut == -1:
+            cut = old.find("(target ≥ 0.8")
         if cut != -1:
             # the preserved narrative can cite numbers from the PREVIOUS
             # table (probe ceilings, per-run walls, "criterion met at X");
@@ -177,7 +181,8 @@ for the binary-heavy scan.
                 "run. The\n> table above is the current measurement.\n\n"
             )
             old_tail = old[cut:]
-            if not old_tail.startswith("> NOTE:"):
+            if old_tail.startswith("(target"):
+                # bare narrative with no dating marker yet
                 tail = marker + old_tail
             else:
                 tail = old_tail
