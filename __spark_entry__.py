@@ -367,6 +367,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["p6d_fuzzy_search"] = p6d
 
+    def p6e(s, sf):
+        # P6 QueryParser range tail: `field:[lo TO hi]` / `{lo TO hi]`
+        # (Tantivy range syntax; unused by the reference's own search
+        # surface but part of the parser grammar). Ranges are pure
+        # filter occurs over docmeta — numeric compare on numeric
+        # columns, lexicographic on strings; mixed bracket = mixed
+        # inclusivity. Scoring stays BM25 over the positive term.
+        from vyntr_spark.operators import boolquery
+
+        idx = pulse.build_index(_docs(s, sf), meta_cols=("lang", "n_chars"))
+        return boolquery.search_boolean(
+            idx, "table n_chars:{200 TO 450] lang:[de TO en]", k=10
+        )
+
+    q["p6e_range_filter"] = p6e
+
+    def p6f(s, sf):
+        # P6 wildcard tail: `pa?t` / `sc*` expand against the term
+        # dictionary (literal-prefix prefilter + native rlike, cap 50
+        # term-ascending — Lucene's wildcard rewrite) and score as an
+        # OR of plain terms, exactly like the fuzzy path
+        from vyntr_spark.operators import boolquery
+
+        idx = pulse.build_index(_docs(s, sf))
+        return boolquery.search_boolean(idx, "pa?t sc*", k=10)
+
+    q["p6f_wildcard"] = p6f
+
     def p4b(s, sf):
         # P4 full semantics (pulse/src/main.rs:114-118): nsfw = OR over
         # domain-of(content/title/url) membership; title row exercises
@@ -3456,6 +3484,57 @@ exp AS (SELECT term FROM (
           WHERE length(term) BETWEEN 4 AND 6
             AND levenshtein(term, 'spark') <= 1)
         ORDER BY levenshtein(term, 'spark'), term LIMIT 50),
+matched AS (SELECT DISTINCT doc_id FROM post
+            WHERE term IN (SELECT term FROM exp)),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+          WHERE term IN (SELECT term FROM exp) GROUP BY term)
+SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+  SELECT p.doc_id,
+         ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         AS contrib
+  FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
+  WHERE p.doc_id IN (SELECT doc_id FROM matched)
+) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["p6e_range_filter"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tl FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS term FROM toks),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ds AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl
+           FROM ds),
+matched AS (SELECT p.doc_id FROM post p JOIN documents d USING (doc_id)
+            WHERE p.term = 'table'
+              AND d.n_chars > 200 AND d.n_chars <= 450
+              AND d.lang >= 'de' AND d.lang <= 'en'),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post
+          WHERE term = 'table' GROUP BY term)
+SELECT doc_id, round(sum(contrib), 4) AS score FROM (
+  SELECT p.doc_id,
+         ln(1 + (c.n - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+         AS contrib
+  FROM post p JOIN dfreq f USING (term) JOIN ds d USING (doc_id), corpus c
+  WHERE p.doc_id IN (SELECT doc_id FROM matched)
+) s GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    o["p6f_wildcard"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tl FROM documents),
+tok AS (SELECT doc_id, unnest(tl) AS term FROM toks),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+ds AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl
+           FROM ds),
+exp AS (SELECT term FROM (SELECT DISTINCT term FROM post
+                          WHERE regexp_full_match(term, 'pa.t')
+                          ORDER BY term LIMIT 50)
+        UNION
+        SELECT term FROM (SELECT DISTINCT term FROM post
+                          WHERE term LIKE 'sc%'
+                          ORDER BY term LIMIT 50)),
 matched AS (SELECT DISTINCT doc_id FROM post
             WHERE term IN (SELECT term FROM exp)),
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM post

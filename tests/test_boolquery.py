@@ -356,3 +356,79 @@ def test_fuzzy_search_matches_typo(spark):
     got2 = {r["doc_id"] for r in search_boolean(idx, "grphics~2", k=10).collect()}
     assert 1 in got2 and got <= got2
     assert search_boolean(idx, "zzzzqqqq~1", k=10).count() == 0
+
+
+def test_range_parse_forms():
+    from vyntr_spark.operators.boolquery import (
+        Not, RangeFilter, parse_boolean,
+    )
+
+    n = parse_boolean("n:[10 TO 20]")
+    assert isinstance(n, RangeFilter)
+    assert (n.lo, n.hi, n.lo_inc, n.hi_inc) == ("10", "20", True, True)
+    n = parse_boolean("n:{a TO b}")
+    assert (n.lo_inc, n.hi_inc) == (False, False)
+    # mixed brackets, unbounded endpoints, negated occur prefix
+    n = parse_boolean("n:{10 TO *]")
+    assert n.lo == "10" and n.hi is None and not n.lo_inc
+    n = parse_boolean("-n:[* TO 5}")
+    assert isinstance(n, Not) and isinstance(n.child, RangeFilter)
+    assert n.child.lo is None and n.child.hi == "5" and not n.child.hi_inc
+
+
+def test_range_filter_numeric_and_string(spark):
+    """Numeric columns compare numerically (so '9' < '10'), string
+    columns lexicographically; exclusive bounds exclude the endpoint;
+    an unknown field is a no-op like FieldFilter."""
+    from vyntr_spark.operators import pulse
+    from vyntr_spark.operators.boolquery import search_boolean
+
+    docs = spark.createDataFrame(
+        [(0, "word", "de", 9), (1, "word", "en", 10),
+         (2, "word", "fr", 100), (3, "word", "zh", 450)],
+        "doc_id long, text string, lang string, size long",
+    )
+    idx = pulse.build_index(docs, meta_cols=("lang", "size"))
+    got = {r["doc_id"]
+           for r in search_boolean(idx, "word size:[9 TO 100]", k=10).collect()}
+    assert got == {0, 1, 2}  # numeric: 9 <= x <= 100 (NOT lexicographic)
+    got = {r["doc_id"]
+           for r in search_boolean(idx, "word size:{9 TO 100}", k=10).collect()}
+    assert got == {1}  # exclusive both ends
+    got = {r["doc_id"]
+           for r in search_boolean(idx, "word lang:[de TO fr]", k=10).collect()}
+    assert got == {0, 1, 2}  # string compare: de <= lang <= fr
+    got = {r["doc_id"]
+           for r in search_boolean(idx, "word size:[100 TO *]", k=10).collect()}
+    assert got == {2, 3}
+    assert search_boolean(idx, "word nosuch:[1 TO 2]", k=10).count() == 4
+
+
+def test_wildcard_parse_and_search(spark):
+    from vyntr_spark.operators import pulse
+    from vyntr_spark.operators.boolquery import (
+        WildcardTerm, parse_boolean, search_boolean,
+    )
+
+    n = parse_boolean("spar*")
+    assert isinstance(n, WildcardTerm) and n.pattern == "spar*"
+    n = parse_boolean("f?o^2")
+    assert isinstance(n, WildcardTerm) and n.boost == 2.0
+    assert parse_boolean("*") is None  # bare metachar unsupported
+
+    docs = spark.createDataFrame(
+        [(0, "sparks fly upward"), (1, "spartan training"),
+         (2, "spare parts bin"), (3, "irrelevant words")],
+        "doc_id long, text string",
+    )
+    idx = pulse.build_index(docs)
+    got = {r["doc_id"] for r in search_boolean(idx, "spar*", k=10).collect()}
+    assert got == {0, 1, 2}
+    # '?' is exactly one char: 'part?' hits 'parts' only, not 'part'
+    got = {r["doc_id"] for r in search_boolean(idx, "part?", k=10).collect()}
+    assert got == {2}
+    # no dictionary match -> matches nothing (empty BooleanQuery rewrite)
+    assert search_boolean(idx, "zzz*", k=10).count() == 0
+    # wildcard mid-word
+    got = {r["doc_id"] for r in search_boolean(idx, "sp*n", k=10).collect()}
+    assert got == {1}  # spartan

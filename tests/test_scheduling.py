@@ -356,3 +356,78 @@ def test_priority_frontier_budget_cut_prefers_authority(spark, tmp_path):
     # BFS (alphabetical (round, url)) never reaches hub.example in r1
     assert not (hub_urls & bfs_r1)
     assert len(pri_r1) == len(bfs_r1) == 6
+
+
+def test_adaptive_caps_window_anchors_at_max_round(spark):
+    """round-3 review: with upto_round=None the controller must still
+    slide its window (anchored at max(round)), so failures that aged out
+    of the window are forgiven — not an all-history sum."""
+    from vyntr_spark.operators.scheduling import adaptive_caps_from_stats
+
+    stats = spark.createDataFrame(
+        # rounds 1-2: total failure; rounds 8-10: fully healthy
+        [("h.example", 1, 5, 0), ("h.example", 2, 5, 0),
+         ("h.example", 8, 5, 5), ("h.example", 9, 5, 5),
+         ("h.example", 10, 5, 5)],
+        "host string, round int, attempts long, successes long",
+    )
+    # window [8,10] is all-success -> cap == base -> no row emitted
+    assert adaptive_caps_from_stats(stats, base_cap=5, window=3).count() == 0
+    # explicitly anchored in the failing era the host IS throttled
+    capped = adaptive_caps_from_stats(
+        stats, base_cap=5, window=3, upto_round=2
+    ).collect()
+    assert len(capped) == 1 and capped[0]["cap"] == 1
+
+
+def test_adaptive_rate_ignores_policy_outcomes(spark, tmp_path):
+    """round-3 review: robots_blocked and skipped_ct are content/policy
+    signals, not server health — a host with many robots-disallowed urls
+    whose real fetches all succeed must show attempts == successes in
+    host_stats (and therefore never be throttled)."""
+    import datetime
+
+    from vyntr_spark.crawl import CrawlEngine
+    from vyntr_spark.tables import SnapshotStore
+
+    ts = datetime.datetime(2026, 1, 1)
+
+    def a(i):
+        return f"http://a.example/p{i}.html"
+
+    rows = []
+    for i in range(12):
+        # every page links to every page: allowed pages stay reachable
+        # even though the robots-blocked ones contribute no outlinks
+        links = "".join(f'<a href="{a(j)}">l</a>' for j in range(12))
+        html = f"<html><body><p>page {i}</p>{links}</body></html>"
+        rows.append((a(i), ts, bytearray(html.encode()), f"page {i}",
+                     "en", "text/html", 200, ""))
+    pages = _mk_pages(spark, rows)
+    robots = spark.createDataFrame(
+        [("a.example", [f"/p{i}" for i in range(2, 9)])],
+        "host string, disallow_prefixes array<string>",
+    )
+    store = SnapshotStore(spark, str(tmp_path / "wh"))
+    eng = CrawlEngine(spark, store, pages, max_pages=10_000, seed=3,
+                      cap=5, adaptive_rate=True, rate_window=3,
+                      robots=robots, collect_debug=True)
+    eng.init_from_seeds([a(0), a(1)])
+    infos = eng.run(max_rounds=8)
+    blocked = sum(
+        1 for i in infos for o in i.outcomes.values() if o == "robots_blocked"
+    )
+    assert blocked >= 5  # the policy signal actually fired
+    hs = store.table("host_stats").read().collect()
+    assert hs, "host_stats must be committed each round"
+    for r in hs:
+        assert r["attempts"] == r["successes"], (
+            f"round {r['round']}: policy outcomes leaked into attempts"
+        )
+    # fetch-health attempts must equal the non-policy outcome count
+    total_attempts = sum(r["attempts"] for r in hs)
+    non_policy = sum(
+        1 for i in infos for o in i.outcomes.values()
+        if o not in ("robots_blocked", "skipped_ct")
+    )
+    assert total_attempts == non_policy

@@ -7,7 +7,8 @@ Grammar (recursive descent):
     or_expr  := and_expr (OR and_expr)*
     and_expr := unary (AND unary)*
     unary    := NOT unary | '-' primary | '+' primary | primary
-    primary  := '(' or_expr ')' | '"phrase words"' | field:value | term
+    primary  := '(' or_expr ')' | '"phrase words"' | field:value
+              | field:[lo TO hi] | term | term* | te?m | term~N
 
 Bare space-separated terms at the same level are OR-combined for
 matching (Tantivy's default "should" clauses) while every positive term
@@ -94,6 +95,30 @@ class FieldFilter:
 
 
 @dataclass
+class RangeFilter:
+    """``field:[lo TO hi]`` — Tantivy QueryParser's range syntax
+    (square bracket = inclusive, curly = exclusive, ``*`` = unbounded;
+    mixed bounds like ``[a TO b}`` allowed). Like FieldFilter it is a
+    pure filter occur: it constrains the matched set and never scores."""
+
+    name: str
+    lo: str | None       # None = unbounded ('*')
+    hi: str | None
+    lo_inc: bool = True
+    hi_inc: bool = True
+
+
+@dataclass
+class WildcardTerm:
+    """``foo*`` / ``f?o`` — Lucene-classic wildcard term. Tantivy's
+    parser reserves the same syntax (its RegexQuery serves it); we
+    expand against the term dictionary like FuzzyTerm, capped."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass
 class Not:
     child: object
 
@@ -108,7 +133,11 @@ class Or:
     children: list
 
 
-_TOKEN_RE = re.compile(r'"([^"]*)"|(\()|(\))|([^\s()]+)')
+# the RANGE alternative must precede WORD: `field:[a TO b]` contains a
+# space, which the bare-word class would split at
+_TOKEN_RE = re.compile(
+    r'"([^"]*)"|(\()|(\))|([^\s()]+:[\[{][^\]}]*[\]}])|([^\s()]+)'
+)
 
 
 def _lex(q: str) -> list[tuple[str, str]]:
@@ -120,9 +149,34 @@ def _lex(q: str) -> list[tuple[str, str]]:
             out.append(("LPAREN", "("))
         elif m.group(3):
             out.append(("RPAREN", ")"))
+        elif m.group(4):
+            out.append(("RANGE", m.group(4)))
         else:
-            out.append(("WORD", m.group(4)))
+            out.append(("WORD", m.group(5)))
     return out
+
+
+_RANGE_RE = re.compile(r"^([^:\s]+):([\[{])\s*(.*?)\s+TO\s+(.*?)\s*([\]}])$")
+
+
+def _range_node(tok: str):
+    """Parse `field:[lo TO hi]` (any bracket mix; `*` = unbounded;
+    leading +/- occur prefixes on the field name)."""
+    neg = tok.startswith("-")
+    if tok[:1] in "+-":
+        tok = tok[1:]
+    m = _RANGE_RE.match(tok)
+    if not m:
+        return None
+    name, lb, lo, hi, rb = m.groups()
+    node = RangeFilter(
+        name,
+        None if lo in ("*", "") else lo,
+        None if hi in ("*", "") else hi,
+        lo_inc=(lb == "["),
+        hi_inc=(rb == "]"),
+    )
+    return Not(node) if neg else node
 
 
 class _Parser:
@@ -149,7 +203,7 @@ class _Parser:
             if kind == "WORD" and val.upper() == "OR":
                 self.take()
                 children.append(self.and_expr())
-            elif kind in ("WORD", "PHRASE", "LPAREN"):
+            elif kind in ("WORD", "PHRASE", "LPAREN", "RANGE"):
                 # bare adjacency = Tantivy "should" clauses (OR for match)
                 children.append(self.and_expr())
             else:
@@ -189,6 +243,8 @@ class _Parser:
 
     def primary(self):
         kind, val = self.take()
+        if kind == "RANGE":
+            return _range_node(val)
         if kind == "LPAREN":
             node = self.or_expr()
             k, _ = self.peek()
@@ -242,6 +298,14 @@ class _Parser:
             name, v = val.split(":", 1)
             if name and v:
                 return FieldFilter(name, v, boost=boost)
+        if "*" in val or "?" in val:
+            # wildcard term: keep only chars that can appear in a
+            # dictionary term plus the two metachars
+            pat = re.sub(r"[^a-z0-9*?]", "", val.lower())
+            if pat.strip("*?"):
+                return WildcardTerm(pat, boost=boost)
+            return None  # bare '*' / '?' — matches everything in
+            #              Lucene only as field:*, not supported
         w = re.sub(TOKEN_SPLIT, "", val.lower())
         if not w:
             return None
@@ -366,6 +430,25 @@ def _eval_docs(node, index: BM25Index, id_col: str) -> DataFrame:
         cond = col == (v.lower() == "true") if v.lower() in ("true", "false") \
             else col == v
         return index.docmeta.filter(cond).select(id_col)
+    if isinstance(node, RangeFilter):
+        if index.docmeta is None or node.name not in index.docmeta.columns:
+            return index.docstats.select(id_col)  # unknown field: no-op
+        col = F.col(node.name)
+        dt = dict(index.docmeta.dtypes)[node.name]
+        numeric = dt in ("tinyint", "smallint", "int", "bigint", "float",
+                         "double") or dt.startswith("decimal")
+
+        def bound(v):
+            return F.lit(float(v) if numeric else v)
+
+        cond = F.lit(True)
+        if node.lo is not None:
+            cond = cond & (col >= bound(node.lo) if node.lo_inc
+                           else col > bound(node.lo))
+        if node.hi is not None:
+            cond = cond & (col <= bound(node.hi) if node.hi_inc
+                           else col < bound(node.hi))
+        return index.docmeta.filter(cond).select(id_col)
     if isinstance(node, Not):
         return index.docstats.select(id_col).join(
             _eval_docs(node.child, index, id_col), id_col, "anti"
@@ -381,10 +464,11 @@ def _eval_docs(node, index: BM25Index, id_col: str) -> DataFrame:
         # (filters, matching the rest of the repo's field semantics),
         # everything else is a should (union)
         neg = [c for c in node.children if isinstance(c, Not)]
-        fields = [c for c in node.children if isinstance(c, FieldFilter)]
+        fields = [c for c in node.children
+                  if isinstance(c, (FieldFilter, RangeFilter))]
         pos = [
             c for c in node.children
-            if not isinstance(c, (Not, FieldFilter))
+            if not isinstance(c, (Not, FieldFilter, RangeFilter))
         ]
         if pos:
             cur = _eval_docs(pos[0], index, id_col)
@@ -406,7 +490,7 @@ def _positive_terms(node, negated: bool = False) -> list[tuple[str, float]]:
     under an even number of NOTs (Tantivy scores the positive clauses
     of a boolean query; '^B' multiplies that clause's score,
     server.rs:165-173 QueryParser grammar)."""
-    if node is None or isinstance(node, FieldFilter):
+    if node is None or isinstance(node, (FieldFilter, RangeFilter)):
         return []
     if isinstance(node, Term):
         return [] if negated else [(node.word, node.boost)]
@@ -442,15 +526,54 @@ def _fuzzy_expand(index: BM25Index, word: str, distance: int,
     return [r["term"] for r in cand]
 
 
+def _wildcard_expand(index: BM25Index, pattern: str,
+                     cap: int = 50) -> list[str]:
+    """Dictionary terms matching a Lucene wildcard pattern (`*` = any
+    run, `?` = one char). Same dimension-only shape as _fuzzy_expand: a
+    literal-prefix ``startswith`` prefilter (sargable, prunes the term
+    scan when the pattern doesn't lead with a metachar) then a native
+    rlike. Deterministic cap: term-ascending, like Lucene's
+    TermRangeQuery rewrite order."""
+    regex = "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pattern
+    )
+    prefix = re.match(r"^[a-z0-9]*", pattern).group(0)
+    cand = index.postings.select("term").distinct()
+    if prefix:
+        cand = cand.filter(F.col("term").startswith(prefix))
+    rows = (
+        cand.filter(F.col("term").rlike(f"^{regex}$"))
+        .orderBy("term")
+        .limit(cap)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+#: equality on this sentinel can never hit — TOKEN_SPLIT strips every
+#: non-[a-z0-9] char, so no dictionary term contains a NUL
+_NO_MATCH_TERM = "\x00"
+
+
 def _rewrite_fuzzy(node, index: BM25Index):
-    """Replace FuzzyTerm nodes with the OR of their vocabulary expansion
-    (every variant scores at the clause's boost), so matching AND
-    scoring downstream see plain Terms. A word with an empty expansion
-    degrades to its exact Term (which matches nothing, like Tantivy)."""
+    """Replace FuzzyTerm/WildcardTerm nodes with the OR of their
+    vocabulary expansion (every variant scores at the clause's boost),
+    so matching AND scoring downstream see plain Terms. A fuzzy word
+    with an empty expansion degrades to its exact Term; an empty
+    wildcard expansion matches nothing (like Lucene's rewrite to an
+    empty BooleanQuery)."""
     if isinstance(node, FuzzyTerm):
         words = _fuzzy_expand(index, node.word, node.distance)
         if not words:
             return Term(node.word, boost=node.boost)
+        if len(words) == 1:
+            return Term(words[0], boost=node.boost)
+        return Or([Term(w, boost=node.boost) for w in words])
+    if isinstance(node, WildcardTerm):
+        words = _wildcard_expand(index, node.pattern)
+        if not words:
+            return Term(_NO_MATCH_TERM, boost=node.boost)
         if len(words) == 1:
             return Term(words[0], boost=node.boost)
         return Or([Term(w, boost=node.boost) for w in words])
