@@ -439,24 +439,44 @@ def main() -> None:
     # -- adaptive-rate crawl (AIMD caps) vs the default, same host window ----
     # measures what the r3 feature COSTS (host_stats commit + caps join
     # per round) on the bench web, where most hosts are healthy
+    def _crawl_variant(name, tag, **ckw):
+        # same best-of discipline as crawl_rounds (min 2 samples, early
+        # stop on 25% agreement in an uncontended window): a single
+        # sample of a crawl variant is not evidence on this host — one
+        # r4 window recorded the priority crawl 6x its steady state on
+        # background sys-load alone
+        samples = []
+        hosts_v = []
+        infos_v = None
+        for _ in range(3):
+            if len(samples) >= 2 and over_budget(0.85):
+                break
+            _, (dt_in, infos_s), host = host_sample(
+                lambda: crawl_once(**ckw))
+            samples.append(dt_in)
+            hosts_v.append(host)
+            if infos_v is None or dt_in <= min(samples):
+                infos_v = infos_s
+            if len(samples) >= 2:
+                order = sorted(range(len(samples)), key=lambda i: samples[i])
+                if (samples[order[1]] <= samples[order[0]] * 1.25
+                        and not contended(hosts_v[order[0]])):
+                    break
+        dt = min(samples)
+        timings[name] = round(dt, 3)
+        extras[f"crawl_{tag}_pages_per_sec"] = round(
+            sum(i.selected for i in infos_v) / dt, 2)
+        extras[f"crawl_{tag}_samples_sec"] = [round(s, 3) for s in samples]
+        extras[f"crawl_{tag}_samples_host_cores"] = hosts_v
+
     if want("crawl_rounds_adaptive"):
-        _, (dt_in, infos_a), host = host_sample(
-            lambda: crawl_once(adaptive=True))
-        timings["crawl_rounds_adaptive"] = round(dt_in, 3)
-        extras["crawl_adaptive_pages_per_sec"] = round(
-            sum(i.selected for i in infos_a) / dt_in, 2)
-        extras["crawl_adaptive_host_cores"] = host
+        _crawl_variant("crawl_rounds_adaptive", "adaptive", adaptive=True)
 
     # -- priority-frontier crawl (OPIC select, C30 wired in) vs default ------
     # measures the opt-in cost: host_edges commit per round + the
     # broadcast authority join in the politeness select
     if want("crawl_rounds_priority"):
-        _, (dt_in, infos_a), host = host_sample(
-            lambda: crawl_once(priority=True))
-        timings["crawl_rounds_priority"] = round(dt_in, 3)
-        extras["crawl_priority_pages_per_sec"] = round(
-            sum(i.selected for i in infos_a) / dt_in, 2)
-        extras["crawl_priority_host_cores"] = host
+        _crawl_variant("crawl_rounds_priority", "priority", priority=True)
 
     # -- multimodal decode plumbing (Arrow mapInPandas over binary) ----------
     if want("mm_decode_meta"):

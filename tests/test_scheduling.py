@@ -431,3 +431,33 @@ def test_adaptive_rate_ignores_policy_outcomes(spark, tmp_path):
         if o not in ("robots_blocked", "skipped_ct")
     )
     assert total_attempts == non_policy
+
+
+def test_host_edges_compaction_is_transparent(spark, tmp_path):
+    """host_edges maintenance: folding the append log into its distinct
+    pair set on the compact_every cadence must not change priority
+    selection (the authority aggregate re-distincts at read anyway),
+    and must actually bound the table at |distinct pairs| rows."""
+    from vyntr_spark.crawl import CrawlEngine
+    from vyntr_spark.synth import default_seeds, generate_pages
+    from vyntr_spark.tables import SnapshotStore
+
+    rows = generate_pages(120, 8, seed=9)
+    seeds = default_seeds(120, 8, k=3)
+    runs = []
+    for tag, every in (("tight", 1), ("loose", 1000)):
+        store = SnapshotStore(spark, str(tmp_path / f"wh_{tag}"))
+        eng = CrawlEngine(spark, store, _mk_pages(spark, rows),
+                          max_pages=60, seed=9, collect_debug=True,
+                          priority_frontier=True, compact_every=every)
+        eng.init_from_seeds(seeds)
+        infos = eng.run(max_rounds=20)
+        runs.append([(i.round, tuple(i.selected_urls),
+                      tuple(i.new_url_list)) for i in infos])
+        edges = store.table("host_edges").read().collect()
+        n_distinct = len({(r["src_host"], r["dst_host"]) for r in edges})
+        if every == 1:
+            # compacted every round: stored rows == distinct pairs
+            assert len(edges) == n_distinct
+        runs[-1].append(("pairs", n_distinct))
+    assert runs[0] == runs[1]

@@ -865,6 +865,25 @@ class CrawlEngine:
             )
             _mark('snapshot_expiry')
 
+        if self.priority_frontier and (rnd + 1) % self.compact_every == 0:
+            # host_edges is append-only and every round re-appends pairs
+            # already recorded in earlier rounds, so the table grows
+            # O(rounds x pairs/round) while its information content is
+            # the DISTINCT pair set; fold it on the maintenance cadence
+            # so the per-round authority aggregate scans |distinct pairs|,
+            # not the whole history. Idempotent under crash (a replay
+            # re-distincts to the same set).
+            he_t = self.store.table("host_edges")
+            if not he_t.is_empty():
+                he_t.commit(
+                    he_t.read().select("src_host", "dst_host").distinct(),
+                    "replace", {"compact_round": rnd},
+                    coalesce=self.io_coalesce,
+                )
+                if self.expire_keep is not None:
+                    he_t.expire_snapshots(keep_last=self.expire_keep)
+            _mark('host_edges_compaction')
+
         if use_bloom_now and (rnd + 1) % self.compact_every == 0:
             # checkpoint the shards on the same maintenance cadence as
             # compaction/expiry: resume then catches up from the watermark
