@@ -349,3 +349,41 @@ def test_corrupt_bloom_checkpoint_degrades_to_rebuild(spark, tmp_path):
     a = {r["url"] for r in store2.table("seen").read().collect()}
     b = {r["url"] for r in store3.table("seen").read().collect()}
     assert a == b
+
+
+def test_auto_bloom_resume_recounts_seen(spark, tmp_path):
+    """use_bloom='auto' across a kill-and-resume: a fresh engine derives
+    the seen count from the committed table, so a resume that starts
+    past the crossover runs on the bloom path immediately — and the
+    resumed crawl still matches an uninterrupted run bit-for-bit."""
+    from tests.test_crawl_oracle import _pages_df, _run_engine
+    from vyntr_spark.crawl import CrawlEngine
+    from vyntr_spark.synth import default_seeds, generate_pages
+    from vyntr_spark.tables import SnapshotStore
+
+    rows = generate_pages(60, 4, seed=17)
+    seeds = default_seeds(60, 4, k=2)
+    whdir = str(tmp_path / "wh")
+    kw = dict(use_bloom="auto", bloom_crossover_rows=5,
+              bloom_expected_n=10_000)
+    store = SnapshotStore(spark, whdir)
+    eng1 = CrawlEngine(spark, store, _pages_df(spark, rows),
+                       max_pages=10_000, seed=17, **kw)
+    eng1.init_from_seeds(seeds)
+    eng1.run(max_rounds=2)
+
+    store2 = SnapshotStore(spark, whdir)
+    eng2 = CrawlEngine(spark, store2, _pages_df(spark, rows),
+                       max_pages=10_000, seed=17, **kw)
+    # fresh engine has no cached count yet; the first activity check
+    # must read the table (already > crossover) and pick the bloom path
+    assert eng2._seen_rows is None
+    assert eng2._bloom_active() is True
+    assert eng2._seen_rows is not None and eng2._seen_rows > 5
+    eng2.run(max_rounds=50)
+
+    store3, _ = _run_engine(spark, tmp_path / "wh3", rows, seeds,
+                            seed=17, **kw)
+    a = {r["url"] for r in store2.table("seen").read().collect()}
+    b = {r["url"] for r in store3.table("seen").read().collect()}
+    assert a == b
