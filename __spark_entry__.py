@@ -2740,6 +2740,12 @@ _GATE_WINDOW_R4 = [
 # registrations that did not fit the 50-slot window. t_bpe_encode is
 # the sanctioned oracle-less entry (rows-only check — weakest marginal
 # evidence), the other five are single-shuffle sampling/packing shapes.
+# ROUND-5 ROTATION NOTE: after the r4 gate run, the never-driver-checked
+# set is exactly these six plus the two late-r4 registrations
+# p6e_range_filter / p6f_wildcard (both replica-green at sf0.01).
+# The r5 window should front-load those 8 after the two sentinels and
+# can spend the remaining ~40 slots re-confirming the oldest green rows
+# (r1-era) for freshness.
 _GATE_DEFER_R4 = [
     "t_mixture_weights", "t_seq_packing", "t_shard_plan",
     "t_sample_det", "t_sliding_window", "t_bpe_encode",
