@@ -275,35 +275,41 @@ def main() -> None:
         extras["crawl_samples_sec"] = [round(s[0], 3) for s in samples]
         extras["crawl_samples_host_cores"] = hosts
 
-    # -- crawl rounds with the bloom-shard prefilter (C4 scale path) ---------
-    # same best-of sampling as crawl_rounds: a single unlucky host window
-    # here produced a 3x outlier in one round-2 run, so one sample is not
-    # evidence of anything on this host
-    if want("crawl_rounds_bloom"):
+    # -- crawl variants: one shared best-of sampling discipline --------------
+    # (min 2 samples, early stop on 25% agreement in an uncontended
+    # window): a single sample of a crawl variant is not evidence on this
+    # host — one r2 bloom window produced a 3x outlier, and one r4 window
+    # recorded the priority crawl 6x its steady state on background
+    # sys-load alone
+    def _crawl_variant(name, tag, over_frac=0.85, **ckw):
         samples = []
-        hosts = []
-        infos = None
+        hosts_v = []
+        infos_v = None
         for _ in range(3):
-            # min-2 samples before budget trim, same as crawl_rounds
-            if len(samples) >= 2 and over_budget(0.75):
+            if len(samples) >= 2 and over_budget(over_frac):
                 break
             _, (dt_in, infos_s), host = host_sample(
-                lambda: crawl_once(use_bloom=True))
+                lambda: crawl_once(**ckw))
             samples.append(dt_in)
-            hosts.append(host)
-            if infos is None or dt_in <= min(samples):
-                infos = infos_s
+            hosts_v.append(host)
+            if infos_v is None or dt_in <= min(samples):
+                infos_v = infos_s
             if len(samples) >= 2:
                 order = sorted(range(len(samples)), key=lambda i: samples[i])
                 if (samples[order[1]] <= samples[order[0]] * 1.25
-                        and not contended(hosts[order[0]])):
+                        and not contended(hosts_v[order[0]])):
                     break
         dt = min(samples)
-        timings["crawl_rounds_bloom"] = round(dt, 3)
-        fetched = sum(i.selected for i in infos)
-        extras["crawl_bloom_pages_per_sec"] = round(fetched / dt, 2)
-        extras["crawl_bloom_samples_sec"] = [round(s, 3) for s in samples]
-        extras["crawl_bloom_samples_host_cores"] = hosts
+        timings[name] = round(dt, 3)
+        extras[f"crawl_{tag}_pages_per_sec"] = round(
+            sum(i.selected for i in infos_v) / dt, 2)
+        extras[f"crawl_{tag}_samples_sec"] = [round(s, 3) for s in samples]
+        extras[f"crawl_{tag}_samples_host_cores"] = hosts_v
+
+    # -- crawl rounds with the bloom-shard prefilter (C4 scale path) ---------
+    if want("crawl_rounds_bloom"):
+        _crawl_variant("crawl_rounds_bloom", "bloom", over_frac=0.75,
+                       use_bloom=True)
 
     # -- pre-seeded crossover: the bloom path's value regime ------------------
     # (VERDICT r2 "what's wrong" #1: at bench scale the seen table is tiny,
@@ -439,36 +445,6 @@ def main() -> None:
     # -- adaptive-rate crawl (AIMD caps) vs the default, same host window ----
     # measures what the r3 feature COSTS (host_stats commit + caps join
     # per round) on the bench web, where most hosts are healthy
-    def _crawl_variant(name, tag, **ckw):
-        # same best-of discipline as crawl_rounds (min 2 samples, early
-        # stop on 25% agreement in an uncontended window): a single
-        # sample of a crawl variant is not evidence on this host — one
-        # r4 window recorded the priority crawl 6x its steady state on
-        # background sys-load alone
-        samples = []
-        hosts_v = []
-        infos_v = None
-        for _ in range(3):
-            if len(samples) >= 2 and over_budget(0.85):
-                break
-            _, (dt_in, infos_s), host = host_sample(
-                lambda: crawl_once(**ckw))
-            samples.append(dt_in)
-            hosts_v.append(host)
-            if infos_v is None or dt_in <= min(samples):
-                infos_v = infos_s
-            if len(samples) >= 2:
-                order = sorted(range(len(samples)), key=lambda i: samples[i])
-                if (samples[order[1]] <= samples[order[0]] * 1.25
-                        and not contended(hosts_v[order[0]])):
-                    break
-        dt = min(samples)
-        timings[name] = round(dt, 3)
-        extras[f"crawl_{tag}_pages_per_sec"] = round(
-            sum(i.selected for i in infos_v) / dt, 2)
-        extras[f"crawl_{tag}_samples_sec"] = [round(s, 3) for s in samples]
-        extras[f"crawl_{tag}_samples_host_cores"] = hosts_v
-
     if want("crawl_rounds_adaptive"):
         _crawl_variant("crawl_rounds_adaptive", "adaptive", adaptive=True)
 

@@ -432,3 +432,48 @@ def test_wildcard_parse_and_search(spark):
     # wildcard mid-word
     got = {r["doc_id"] for r in search_boolean(idx, "sp*n", k=10).collect()}
     assert got == {1}  # spartan
+
+
+def test_range_malformed_and_boost_edges(spark):
+    """Review regressions: (1) a bracketed token that is not a
+    well-formed range degrades to the field-equality filter the
+    pre-range grammar produced (fail-closed), (2) a '^B' boost suffix
+    on a range parses inert instead of leaking a spurious scoring
+    term, (3) a non-numeric bound on a numeric field matches nothing
+    instead of crashing."""
+    from vyntr_spark.operators import pulse
+    from vyntr_spark.operators.boolquery import (
+        FieldFilter, Not, Or, RangeFilter, Term, parse_boolean,
+        search_boolean,
+    )
+
+    # (1) malformed brackets -> FieldFilter, negation preserved
+    n = parse_boolean("f:[a]")
+    assert isinstance(n, FieldFilter) and (n.name, n.value) == ("f", "[a]")
+    n = parse_boolean("price:[10 20]")  # forgot TO: still one token
+    assert isinstance(n, FieldFilter) and n.value == "[10 20]"
+    n = parse_boolean("-f:[a]")
+    assert isinstance(n, Not) and isinstance(n.child, FieldFilter)
+
+    # (2) boost suffix swallowed with the range token, inert
+    n = parse_boolean("n:[10 TO 20]^2")
+    assert isinstance(n, RangeFilter) and (n.lo, n.hi) == ("10", "20")
+    n = parse_boolean("word n:[10 TO 20]^1.5")
+    assert isinstance(n, Or) and not any(
+        isinstance(c, Term) and c.word in ("2", "1", "5") for c in n.children
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "word alpha", "en", 10), (1, "word beta", "fr", 100)],
+        "doc_id long, text string, lang string, size long",
+    )
+    idx = pulse.build_index(docs, meta_cols=("lang", "size"))
+    # (3) non-numeric bound on numeric column: empty, no crash
+    assert search_boolean(idx, "word size:[low TO high]", k=10).count() == 0
+    assert search_boolean(idx, "word size:[10 TO high]", k=10).count() == 0
+    # well-formed boost-suffixed range still filters and scores sanely
+    got = {r["doc_id"]
+           for r in search_boolean(idx, "word size:[9 TO 50]^2", k=10).collect()}
+    assert got == {0}
+    # malformed-bracket filter on an EXISTING field fails closed
+    assert search_boolean(idx, "word lang:[en]", k=10).count() == 0

@@ -134,9 +134,13 @@ class Or:
 
 
 # the RANGE alternative must precede WORD: `field:[a TO b]` contains a
-# space, which the bare-word class would split at
+# space, which the bare-word class would split at. An optional trailing
+# '^B' boost (valid Lucene range syntax) is swallowed with the token so
+# it cannot leak into a spurious scoring term.
 _TOKEN_RE = re.compile(
-    r'"([^"]*)"|(\()|(\))|([^\s()]+:[\[{][^\]}]*[\]}])|([^\s()]+)'
+    r'"([^"]*)"|(\()|(\))'
+    r'|([^\s()]+:[\[{][^\]}]*[\]}](?:\^\d+(?:\.\d+)?)?)'
+    r'|([^\s()]+)'
 )
 
 
@@ -161,13 +165,23 @@ _RANGE_RE = re.compile(r"^([^:\s]+):([\[{])\s*(.*?)\s+TO\s+(.*?)\s*([\]}])$")
 
 def _range_node(tok: str):
     """Parse `field:[lo TO hi]` (any bracket mix; `*` = unbounded;
-    leading +/- occur prefixes on the field name)."""
+    leading +/- occur prefixes on the field name; a trailing `^B`
+    boost parses and is inert, like FieldFilter's — filters don't
+    score). A bracketed token that is NOT a well-formed range (missing
+    TO, stray brackets) degrades to the plain field-equality token the
+    pre-range grammar produced — fail-CLOSED, never a dropped filter."""
     neg = tok.startswith("-")
     if tok[:1] in "+-":
         tok = tok[1:]
+    bm = re.match(r"^(.*[\]}])\^\d+(?:\.\d+)?$", tok)
+    if bm:
+        tok = bm.group(1)
     m = _RANGE_RE.match(tok)
     if not m:
-        return None
+        node = _Parser._word_node(tok)  # FieldFilter('f', '[a]') shape
+        if node is None:
+            return None
+        return Not(node) if neg else node
     name, lb, lo, hi, rb = m.groups()
     node = RangeFilter(
         name,
@@ -437,6 +451,17 @@ def _eval_docs(node, index: BM25Index, id_col: str) -> DataFrame:
         dt = dict(index.docmeta.dtypes)[node.name]
         numeric = dt in ("tinyint", "smallint", "int", "bigint", "float",
                          "double") or dt.startswith("decimal")
+        if numeric:
+            for v in (node.lo, node.hi):
+                if v is not None:
+                    try:
+                        float(v)
+                    except ValueError:
+                        # non-numeric bound on a numeric field: the
+                        # constraint is unsatisfiable — fail CLOSED
+                        # (empty match), never crash and never silently
+                        # drop the user's restriction
+                        return index.docmeta.limit(0).select(id_col)
 
         def bound(v):
             return F.lit(float(v) if numeric else v)
