@@ -379,7 +379,8 @@ def test_range_parse_forms():
 def test_range_filter_numeric_and_string(spark):
     """Numeric columns compare numerically (so '9' < '10'), string
     columns lexicographically; exclusive bounds exclude the endpoint;
-    an unknown field is a no-op like FieldFilter."""
+    an unknown field fails CLOSED (empty match — a range is an explicit
+    restriction; intentional divergence from FieldFilter's no-op)."""
     from vyntr_spark.operators import pulse
     from vyntr_spark.operators.boolquery import search_boolean
 
@@ -401,7 +402,7 @@ def test_range_filter_numeric_and_string(spark):
     got = {r["doc_id"]
            for r in search_boolean(idx, "word size:[100 TO *]", k=10).collect()}
     assert got == {2, 3}
-    assert search_boolean(idx, "word nosuch:[1 TO 2]", k=10).count() == 4
+    assert search_boolean(idx, "word nosuch:[1 TO 2]", k=10).count() == 0
 
 
 def test_wildcard_parse_and_search(spark):
@@ -414,7 +415,12 @@ def test_wildcard_parse_and_search(spark):
     assert isinstance(n, WildcardTerm) and n.pattern == "spar*"
     n = parse_boolean("f?o^2")
     assert isinstance(n, WildcardTerm) and n.boost == 2.0
-    assert parse_boolean("*") is None  # bare metachar unsupported
+    assert parse_boolean("*") is None  # all-'*' match-all unsupported
+    assert parse_boolean("***") is None
+    # metachar-only '?' runs ARE valid Lucene wildcards (any-N-char
+    # term) and route through the dictionary expansion
+    n = parse_boolean("???")
+    assert isinstance(n, WildcardTerm) and n.pattern == "???"
 
     docs = spark.createDataFrame(
         [(0, "sparks fly upward"), (1, "spartan training"),
@@ -432,6 +438,9 @@ def test_wildcard_parse_and_search(spark):
     # wildcard mid-word
     got = {r["doc_id"] for r in search_boolean(idx, "sp*n", k=10).collect()}
     assert got == {1}  # spartan
+    # '???' matches every 3-char dictionary term ('fly', 'bin')
+    got = {r["doc_id"] for r in search_boolean(idx, "???", k=10).collect()}
+    assert got == {0, 2}
 
 
 def test_range_malformed_and_boost_edges(spark):

@@ -213,3 +213,32 @@ def test_apply_merges_expr_matches_encode_word(spark):
     ).collect()
     for r in out:
         assert list(r["toks"]) == _encode_word(r["w"], merges), r["w"]
+
+
+def test_bpe_encode_matches_committed_fixture(spark):
+    """The committed t_bpe_encode value-oracle fixture
+    (tests/fixtures/bpe_encode_sf001.parquet — computed PURE-PYTHON:
+    re.findall pretokenize + sequential _encode_word, independent of
+    the Spark plan AND of the DuckDB replace-chain oracle) must equal
+    Spark's bpe_encode over the sf0.01 corpus under the fixed merge
+    list. Three independent engines now witness the same values."""
+    import os
+
+    import pandas as pd
+
+    from __spark_entry__ import _BPE_FIXED_MERGES
+    from vyntr_spark.operators.bpe import bpe_encode
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "bpe_encode_sf001.parquet")
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        import pytest
+        pytest.skip("sf0.01 driver tables not present")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (bpe_encode(docs, _BPE_FIXED_MERGES).toPandas()
+           .sort_values("doc_id").reset_index(drop=True)
+           .astype({"doc_id": "int64", "n_pieces": "int64",
+                    "n_tokens": "int64"}))
+    want = pd.read_parquet(fixture)
+    pd.testing.assert_frame_equal(got, want)

@@ -47,10 +47,11 @@ def _canon(df):
 
 QUERIES = sorted(entry_mod.queries().keys())
 
-# Deliberately oracle-less (driver rows-only) entries: iterative-per-word
-# algorithms with exact pure-Python parity tests instead of SQL oracles.
-# Keep this list MINIMAL — adding to it weakens the battery.
-ORACLE_LESS = {"t_bpe_encode"}
+# Deliberately oracle-less (driver rows-only) entries. EMPTY since r5:
+# t_bpe_encode (the last holdout) now carries the replace-chain SQL
+# oracle + a committed pure-Python fixture. Keep it empty — adding to
+# it weakens the battery.
+ORACLE_LESS: set[str] = set()
 
 
 def test_oracle_less_set_is_exact():
@@ -84,3 +85,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert "score" in df.columns and "preview" in df.columns
+
+
+def test_entry_query_time_is_index_only(spark):
+    """The flagship serves from the materialized index: the returned
+    query's plan reads postings/docstats/stats/docmeta parquet only —
+    documents.parquet appearing in it would mean the O(corpus)-per-query
+    shape came back (preview/language must ride the index as stored
+    fields, not a corpus re-join)."""
+    from vyntr_spark.plans import audit
+
+    df = entry_mod.entry(spark)
+    plan = audit.executed_plan(df)
+    assert "documents.parquet" not in plan
+    assert "vyntr_entry_index_" in plan  # it IS the index being read

@@ -96,6 +96,42 @@ def test_pack_sequences_offsets_and_boundaries(spark):
     assert out[4]["start_window"] == 1 and out[4]["end_window"] == 2
 
 
+def test_pack_sequences_sharded_parity_and_plan(spark):
+    """The scale path (shard_col) must (a) reproduce the global pack
+    byte-for-byte on a 1-shard plan, (b) restart each shard's token
+    stream at offset 0, and (c) plan a hash Exchange on the shard key
+    instead of the global form's SinglePartition Exchange."""
+    from vyntr_spark.plans import audit
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    # (a) 1-shard parity: constant shard == the global pack
+    one = sampling.pack_sequences(
+        df.withColumn("shard", F.lit(0)), ctx_len=32, shard_col="shard"
+    ).drop("shard")
+    glob = sampling.pack_sequences(df, ctx_len=32)
+    assert sorted(map(tuple, one.collect())) == \
+        sorted(map(tuple, glob.collect()))
+
+    # (b) per-shard streams: each shard independently packs from 0,
+    # matching the global pack of that shard's rows alone
+    sharded = sampling.shard_plan(df, n_shards=4)
+    packed = sampling.pack_sequences(sharded, ctx_len=32,
+                                     shard_col="shard")
+    got = {(r["shard"], r["doc_id"]): tuple(r)[2:] for r in packed.collect()}
+    for s in range(4):
+        sub = sharded.where(F.col("shard") == s).select("doc_id", "n_tokens")
+        for r in sampling.pack_sequences(sub, ctx_len=32).collect():
+            assert got[(s, r["doc_id"])] == tuple(r)[1:]
+
+    # (c) plan pin: no SinglePartition Exchange in the sharded mode
+    plan = audit.executed_plan(packed)
+    assert "SinglePartition" not in plan, \
+        "sharded pack must partition the window by the shard key"
+    assert "SinglePartition" in audit.executed_plan(glob)  # oracle form
+
+
 def test_shard_plan_deterministic_and_shuffle_free(spark):
     df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
     plan = sampling.shard_plan(df, n_shards=8)

@@ -91,6 +91,48 @@ def test_perform_search_merge(spark, docs):
     assert out["word"][0]["word"] == "spark"  # exact match ranks first
 
 
+def test_perform_search_bliptext_slot(spark, docs):
+    """The W1 fan-out's bliptext slot (search.ts:69-70,93): best title
+    match merged as {type:'bliptext', article} or None, and the full
+    response carries every key of the reference's merged JSON
+    (search.ts:91-99) when all fixture tables are supplied."""
+    from vyntr_spark.serve import search_bliptext
+
+    articles = spark.createDataFrame(
+        [("apache-spark", "Apache Spark", "Spark is a cluster engine."),
+         ("spark-plug", "Spark plug", "Ignition device."),
+         ("zebra", "Zebra", "An animal.")],
+        "slug string, title string, content string",
+    )
+    res = search_bliptext(articles, "apache spark")
+    assert res["bestMatch"]["slug"] == "apache-spark"
+    assert res["scores"][0]["slug"] == "apache-spark"
+    assert all(s["score"] > 0 for s in res["scores"])
+    assert "zebra" not in {s["slug"] for s in res["scores"]}
+    # bliptext.ts:6-8 — sub-2-char queries return empty, never search
+    assert search_bliptext(articles, "x") == {"scores": [],
+                                              "bestMatch": None}
+
+    cache = spark.createDataFrame(
+        [("q", "s", False)], "query string, summary string, is_null boolean"
+    )
+    wordnet = spark.createDataFrame([("spark",)], "word string")
+    out = perform_search(
+        docs, "apache spark", k=3, today=TODAY,
+        summaries=cache, wordnet=wordnet, bliptext=articles,
+    )
+    assert out["bliptext"]["type"] == "bliptext"
+    assert out["bliptext"]["article"]["slug"] == "apache-spark"
+    # reference merged-response keys all present (search.ts:91-99)
+    for key in ("web", "bliptext", "date", "word", "currency",
+                "unitConversion", "ai_summary"):
+        assert key in out, key
+    # no match -> None, mirroring bliptextDetail's null
+    out2 = perform_search(docs, "qqqq", k=1, today=TODAY,
+                          bliptext=articles)
+    assert out2["bliptext"] is None
+
+
 def test_perform_search_bang_short_circuits(spark, docs):
     out = perform_search(docs, "!g spark", today=TODAY)
     assert out["bang"]["redirect"].startswith("https://www.google.com/")

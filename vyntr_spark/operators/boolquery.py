@@ -316,10 +316,14 @@ class _Parser:
             # wildcard term: keep only chars that can appear in a
             # dictionary term plus the two metachars
             pat = re.sub(r"[^a-z0-9*?]", "", val.lower())
-            if pat.strip("*?"):
+            if pat.strip("*"):
+                # any literal char OR at least one '?' — metachar-only
+                # patterns like '???' are valid Lucene wildcards (match
+                # any 3-char term) and the dictionary-expansion regex
+                # path handles them ('?' -> '.')
                 return WildcardTerm(pat, boost=boost)
-            return None  # bare '*' / '?' — matches everything in
-            #              Lucene only as field:*, not supported
+            return None  # all-'*' — matches everything in Lucene only
+            #              as field:*, not supported
         w = re.sub(TOKEN_SPLIT, "", val.lower())
         if not w:
             return None
@@ -446,7 +450,15 @@ def _eval_docs(node, index: BM25Index, id_col: str) -> DataFrame:
         return index.docmeta.filter(cond).select(id_col)
     if isinstance(node, RangeFilter):
         if index.docmeta is None or node.name not in index.docmeta.columns:
-            return index.docstats.select(id_col)  # unknown field: no-op
+            # unknown/typo'd field: fail CLOSED (empty match) like the
+            # non-numeric-bound case below — a range is an explicit
+            # restriction, and matching ALL docs would silently drop it.
+            # Tantivy errors on unknown fields; empty-match is the
+            # non-crashing analog. NB: this intentionally diverges from
+            # FieldFilter's unknown-field no-op (an equality tail is
+            # routinely a literal 'word:like this' in user queries and
+            # must degrade gracefully; bracketed range syntax is not).
+            return index.docstats.limit(0).select(id_col)
         col = F.col(node.name)
         dt = dict(index.docmeta.dtypes)[node.name]
         numeric = dt in ("tinyint", "smallint", "int", "bigint", "float",

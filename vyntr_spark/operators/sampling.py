@@ -234,7 +234,8 @@ def dsir_select(df: DataFrame, target_source: str = "src1",
 
 def pack_sequences(df: DataFrame, ctx_len: int = 2048,
                    token_col: str = "n_tokens",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   shard_col: str | None = None) -> DataFrame:
     """Sequential sequence-packing plan (the public concat-and-chunk
     recipe from GPT/T5 pretraining): lay documents end-to-end in
     ``id_col`` order and cut context windows of ``ctx_len`` tokens.
@@ -243,16 +244,32 @@ def pack_sequences(df: DataFrame, ctx_len: int = 2048,
     ends in, and whether it crosses a boundary (gets split across
     training sequences).
 
-    One window over a single global ordering — at corpus scale this is
-    the one intentionally serial pass (prefix sums need a total
-    order); run it per-shard (partitionBy on a shard key) when exact
-    global concatenation order doesn't matter. Integer math
+    ``shard_col=None`` (the oracle surface) is ONE window over a single
+    global ordering — a prefix sum needs a total order, so Spark plans
+    a SinglePartition Exchange; fine for test-scale oracles, serial at
+    corpus scale. The scale path is ``shard_col='shard'`` composed with
+    :func:`shard_plan`: the window becomes
+    ``partitionBy(shard_col).orderBy(id_col)`` — independent per-shard
+    concatenations (each output shard is its own token stream, exactly
+    how sharded pretraining data is laid out), the Exchange hashes on
+    the shard key, and all shards pack in parallel. The plan pin in
+    test_plans.py asserts the sharded mode has NO SinglePartition
+    Exchange; the parity test asserts a 1-shard plan reproduces the
+    global pack byte-for-byte. Offsets and window ids are then
+    per-shard (each shard's stream restarts at offset 0). Integer math
     end-to-end, so the oracle matches exactly.
     """
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    if shard_col is None:
+        w = Window.orderBy(id_col)
+        extra = []
+    else:
+        w = Window.partitionBy(shard_col).orderBy(id_col)
+        extra = [F.col(shard_col)]
+    w = w.rowsBetween(Window.unboundedPreceding, -1)
     offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     n = F.col(token_col).cast("long")
     return df.select(
+        *extra,
         F.col(id_col).alias("doc_id"),
         n.alias("n_tokens"),
         offset.alias("token_offset"),

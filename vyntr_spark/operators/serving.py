@@ -32,27 +32,36 @@ def autocomplete(df: DataFrame, prefix: str, k: int = 10,
     )
 
 
+def trigram_score(col, query: str):
+    """2-gram-Jaccard similarity Column between ``col`` and a literal
+    query (the pg_trgm stand-in shared by W4 fuzzy lookup and the W1
+    bliptext best-match slot). Pure native exprs, zero shuffle."""
+    def grams(c):
+        n = F.length(c)
+        idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+        return F.array_distinct(
+            F.filter(
+                F.transform(idx, lambda i: c.substr(i, F.lit(2))),
+                lambda g: F.length(g) == 2,
+            )
+        )
+
+    gw, gq = grams(F.lower(col)), grams(F.lower(F.lit(query)))
+    inter = F.size(F.array_intersect(gw, gq))
+    union = F.size(F.array_union(gw, gq))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(
+        F.lit(0.0)
+    )
+
+
 def trigram_similarity(df: DataFrame, query: str, threshold: float = 0.3,
                        k: int = 10, text_col: str = "word") -> DataFrame:
     """W4 (wordnet.ts:20-77): pg_trgm-style fuzzy match. Similarity =
     Jaccard over 2-gram character sets (documented stand-in for pg_trgm's
     padded trigrams). Exact matches first, then similarity desc, limit 10."""
-    def grams(col):
-        n = F.length(col)
-        idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-        return F.array_distinct(
-            F.filter(
-                F.transform(idx, lambda i: col.substr(i, F.lit(2))),
-                lambda g: F.length(g) == 2,
-            )
-        )
-
     w = F.lower(F.col(text_col))
     q = F.lower(F.lit(query))
-    gw, gq = grams(w), grams(q)
-    inter = F.size(F.array_intersect(gw, gq))
-    union = F.size(F.array_union(gw, gq))
-    sim = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    sim = trigram_score(F.col(text_col), query)
     return (
         df.select(
             F.col(text_col),

@@ -38,6 +38,7 @@ from .operators.serving import (
     holiday_occurrence,
     math_eval,
     nth_weekday,
+    trigram_score,
     trigram_similarity,
 )
 
@@ -130,6 +131,43 @@ def parse_bang(q: str) -> dict | None:
             "redirect": template.format(m.group(2).replace(" ", "+"))}
 
 
+def search_bliptext(articles: DataFrame, q: str, k: int = 5) -> dict:
+    """W1 bliptext slot (search.ts:69-70; bliptext.ts:5-29): the
+    reference queries an external bliptext wiki endpoint and merges
+    ``{scores, bestMatch}`` into the response. External HTTP is out of
+    scope here (same sanction as W8's static currency rates), so the
+    analog is a static article-table fixture — columns (slug, title,
+    content) — with a trigram best-match over titles (the pg_trgm
+    2-gram Jaccard shared with W4). Mirrors bliptext.ts exactly at the
+    edges: queries shorter than 2 chars, and any lookup failure, return
+    the empty SearchResults rather than erroring the search
+    (bliptext.ts:6-8,18-26)."""
+    norm = (q or "").strip()
+    if len(norm) < 2:
+        return {"scores": [], "bestMatch": None}
+    try:
+        rows = (
+            articles.select(
+                "slug", "title", "content",
+                F.round(trigram_score(F.col("title"), norm), 4)
+                .alias("score"),
+            )
+            .filter(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col("slug").asc())
+            .limit(k)
+            .collect()
+        )
+    except Exception:
+        return {"scores": [], "bestMatch": None}
+    scores = [{"slug": r["slug"], "title": r["title"],
+               "score": r["score"]} for r in rows]
+    best = None
+    if rows:
+        best = {"slug": rows[0]["slug"], "title": rows[0]["title"],
+                "content": rows[0]["content"]}
+    return {"scores": scores, "bestMatch": best}
+
+
 def perform_search(
     docs: DataFrame,
     q: str,
@@ -140,6 +178,7 @@ def perform_search(
     today: date | None = None,
     summaries: DataFrame | None = None,
     wordnet: DataFrame | None = None,
+    bliptext: DataFrame | None = None,
     query_log=None,
     query_log_compact_every: int = 64,
     text_col: str = "text",
@@ -212,6 +251,15 @@ def perform_search(
             .collect()
         )
         out["ai_summary"] = hit[0]["summary"] if hit else None
+
+    if bliptext is not None:
+        # W1 bliptext fan-out slot (search.ts:69-70): best-match wiki
+        # article merged as {type, article} or None, reference shape
+        res = search_bliptext(bliptext, q)
+        out["bliptext"] = (
+            {"type": "bliptext", "article": res["bestMatch"]}
+            if res["bestMatch"] else None
+        )
 
     if wordnet is not None:
         # W4: trigram fuzzy word lookup (single-word queries only, like
