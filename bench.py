@@ -93,6 +93,40 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # -- clean-window guard (VERDICT r4 "Next round" #2) ---------------------
+    # The r4 per-query artifact was recorded in a hypervisor-contended
+    # window (steal_cores 1.0-1.4 in its own telemetry; 25+ unchanged
+    # plans uniformly 1.3-1.7x slower) and couldn't anchor regressions.
+    # Before the timed region, sample /proc/stat for 1 s with this
+    # process idle: busy cores then = sandbox background load + steal.
+    # If the window reads degraded, wait and re-probe (bounded) so the
+    # artifact lands in a clean window when one exists; every probe
+    # reading is recorded so a still-degraded run is self-describing.
+    def host_busy_probe(sample_s: float = 1.0) -> dict:
+        def ticks():
+            with open("/proc/stat") as f:
+                p = f.readline().split()
+            busy = sum(int(x) for x in p[1:4]) + int(p[6]) + int(p[7])
+            return busy, int(p[8])
+        hz = os.sysconf("SC_CLK_TCK")
+        b0, s0 = ticks()
+        time.sleep(sample_s)
+        b1, s1 = ticks()
+        return {"busy_cores": round((b1 - b0) / hz / sample_s, 1),
+                "steal_cores": round((s1 - s0) / hz / sample_s, 1)}
+
+    probes = [host_busy_probe()]
+    waits = int(os.environ.get("BENCH_CLEAN_WINDOW_RETRIES", "4"))
+    while (waits > 0 and (probes[-1]["busy_cores"] > 4.0
+                          or probes[-1]["steal_cores"] > 0.5)):
+        time.sleep(20)
+        probes.append(host_busy_probe())
+        waits -= 1
+    extras["window_probe"] = probes
+    extras["window_clean_at_start"] = bool(
+        probes[-1]["busy_cores"] <= 4.0
+        and probes[-1]["steal_cores"] <= 0.5)
+
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
     t_bench0 = time.monotonic()
 
@@ -159,9 +193,11 @@ def main() -> None:
 
     pages = spark.read.schema(PAGES).parquet(pages_path)
 
-    def crawl_once(use_bloom: bool = False, budget: int | None = None,
+    def crawl_once(use_bloom: bool | str = False, budget: int | None = None,
                    seed_k: int | None = None,
                    preseed_path: str | None = None,
+                   preseed_n: int | None = None,
+                   prebuild_bloom: bool | None = None,
                    adaptive: bool = False,
                    priority: bool = False) -> tuple[float, list]:
         import shutil
@@ -176,10 +212,13 @@ def main() -> None:
         store = SnapshotStore(spark, whdir)
         kw = {}
         if use_bloom:
+            # True or 'auto' both need a sized filter; 'auto' passes the
+            # mode through so the ENGINE makes the cost-based pick
             expected = max(n_pages * 4, 100_000)
             if preseed_path:
-                expected += int(os.environ.get("BENCH_PRESEED_N", "40000000"))
-            kw = dict(use_bloom=True, bloom_expected_n=expected)
+                expected += preseed_n or int(
+                    os.environ.get("BENCH_PRESEED_N", "40000000"))
+            kw = dict(use_bloom=use_bloom, bloom_expected_n=expected)
         if adaptive:
             kw["adaptive_rate"] = True
         if priority:
@@ -202,7 +241,9 @@ def main() -> None:
                 F.hash("url").alias("url_hash"), "url")
             store.table("seen").commit(pre, "append", {"stage": "preseed"},
                                        coalesce=cpus)
-            if use_bloom:
+            build = (use_bloom is True if prebuild_bloom is None
+                     else prebuild_bloom)
+            if build:
                 # one-time build, checkpointed: the engine loads it and
                 # catches up from the watermark — the amortized steady
                 # state (a live crawl extends shards incrementally and
@@ -232,7 +273,8 @@ def main() -> None:
     # (gated on the entries that actually exercise those paths, so a
     # BENCH_QUERIES subset doesn't pay a crawl it will never time)
     if (want("crawl_rounds") or want("crawl_rounds_bloom")
-            or want("crawl_preseeded_exact") or want("crawl_preseeded_bloom")):
+            or (only_set is None)
+            or any(n.startswith("crawl_preseeded") for n in only_set)):
         crawl_once(budget=max(n_pages // 10, 500),
                    seed_k=max(n_hosts // 10, 50))
     if want("crawl_rounds") or want("crawl_rounds_bloom") or want("extract_all"):
@@ -320,57 +362,90 @@ def main() -> None:
     # confirms survivors with the broadcast flip, never shuffling seen.
     # One sample each, back-to-back in the same host window (the careful
     # per-size curve is BENCH/bloom_crossover.py → BENCH/BASELINE.md).
-    if want("crawl_preseeded_exact") or want("crawl_preseeded_bloom"):
+    _preseed_names = ("crawl_preseeded_exact", "crawl_preseeded_bloom",
+                      "crawl_preseeded_auto", "crawl_preseeded_exact_10m",
+                      "crawl_preseeded_auto_10m")
+    if any(want(n) for n in _preseed_names):
         import shutil as _sh
         import tempfile as _tf
+
+        def _preseed_parquet(n_pre: int) -> str:
+            path = _tf.mkdtemp(prefix="bench_preseed_",
+                               dir=local_scratch_dir())
+            (spark.range(n_pre, numPartitions=cpus)
+             .select(F.concat(
+                 F.lit("https://h"),
+                 (F.col("id") % 500_000).cast("string"),
+                 F.lit(".preseed.example/p/"),
+                 F.col("id").cast("string")).alias("url"))
+             .write.mode("overwrite").parquet(path))
+            return path
+
+        def _preseed_ab(n_pre: int, arms: list, over_frac: float) -> None:
+            """Interleaved best-of-2 across the given arms, one shared
+            preseed table, every sample in the same host window — the
+            same discipline crawl_rounds uses. ``arms`` entries are
+            (label, crawl_once kwargs)."""
+            pre_path = _preseed_parquet(n_pre)
+            pair_samples = {lbl: [] for lbl, _ in arms}
+            pair_hosts = {lbl: [] for lbl, _ in arms}
+            pair_infos = {lbl: None for lbl, _ in arms}
+            for _round_i in range(2):
+                if _round_i > 0 and over_budget(over_frac):
+                    break
+                for label, kwargs in arms:
+                    if not want(f"crawl_preseeded_{label}"):
+                        continue
+                    _, (dt_in, infos_p), host = host_sample(
+                        lambda kw=kwargs: crawl_once(
+                            preseed_path=pre_path, preseed_n=n_pre, **kw))
+                    pair_samples[label].append(dt_in)
+                    pair_hosts[label].append(host)
+                    if (pair_infos[label] is None
+                            or dt_in <= min(pair_samples[label])):
+                        pair_infos[label] = infos_p
+            for label, _ in arms:
+                if not pair_samples[label]:
+                    continue
+                dt_in = min(pair_samples[label])
+                infos_p = pair_infos[label]
+                timings[f"crawl_preseeded_{label}"] = round(dt_in, 3)
+                extras[f"crawl_preseeded_{label}_pages_per_sec"] = round(
+                    sum(i.selected for i in infos_p) / dt_in, 2)
+                extras[f"crawl_preseeded_{label}_samples_sec"] = [
+                    round(s, 3) for s in pair_samples[label]]
+                extras[f"crawl_preseeded_{label}_host_cores"] = \
+                    pair_hosts[label]
+            _sh.rmtree(pre_path, ignore_errors=True)
 
         # 100M: well above the measured operator-level crossover (bloom
         # wins 1.5x at 40M, 4.4x at 100M — BENCH/BASELINE.md curve). The
         # r3 artifact recorded the A/B at 40M as single samples and a
         # bad host window flipped the sign; 100M puts the margin beyond
-        # any observed window, and the pairs below are INTERLEAVED
-        # (exact, bloom, exact, bloom) best-of-2 so both paths see the
-        # same host conditions — the same discipline crawl_rounds uses.
+        # any observed window. The r5 'auto' arm runs use_bloom='auto'
+        # with the bloom checkpoint prebuilt (same steady state as the
+        # bloom arm): above the 40M crossover the engine must pick the
+        # bloom path, so auto ≈ bloom here proves the cost-based pick on
+        # the bloom side (VERDICT r4 "Next round" #6).
         n_pre = int(os.environ.get("BENCH_PRESEED_N", "100000000"))
-        pre_path = _tf.mkdtemp(prefix="bench_preseed_",
-                               dir=local_scratch_dir())
-        (spark.range(n_pre, numPartitions=cpus)
-         .select(F.concat(
-             F.lit("https://h"),
-             (F.col("id") % 500_000).cast("string"),
-             F.lit(".preseed.example/p/"),
-             F.col("id").cast("string")).alias("url"))
-         .write.mode("overwrite").parquet(pre_path))
-        pair_samples: dict[str, list] = {"exact": [], "bloom": []}
-        pair_hosts: dict[str, list] = {"exact": [], "bloom": []}
-        pair_infos: dict[str, list] = {"exact": None, "bloom": None}
-        for _round_i in range(2):
-            if _round_i > 0 and over_budget(0.85):
-                break
-            for label, kwargs in (("exact", {}),
-                                  ("bloom", {"use_bloom": True})):
-                if not want(f"crawl_preseeded_{label}"):
-                    continue
-                _, (dt_in, infos_p), host = host_sample(
-                    lambda kw=kwargs: crawl_once(preseed_path=pre_path,
-                                                 **kw))
-                pair_samples[label].append(dt_in)
-                pair_hosts[label].append(host)
-                if pair_infos[label] is None or dt_in <= min(pair_samples[label]):
-                    pair_infos[label] = infos_p
-        for label in ("exact", "bloom"):
-            if not pair_samples[label]:
-                continue
-            dt_in = min(pair_samples[label])
-            infos_p = pair_infos[label]
-            timings[f"crawl_preseeded_{label}"] = round(dt_in, 3)
-            extras[f"crawl_preseeded_{label}_pages_per_sec"] = round(
-                sum(i.selected for i in infos_p) / dt_in, 2)
-            extras[f"crawl_preseeded_{label}_samples_sec"] = [
-                round(s, 3) for s in pair_samples[label]]
-            extras[f"crawl_preseeded_{label}_host_cores"] = pair_hosts[label]
+        _preseed_ab(n_pre, [
+            ("exact", {}),
+            ("bloom", {"use_bloom": True}),
+            ("auto", {"use_bloom": "auto", "prebuild_bloom": True}),
+        ], over_frac=0.85)
         extras["preseed_n"] = n_pre
-        _sh.rmtree(pre_path, ignore_errors=True)
+
+        # 10M: well BELOW the crossover — the engine's auto pick must
+        # stay on the exact anti-join (no bloom build, no flag pass), so
+        # auto ≈ exact here proves the pick on the exact side. Separate
+        # window from the 100M set; arms interleaved within it.
+        n_pre_small = int(os.environ.get("BENCH_PRESEED_SMALL_N",
+                                         "10000000"))
+        _preseed_ab(n_pre_small, [
+            ("exact_10m", {}),
+            ("auto_10m", {"use_bloom": "auto", "prebuild_bloom": False}),
+        ], over_frac=0.9)
+        extras["preseed_small_n"] = n_pre_small
 
     # -- index-served BM25 (P5 build once, P8 serve without corpus scan) -----
     if want("p8b_bm25_serve"):

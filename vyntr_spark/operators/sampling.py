@@ -253,9 +253,9 @@ def pack_sequences(df: DataFrame, ctx_len: int = 2048,
     concatenations (each output shard is its own token stream, exactly
     how sharded pretraining data is laid out), the Exchange hashes on
     the shard key, and all shards pack in parallel. The plan pin in
-    test_plans.py asserts the sharded mode has NO SinglePartition
-    Exchange; the parity test asserts a 1-shard plan reproduces the
-    global pack byte-for-byte. Offsets and window ids are then
+    tests/test_sampling.py asserts the sharded mode has NO
+    SinglePartition Exchange; the parity test asserts a 1-shard plan
+    reproduces the global pack byte-for-byte. Offsets and window ids are then
     per-shard (each shard's stream restarts at offset 0). Integer math
     end-to-end, so the oracle matches exactly.
     """
