@@ -163,7 +163,16 @@ def entry(spark: SparkSession) -> DataFrame:
     cleaned = cleaner.drop_empty(cleaner.clean_documents(docs))
     safe = pulse.nsfw_flag(cleaned, NSFW_SET).filter(~F.col("nsfw"))
     enriched = pulse.preview(pulse.lang_default(safe), "cleaned_text")
-    idx_dir = tempfile.mkdtemp(prefix="vyntr_entry_index_")
+    # fixed parent (cleared each call — no tempdir accumulation across
+    # repeated driver/test invocations) + a UNIQUE child for the write:
+    # re-writing the same path trips Spark's session-global
+    # FileStatusCache (stale listing -> FILE_NOT_EXIST on the re-read)
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), "vyntr_entry_index")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    idx_dir = tempfile.mkdtemp(prefix="idx", dir=base)
     # preview + language ride the index as docmeta (the stored-field
     # half of a Tantivy segment) so query time touches ONLY index files
     pulse.materialize_index(enriched, idx_dir, text_col="cleaned_text",
@@ -339,6 +348,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _sv.rrf_fuse(ranked(BM25_QUERY), ranked(RRF_QUERY_B))
 
     q["w13_rrf_fusion"] = w13
+
+    def w14(s, sf):
+        # r5: the W1 bliptext slot's matcher (search.ts:69-70 merges an
+        # external wiki best-match; serve.search_bliptext is the
+        # fixture-table analog) as a driver-checkable query: articles
+        # derived deterministically from documents (title = first 40
+        # chars), scored by the shared pg_trgm stand-in (2-gram Jaccard,
+        # serving.trigram_score), top-5 by (score desc, doc_id) — the
+        # exact ordering search_bliptext serves.
+        from vyntr_spark.operators.serving import trigram_score
+
+        arts = _docs(s, sf).select(
+            "doc_id",
+            F.substring(F.coalesce("text", F.lit("")), 1, 40)
+            .alias("title"),
+        )
+        return (
+            arts.select(
+                "doc_id", "title",
+                F.round(trigram_score(F.col("title"),
+                                      "the quick brown fox"), 4)
+                .alias("score"),
+            )
+            .filter(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(5)
+        )
+
+    q["w14_bliptext_match"] = w14
 
     # P12 (extension): per-doc tf·idf keyword extraction — exact-long
     # ranking key (micro-nat idf), so the top-k SET is cross-engine
@@ -2039,6 +2077,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textstats.token_count(_docs(s, sf)), ctx_len=2048
     )
 
+    # r5: the SCALE path of sequence packing — shard_plan composes with
+    # pack_sequences(shard_col=...): per-shard prefix sums over
+    # hash-dealt shards, hash Exchange instead of the global form's
+    # SinglePartition (the plan pin + 1-shard parity live in
+    # tests/test_sampling.py). Oracled value-for-value: offsets/windows
+    # restart per shard.
+    q["t_seq_packing_sharded"] = lambda s, sf: sampling.pack_sequences(
+        sampling.shard_plan(textstats.token_count(_docs(s, sf)),
+                            n_shards=8),
+        ctx_len=2048, shard_col="shard",
+    )
+
     # deterministic output sharding: 32-shard manifest (doc counts,
     # char weights, write-order bounds) — checks every doc's hash-shard
     # assignment through the aggregates
@@ -3025,6 +3075,26 @@ SELECT doc_id, round(sum(contrib), 4) AS score FROM (
         "SELECT doc_id, round(s, 6) AS rrf_score FROM j "
         "ORDER BY s DESC, doc_id LIMIT 10"
     )
+
+    # W14: 2-gram-Jaccard best match (the pg_trgm stand-in shared by W4
+    # and the bliptext slot) — list comprehension builds the distinct
+    # bigram sets, Jaccard = |∩| / |∪|, exact small-int division
+    o["w14_bliptext_match"] = """
+WITH a AS (SELECT doc_id, substr(coalesce(text, ''), 1, 40) AS title
+  FROM documents),
+g AS (SELECT doc_id, title,
+  list_distinct([substr(lower(title), i, 2)
+                 for i in range(1, greatest(len(title), 1))]) AS gw
+ FROM a),
+qq AS (SELECT list_distinct([substr('the quick brown fox', i, 2)
+                 for i in range(1, 19)]) AS gq),
+s AS (SELECT doc_id, title,
+  round(CAST(len(list_intersect(gw, gq)) AS DOUBLE)
+        / len(list_distinct(list_concat(gw, gq))), 4) AS score
+ FROM g, qq)
+SELECT doc_id, title, score FROM s WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 5
+"""
 
     # P4 full domain semantics: replicate the Rust trim_start_matches
     # chain (repeated http:// then https:// then www.) + first-'/' split
@@ -4868,6 +4938,24 @@ c AS (SELECT doc_id, n,
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
  FROM tk)
 SELECT doc_id, n AS n_tokens, off AS token_offset,
+ CAST(off // 2048 AS BIGINT) AS start_window,
+ CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS end_window,
+ (off // 2048) <> ((off + greatest(n, 1) - 1) // 2048) AS crosses_boundary
+FROM c
+"""
+
+    # sharded packing: same integer math, window PARTITION BY the
+    # 60-bit-md5 shard key (mod 8, matching shard_plan's _key_hash)
+    o["t_seq_packing_sharded"] = f"""
+WITH tk AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n,
+  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       AS BIGINT) % 8 AS INT) AS shard
+ FROM documents),
+c AS (SELECT shard, doc_id, n,
+  CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+ FROM tk)
+SELECT shard, doc_id, n AS n_tokens, off AS token_offset,
  CAST(off // 2048 AS BIGINT) AS start_window,
  CAST((off + greatest(n, 1) - 1) // 2048 AS BIGINT) AS end_window,
  (off // 2048) <> ((off + greatest(n, 1) - 1) // 2048) AS crosses_boundary

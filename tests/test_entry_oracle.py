@@ -98,4 +98,4 @@ def test_entry_query_time_is_index_only(spark):
     df = entry_mod.entry(spark)
     plan = audit.executed_plan(df)
     assert "documents.parquet" not in plan
-    assert "vyntr_entry_index_" in plan  # it IS the index being read
+    assert "vyntr_entry_index" in plan  # it IS the index being read

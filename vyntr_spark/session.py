@@ -58,6 +58,39 @@ def local_scratch_dir() -> str | None:
     return None
 
 
+#: Iceberg runtime coordinates for the production path (SURVEY.md §0:
+#: no jar ships in this offline sandbox, so the SnapshotTable parquet
+#: fallback serves all tests/bench; a cluster deployment passes these
+#: via ``get_spark(extra=iceberg_configs(...))`` or spark-submit
+#: ``--packages``). Version pair matches pyspark 4.1 / Scala 2.13.
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:1.10.0"
+
+
+def iceberg_configs(catalog: str = "vyntr",
+                    warehouse: str = "/warehouse",
+                    impl: str = "hadoop") -> dict[str, str]:
+    """Config map enabling an Iceberg catalog on a session — the
+    production storage target the SnapshotTable fallback stands in for
+    (tables.py module docstring). Pure config construction: safe to
+    build and assert offline (tests/test_spark_submit.py smoke-checks
+    it so the flag path can't bit-rot), only the jar download needs a
+    network. ``impl`` is 'hadoop' (path-based, the bench analog) or
+    'rest' (catalog server; set ``spark.sql.catalog.<name>.uri`` too).
+    """
+    cat = f"spark.sql.catalog.{catalog}"
+    cfg = {
+        "spark.jars.packages": ICEBERG_PACKAGE,
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions",
+        cat: "org.apache.iceberg.spark.SparkCatalog",
+        f"{cat}.type": impl,
+    }
+    if impl == "hadoop":
+        cfg[f"{cat}.warehouse"] = warehouse
+    return cfg
+
+
 def get_spark(
     app_name: str = "vyntr-spark",
     master: str | None = None,
