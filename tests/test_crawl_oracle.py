@@ -250,3 +250,82 @@ def test_seed_quirks_normalize_false(spark, tmp_path, tiny_web):
     store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7,
                                normalize_seeds=False)
     _assert_parity(store, infos, orc, rows)
+
+
+def test_priority_mode_parity(spark, tmp_path, tiny_web):
+    """priority_frontier=True vs the sequential priority oracle
+    (oracle.py priority=True): identical per-round fetch sets, crawl
+    ordering, expansion, seen set and analyses — the OPIC-style
+    (priority desc, round, url) politeness+budget order re-specified
+    sequentially, edges visible from the next round on."""
+    rows, seeds = tiny_web
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=7,
+                     priority=True)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=7,
+                               priority_frontier=True)
+    _assert_parity(store, infos, orc, rows)
+
+
+def test_priority_mode_parity_budget_bound(spark, tmp_path):
+    """Priority parity in the regime the mode exists for: the page
+    budget binds every round, so the budget cut IS the priority queue
+    (cross-host authority pick). A hub host with many backlink hosts
+    must be crawled ahead of BFS order on BOTH sides, identically."""
+    rows = generate_pages(120, 8, seed=11)
+    seeds = default_seeds(120, 8, k=4)
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=40, seed=11,
+                     priority=True)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=11,
+                               max_pages=40, priority_frontier=True)
+    _assert_parity(store, infos, orc, rows)
+    # (behavioral divergence from BFS under authority skew is proven
+    # separately on a crafted hub web —
+    # test_scheduling.py::test_priority_frontier_budget_cut_prefers_authority;
+    # on this symmetric synthetic web the fetch SETS can coincide, and
+    # the value here is the order/expansion/seen parity above)
+
+
+def test_priority_mode_parity_hub_web(spark, tmp_path):
+    """Priority parity on a web where the mode GENUINELY reorders: 6
+    hosts, every non-hub page links 3 hub pages, budget binds in round
+    1 — the engine and the sequential priority oracle must both crawl
+    the authoritative hub ahead of BFS order, identically, and the
+    priority crawl must diverge from the BFS oracle (non-vacuous)."""
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    hosts = [f"h{i}.example" for i in range(5)] + ["hub.example"]
+
+    def u(host, i):
+        return f"http://{host}/p{i}.html"
+
+    rows = []
+    for host in hosts:
+        for i in range(4):
+            if host == "hub.example":
+                links = "".join(f'<a href="{u(host, j)}">l</a>'
+                                for j in (1, 2, 3))
+            else:
+                links = ("".join(f'<a href="{u("hub.example", j)}">l</a>'
+                                 for j in (1, 2, 3))
+                         + "".join(f'<a href="{u(host, j)}">s</a>'
+                                   for j in (1, 2, 3)))
+            html = f"<html><body><p>pg</p>{links}</body></html>"
+            rows.append({
+                "url": u(host, i), "warc_ts": ts,
+                "html": bytearray(html.encode()), "text": "pg",
+                "lang": "en", "content_type": "text/html",
+                "status": 200, "body_marker": "",
+            })
+    seeds = [u(h, 0) for h in hosts]
+
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=12, seed=3,
+                     priority=True)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=3,
+                               max_pages=12, priority_frontier=True)
+    _assert_parity(store, infos, orc, rows)
+    # non-vacuous: the priority oracle's round-1 set differs from BFS
+    bfs = run_oracle(_pages_map(rows), seeds, max_pages=12, seed=3)
+    hub_urls = {u("hub.example", j) for j in (1, 2, 3)}
+    assert hub_urls <= set(orc.rounds[1].selected)
+    assert not (hub_urls & set(bfs.rounds[1].selected))

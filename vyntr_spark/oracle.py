@@ -68,8 +68,26 @@ def run_oracle(
     max_rounds: int = 1_000,
     normalize_seeds: bool = True,
     robots: dict[str, list[str]] | None = None,
+    priority: bool = False,
+    w_backlinks: float = 1.0,
+    w_depth: float = 0.5,
 ) -> CrawlResult:
-    """pages: url -> row dict with keys html/text/content_type/status/body_marker."""
+    """pages: url -> row dict with keys html/text/content_type/status/body_marker.
+
+    ``priority=True`` simulates the engine's opt-in OPIC-style frontier
+    mode (crawl.py priority_frontier; operators/scheduling.py
+    with_frontier_priority) sequentially: every frontier row scores
+    ``round(w_backlinks * ln(1 + backlink_hosts) - w_depth * depth, 6)``
+    where backlink_hosts counts distinct OTHER hosts with an extracted
+    cross-host link to this host in rounds < the current one (the
+    engine's host_edges table, committed per round after fetch), and
+    both the per-host politeness pick AND the page-budget cut order by
+    (priority desc, round, url) instead of BFS (round, url). Host keys
+    mirror the engine exactly: edges use the raw lowercased hostname
+    (parse_url HOST), the frontier join key is the canonical domain."""
+    import math
+    from urllib.parse import urlsplit
+
     robots = robots or {}
     res = CrawlResult()
     seen = res.seen
@@ -93,12 +111,36 @@ def run_oracle(
             continue
         frontier.append((0, norm, host, 0))
 
+    edges: set[tuple[str, str]] = set()  # priority mode: host_edges twin
+
+    def host_of(u: str) -> str | None:
+        try:
+            h = urlsplit(u).hostname
+        except ValueError:
+            return None
+        return h.lower() if h else None
+
     for rnd in range(max_rounds):
         remaining = max_pages - res.pages_count
         if remaining <= 0 or not frontier:
             break
-        # -- politeness sweep: first cap per host by (round, url) (N4) ------
-        frontier.sort(key=lambda e: (e[0], e[1]))
+        # -- politeness sweep: first cap per host by (round, url) (N4);
+        # priority mode orders by (priority desc, round, url) instead,
+        # with priority from the PREVIOUS rounds' edge history ----------
+        if priority:
+            indeg: dict[str, int] = {}
+            for _src, dst in edges:
+                indeg[dst] = indeg.get(dst, 0) + 1
+
+            def key(e):
+                pri = round(
+                    w_backlinks * math.log1p(indeg.get(e[2], 0))
+                    - w_depth * e[3], 6)
+                return (-pri, e[0], e[1])
+        else:
+            def key(e):
+                return (e[0], e[1])
+        frontier.sort(key=key)
         per_host: dict[str, int] = {}
         candidates: list[tuple[int, str, str, int]] = []
         for e in frontier:
@@ -106,7 +148,7 @@ def run_oracle(
             if per_host.get(host, 0) < MAX_PER_DOMAIN:
                 per_host[host] = per_host.get(host, 0) + 1
                 candidates.append(e)
-        selected = candidates[:remaining]  # budget in (round, url) order
+        selected = candidates[:remaining]  # budget cut in the same order
         res.pages_count += len(selected)
         sel_set = {e[1] for e in selected}
         frontier = [e for e in frontier if e[1] not in sel_set]
@@ -149,6 +191,16 @@ def run_oracle(
                     "_raw_text": parsed.content_text,
                 }
             )
+            if priority:
+                # engine's _commit_host_edges twin: distinct cross-host
+                # pairs from this round's successful extractions, raw
+                # lowercased hostnames, visible from the NEXT round on
+                src_h = host_of(url)
+                if src_h:
+                    for link in parsed.links:
+                        dst_h = host_of(link)
+                        if dst_h and dst_h != src_h:
+                            edges.add((src_h, dst_h))
             for link in parsed.links:  # already canonical + sorted (N2)
                 norm = try_normalize(link)
                 if norm is None or try_domain(norm) is None:
