@@ -329,3 +329,56 @@ def test_priority_mode_parity_hub_web(spark, tmp_path):
     hub_urls = {u("hub.example", j) for j in (1, 2, 3)}
     assert hub_urls <= set(orc.rounds[1].selected)
     assert not (hub_urls & set(bfs.rounds[1].selected))
+
+
+def test_adaptive_rate_parity(spark, tmp_path):
+    """adaptive_rate=True vs the sequential AIMD oracle
+    (oracle.py adaptive=True): the synthetic web carries 403s,
+    Cloudflare markers and non-HTML content types, so failing hosts get
+    throttled caps — per-round fetch sets, ordering, expansion and seen
+    set must match exactly, including the window arithmetic and the
+    policy-outcome exclusions."""
+    rows = generate_pages(100, 5, seed=13)
+    seeds = default_seeds(100, 5, k=5)
+    # non-vacuous: the web actually contains fetch-health failures
+    assert any(r["status"] == 403 or (r["body_marker"] or "") != ""
+               for r in rows)
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=13,
+                     adaptive=True)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=13,
+                               adaptive_rate=True)
+    _assert_parity(store, infos, orc, rows)
+    # and the throttle engaged somewhere: some round selects fewer URLs
+    # for a host than plain BFS politeness would
+    bfs = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=13)
+    assert [r.selected for r in orc.rounds] != \
+        [r.selected for r in bfs.rounds]
+
+
+def test_adaptive_rate_parity_all_healthy_identical(spark, tmp_path,
+                                                    tiny_web):
+    """On an all-success web the AIMD controller must be a no-op: the
+    adaptive oracle equals the plain oracle bit-for-bit (the engine-side
+    twin of test_scheduling's all-success invariance)."""
+    rows, seeds = tiny_web
+    healthy = [dict(r, status=200, body_marker="", content_type="text/html")
+               for r in rows]
+    a = run_oracle(_pages_map(healthy), seeds, max_pages=10_000, seed=7,
+                   adaptive=True)
+    b = run_oracle(_pages_map(healthy), seeds, max_pages=10_000, seed=7)
+    assert [(r.selected, r.new_urls) for r in a.rounds] == \
+        [(r.selected, r.new_urls) for r in b.rounds]
+
+
+def test_priority_plus_adaptive_parity(spark, tmp_path):
+    """Both opt-in modes together: authority-ordered politeness under
+    AIMD caps — the oracle composes key-order and per-host caps the
+    same way politeness_select does (the containment argument holds for
+    any order × any cap), so parity must hold with both flags on."""
+    rows = generate_pages(100, 5, seed=17)
+    seeds = default_seeds(100, 5, k=5)
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=17,
+                     priority=True, adaptive=True)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=17,
+                               priority_frontier=True, adaptive_rate=True)
+    _assert_parity(store, infos, orc, rows)

@@ -71,6 +71,8 @@ def run_oracle(
     priority: bool = False,
     w_backlinks: float = 1.0,
     w_depth: float = 0.5,
+    adaptive: bool = False,
+    rate_window: int = 3,
 ) -> CrawlResult:
     """pages: url -> row dict with keys html/text/content_type/status/body_marker.
 
@@ -84,7 +86,16 @@ def run_oracle(
     both the per-host politeness pick AND the page-budget cut order by
     (priority desc, round, url) instead of BFS (round, url). Host keys
     mirror the engine exactly: edges use the raw lowercased hostname
-    (parse_url HOST), the frontier join key is the canonical domain."""
+    (parse_url HOST), the frontier join key is the canonical domain.
+
+    ``adaptive=True`` simulates the engine's AIMD politeness mode
+    (crawl.py adaptive_rate; operators/scheduling.py
+    adaptive_caps_from_stats): round r's per-host cap is
+    ``max(1, floor(MAX_PER_DOMAIN * successes / attempts))`` summed over
+    the host's stats rows with round in (r-1-window, r-1], where a
+    round's stats count only FETCH-HEALTH outcomes (robots_blocked and
+    skipped_ct are policy signals, excluded); hosts absent from the
+    window keep the base cap."""
     import math
     from urllib.parse import urlsplit
 
@@ -112,6 +123,8 @@ def run_oracle(
         frontier.append((0, norm, host, 0))
 
     edges: set[tuple[str, str]] = set()  # priority mode: host_edges twin
+    # adaptive mode: host_stats twin — (host, round) -> (attempts, succ)
+    host_stats: dict[tuple[str, int], tuple[int, int]] = {}
 
     def host_of(u: str) -> str | None:
         try:
@@ -140,12 +153,25 @@ def run_oracle(
         else:
             def key(e):
                 return (e[0], e[1])
+        caps: dict[str, int] = {}
+        if adaptive:
+            # adaptive_caps_from_stats twin: window (r-1-W, r-1]
+            agg: dict[str, list[int]] = {}
+            for (h, r_), (att, suc) in host_stats.items():
+                if (rnd - 1) - rate_window < r_ <= rnd - 1:
+                    a = agg.setdefault(h, [0, 0])
+                    a[0] += att
+                    a[1] += suc
+            caps = {
+                h: max(1, (MAX_PER_DOMAIN * suc) // att)
+                for h, (att, suc) in agg.items() if att
+            }
         frontier.sort(key=key)
         per_host: dict[str, int] = {}
         candidates: list[tuple[int, str, str, int]] = []
         for e in frontier:
             host = e[2]
-            if per_host.get(host, 0) < MAX_PER_DOMAIN:
+            if per_host.get(host, 0) < caps.get(host, MAX_PER_DOMAIN):
                 per_host[host] = per_host.get(host, 0) + 1
                 candidates.append(e)
         selected = candidates[:remaining]  # budget cut in the same order
@@ -206,6 +232,17 @@ def run_oracle(
                 if norm is None or try_domain(norm) is None:
                     continue
                 children.add(norm)
+
+        if adaptive:
+            # _commit_host_stats twin: per-host fetch-health aggregates
+            # for the NEXT rounds' caps (policy outcomes excluded)
+            for _, url, host, _d in order:
+                oc = rr.outcomes[url]
+                if oc in ("robots_blocked", "skipped_ct"):
+                    continue
+                att, suc = host_stats.get((host, rnd), (0, 0))
+                host_stats[(host, rnd)] = (
+                    att + 1, suc + (1 if oc == SUCCESS else 0))
 
         # -- expansion: dedup vs seen, N5 lexicographic discovery order ------
         new = sorted(c for c in children if c not in seen)
