@@ -387,6 +387,11 @@ def main() -> None:
             same discipline crawl_rounds uses. ``arms`` entries are
             (label, crawl_once kwargs)."""
             pre_path = _preseed_parquet(n_pre)
+            # untimed warm pass: the FIRST arm otherwise pays the cold
+            # read of the just-written preseed parquet alone (observed:
+            # exact_10m 19.1 s vs auto_10m 13.2 s on the same path in
+            # the same window — ordering, not engine)
+            spark.read.parquet(pre_path).count()
             pair_samples = {lbl: [] for lbl, _ in arms}
             pair_hosts = {lbl: [] for lbl, _ in arms}
             pair_infos = {lbl: None for lbl, _ in arms}

@@ -486,3 +486,32 @@ def test_range_malformed_and_boost_edges(spark):
     assert got == {0}
     # malformed-bracket filter on an EXISTING field fails closed
     assert search_boolean(idx, "word lang:[en]", k=10).count() == 0
+
+
+def test_wildcard_expand_matches_fnmatch_reference(spark):
+    """Differential check of the wildcard->regex translation
+    (_wildcard_expand) against Python's fnmatch semantics over a
+    generated pattern zoo — including the r5 metachar-only '?' runs,
+    leading '*', interior runs, and mixed literals. The dictionary is
+    fixed; for every pattern the expansion must equal the fnmatch
+    filter of the dictionary (both: '*' = any run, '?' = exactly one
+    char, case-folded terms)."""
+    import fnmatch
+
+    from vyntr_spark.operators import pulse
+    from vyntr_spark.operators.boolquery import _wildcard_expand
+
+    words = ["a", "ab", "abc", "abcd", "axc", "bbc", "cab", "cat",
+             "cart", "car", "dog", "do", "spark", "spork", "spars",
+             "s", "sp", "zzz", "a1b", "x9", "42", "part", "parts"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    idx = pulse.build_index(docs)
+    patterns = ["?", "??", "???", "*a", "a*", "*a*", "?a?", "a?c",
+                "*?", "?*", "s*k", "sp?r?", "*ar*", "c?t", "*9",
+                "4?", "??????", "*zz", "z*z", "a*?c", "p?rt*"]
+    for pat in patterns:
+        got = set(_wildcard_expand(idx, pat))
+        want = {w for w in words if fnmatch.fnmatchcase(w, pat)}
+        assert got == want, (pat, got, want)
