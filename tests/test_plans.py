@@ -214,3 +214,17 @@ def test_fuzzy_expansion_scans_term_dimension_only(spark):
     text column."""
     df = entry_mod.queries()["p6d_fuzzy_search"](spark, SF)
     assert df.count() <= 10  # executes end-to-end
+
+
+def test_registered_sharded_packing_no_single_partition(spark):
+    """The t_seq_packing_sharded REGISTERED query (token_count →
+    shard_plan → pack_sequences(shard_col)) must plan a hash Exchange
+    on the shard key end-to-end — no SinglePartition anywhere; the
+    global t_seq_packing form keeps its (intentional, oracle-surface)
+    SinglePartition window."""
+    sharded = entry_mod.queries()["t_seq_packing_sharded"](spark, SF)
+    plan = audit.executed_plan(sharded)
+    assert "SinglePartition" not in plan
+    assert audit.python_eval_count(sharded) == 0
+    glob = entry_mod.queries()["t_seq_packing"](spark, SF)
+    assert "SinglePartition" in audit.executed_plan(glob)
