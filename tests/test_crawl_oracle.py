@@ -382,3 +382,19 @@ def test_priority_plus_adaptive_parity(spark, tmp_path):
     store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=17,
                                priority_frontier=True, adaptive_rate=True)
     _assert_parity(store, infos, orc, rows)
+
+
+def test_priority_adaptive_resume_parity(spark, tmp_path):
+    """Kill-and-resume with BOTH opt-in modes on: the authority
+    (host_edges) and AIMD (host_stats) state live in snapshot tables,
+    so a fresh engine resuming mid-frontier must reproduce the exact
+    uninterrupted crawl — same parity bar as the default-mode resume
+    test, now covering the modes' cross-round state."""
+    rows = generate_pages(100, 5, seed=19)
+    seeds = default_seeds(100, 5, k=5)
+    orc = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=19,
+                     priority=True, adaptive=True)
+    store, infos = _run_engine(spark, tmp_path, rows, seeds, seed=19,
+                               stop_after=1, priority_frontier=True,
+                               adaptive_rate=True)
+    _assert_parity(store, infos, orc, rows)
