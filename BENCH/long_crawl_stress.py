@@ -122,18 +122,24 @@ def main() -> None:
                       .select("src_host", "dst_host").distinct().count())
 
     n = len(rounds)
+    if n == 0:
+        print(json.dumps({"metric": "long_crawl_stress", "rounds": 0,
+                          "error": "no rounds ran"}))
+        shutil.rmtree(whdir, ignore_errors=True)
+        return
     walls = sorted(r["wall_ms"] for r in rounds)
+    q = max(n // 4, 1)  # quartile width; for n<4 both quartiles = 1 round
     out = {
         "metric": "long_crawl_stress",
         "rounds": n,
         "wall_sec": round(wall, 1),
         "pages_fetched": sum(r["selected"] for r in rounds),
         "median_round_ms": walls[n // 2],
-        "p90_round_ms": walls[int(n * 0.9)],
+        "p90_round_ms": walls[min(int(n * 0.9), n - 1)],
         "first_quarter_mean_ms": round(
-            sum(r["wall_ms"] for r in rounds[: n // 4]) / max(n // 4, 1)),
+            sum(r["wall_ms"] for r in rounds[:q]) / q),
         "last_quarter_mean_ms": round(
-            sum(r["wall_ms"] for r in rounds[-(n // 4):]) / max(n // 4, 1)),
+            sum(r["wall_ms"] for r in rounds[-q:]) / q),
         "frontier_total_mb_max": max(r["frontier_total_mb"] for r in rounds),
         "frontier_total_mb_final": rounds[-1]["frontier_total_mb"],
         "host_edges_rows_final": rounds[-1]["host_edges_rows"],

@@ -163,14 +163,14 @@ def entry(spark: SparkSession) -> DataFrame:
     cleaned = cleaner.drop_empty(cleaner.clean_documents(docs))
     safe = pulse.nsfw_flag(cleaned, NSFW_SET).filter(~F.col("nsfw"))
     enriched = pulse.preview(pulse.lang_default(safe), "cleaned_text")
-    # fixed parent (cleared each call — no tempdir accumulation across
-    # repeated driver/test invocations) + a UNIQUE child for the write:
-    # re-writing the same path trips Spark's session-global
-    # FileStatusCache (stale listing -> FILE_NOT_EXIST on the re-read)
-    import shutil
-
+    # a UNIQUE child dir per call under a fixed parent. Unique because
+    # re-writing one path trips Spark's session-global FileStatusCache
+    # (stale listing -> FILE_NOT_EXIST on the re-read); never deleted
+    # because a previously returned DataFrame (this process or a
+    # concurrent one) may still lazily read its index — clobbering it
+    # would fail that query mid-scan. The leak is bounded by call count
+    # and ~1 MB/call at sf0.001, in the OS-cleaned tempdir.
     base = os.path.join(tempfile.gettempdir(), "vyntr_entry_index")
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     idx_dir = tempfile.mkdtemp(prefix="idx", dir=base)
     # preview + language ride the index as docmeta (the stored-field
@@ -5022,9 +5022,10 @@ FROM c
     # merge — exactly _encode_word's scan order), so the whole encode
     # surface (n_pieces, n_tokens, and the 0x1f-joined token-stream
     # md5) is SQL-expressible after all. A committed pure-Python
-    # fixture parquet (tests/fixtures/bpe_encode_sf001.parquet,
-    # regenerated by tests/test_bpe.py's fixture check) independently
-    # anchors the same values at sf0.01.
+    # fixture parquet (tests/fixtures/bpe_encode_sf001.parquet;
+    # regenerate with tests/fixtures/regen_bpe_fixture.py after a
+    # merge-list or pretokenizer change, asserted by tests/test_bpe.py)
+    # independently anchors the same values at sf0.01.
     o["t_bpe_encode"] = f"""
 WITH t AS (SELECT doc_id,
   list_filter(regexp_extract_all(coalesce(text, ''), '{_bpe}'),

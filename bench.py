@@ -381,11 +381,13 @@ def main() -> None:
              .write.mode("overwrite").parquet(path))
             return path
 
-        def _preseed_ab(n_pre: int, arms: list, over_frac: float) -> None:
+        def _preseed_ab(n_pre: int, arms: list, over_frac: float) -> bool:
             """Interleaved best-of-2 across the given arms, one shared
             preseed table, every sample in the same host window — the
             same discipline crawl_rounds uses. ``arms`` entries are
             (label, crawl_once kwargs)."""
+            if not any(want(f"crawl_preseeded_{lbl}") for lbl, _ in arms):
+                return False  # BENCH_QUERIES subset: skip this table
             pre_path = _preseed_parquet(n_pre)
             # untimed warm pass: the FIRST arm otherwise pays the cold
             # read of the just-written preseed parquet alone (observed:
@@ -422,6 +424,7 @@ def main() -> None:
                 extras[f"crawl_preseeded_{label}_host_cores"] = \
                     pair_hosts[label]
             _sh.rmtree(pre_path, ignore_errors=True)
+            return True
 
         # 100M: well above the measured operator-level crossover (bloom
         # wins 1.5x at 40M, 4.4x at 100M — BENCH/BASELINE.md curve). The
@@ -433,12 +436,12 @@ def main() -> None:
         # bloom path, so auto ≈ bloom here proves the cost-based pick on
         # the bloom side (VERDICT r4 "Next round" #6).
         n_pre = int(os.environ.get("BENCH_PRESEED_N", "100000000"))
-        _preseed_ab(n_pre, [
+        if _preseed_ab(n_pre, [
             ("exact", {}),
             ("bloom", {"use_bloom": True}),
             ("auto", {"use_bloom": "auto", "prebuild_bloom": True}),
-        ], over_frac=0.85)
-        extras["preseed_n"] = n_pre
+        ], over_frac=0.85):
+            extras["preseed_n"] = n_pre
 
         # 10M: well BELOW the crossover — the engine's auto pick must
         # stay on the exact anti-join (no bloom build, no flag pass), so
@@ -446,11 +449,11 @@ def main() -> None:
         # window from the 100M set; arms interleaved within it.
         n_pre_small = int(os.environ.get("BENCH_PRESEED_SMALL_N",
                                          "10000000"))
-        _preseed_ab(n_pre_small, [
+        if _preseed_ab(n_pre_small, [
             ("exact_10m", {}),
             ("auto_10m", {"use_bloom": "auto", "prebuild_bloom": False}),
-        ], over_frac=0.9)
-        extras["preseed_small_n"] = n_pre_small
+        ], over_frac=0.9):
+            extras["preseed_small_n"] = n_pre_small
 
     # -- index-served BM25 (P5 build once, P8 serve without corpus scan) -----
     if want("p8b_bm25_serve"):

@@ -62,8 +62,14 @@ def local_scratch_dir() -> str | None:
 #: no jar ships in this offline sandbox, so the SnapshotTable parquet
 #: fallback serves all tests/bench; a cluster deployment passes these
 #: via ``get_spark(extra=iceberg_configs(...))`` or spark-submit
-#: ``--packages``). Version pair matches pyspark 4.1 / Scala 2.13.
-ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.1_2.13:1.10.0"
+#: ``--packages``). The artifact's Spark-minor segment MUST match the
+#: cluster's Spark — Iceberg publishes one runtime per (Spark minor,
+#: Scala) pair, and 4.0_2.13 is the newest published line as of Iceberg
+#: 1.10; deployments on a later Spark minor override ICEBERG_PACKAGE
+#: (or pass their own spark.jars.packages) once the matching runtime
+#: ships. Resolution is checked at session start, not here — this
+#: module stays offline-importable.
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
 
 
 def iceberg_configs(catalog: str = "vyntr",
