@@ -398,3 +398,18 @@ def test_priority_adaptive_resume_parity(spark, tmp_path):
                                stop_after=1, priority_frontier=True,
                                adaptive_rate=True)
     _assert_parity(store, infos, orc, rows)
+
+
+def test_priority_zero_weights_is_bfs():
+    """Degenerate-weight invariance (pure-Python, no Spark): with
+    w_backlinks=0 and w_depth=0 every priority is 0, so the
+    (priority desc, round, url) order collapses to BFS (round, url) —
+    the priority oracle must equal the plain oracle bit-for-bit."""
+    rows = generate_pages(80, 4, seed=29)
+    seeds = default_seeds(80, 4, k=3)
+    a = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=29,
+                   priority=True, w_backlinks=0.0, w_depth=0.0)
+    b = run_oracle(_pages_map(rows), seeds, max_pages=10_000, seed=29)
+    assert [(r.selected, r.new_urls, r.outcomes) for r in a.rounds] == \
+        [(r.selected, r.new_urls, r.outcomes) for r in b.rounds]
+    assert a.seen == b.seen
